@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side materialization cost in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flume_hive_batched_sink_spark import operators as ops
+from flume_hive_batched_sink_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_pipeline",     # the reference's spine end-to-end
+    "scan_pruned",           # pushdown scan
+    "agg_multi",             # TPC-H Q1 shape
+    "agg_distinct",
+    "join_multiway",         # TPC-H Q5 shape, broadcast dims
+    "join_inner_equi",
+    "join_asof",             # union+carry-forward as-of
+    "win_topk_per_group",
+    "sort_limit_topk",
+    "upsert_last_write_wins",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_similarity_topk",
+    "ns_text_stats",
+    "ns_tfidf_topterms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ops.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

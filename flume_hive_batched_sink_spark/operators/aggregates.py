@@ -1,0 +1,248 @@
+"""B4 — aggregations.
+
+Origins: A17 (group/having — HiveSinkDetailDao.scala:42-61), A20
+(keyed upsert → last-write-wins — HiveSinkDetailDao.scala:85-98),
+A21 (min-by leader election — ZKService.scala:230-239), A15 (the
+hand-rolled partial/final aggregate — TimedUtils.scala:78-111, which
+Catalyst emits automatically as partial+final HashAggregate), plus
+the [CAT] analytics shapes (multi-agg Q1, distinct, approx,
+rollup/cube/grouping sets).
+
+Scale notes: every aggregate here is a single hash-shuffle on its
+grouping key with map-side partial aggregation; `agg_distinct` adds
+the expand+two-phase distinct plan; rollup/cube expand the grouping
+set lattice map-side (no extra shuffle rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .filters import DETAIL_SQL, detail
+from .registry import davg, dsum, query, sql_davg, sql_dsum, tbl
+
+
+@query(
+    "agg_group_having",
+    f"""
+    SELECT logdate, n_hosts FROM (
+      SELECT logdate, COUNT(DISTINCT hostname) AS n_hosts
+      FROM ({DETAIL_SQL}) d
+      WHERE state = 'NEW' AND name = 'sink'
+      GROUP BY logdate
+    ) t
+    WHERE n_hosts >= 4
+    """,
+)
+def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 verbatim (HiveSinkDetailDao.scala:42-61): logdates for
+    which every one of the 4 synthesized hosts reported — the
+    completeness check the ZooKeeper leader ran every 5 s."""
+    d = detail(spark, sf_dir)
+    return (
+        d.filter((F.col("state") == "NEW") & (F.col("name") == "sink"))
+        .groupBy("logdate")
+        .agg(F.countDistinct("hostname").alias("n_hosts"))
+        .filter(F.col("n_hosts") >= 4)
+    )
+
+
+@query(
+    "agg_multi",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 8 aggregates over 2 grouping keys — one
+    shuffle, partial aggregation map-side (what the reference
+    hand-rolled in TimedUtils.scala:78-111)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate has no exact oracle
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Checked by a pytest relative-
+    error bound vs the exact count instead of the DuckDB oracle
+    (SURVEY.md §7 hard-parts note (c))."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS logdate,
+           COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events
+    GROUP BY ROLLUP (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y%m%d'))
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "logdate", F.date_format("ts", "yyyyMMdd")
+    )
+    return ev.rollup("event_type", "logdate").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").cast("bigint").alias("sum_uid"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS host_bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 4 AS BIGINT))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "host_bucket", (F.col("user_id") % 4).cast("bigint")
+    )
+    return ev.cube("event_type", "host_bucket").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS logdate,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type),
+                            (strftime(CAST(ts AS TIMESTAMP), '%Y%m%d')),
+                            (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y%m%d')))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "logdate", F.date_format("ts", "yyyyMMdd")
+    )
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, logdate, COUNT(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (logdate), (event_type, logdate))
+        """
+    )
+
+
+@query(
+    "agg_minby_leader",
+    f"""
+    SELECT min_by(hostname, seq) AS leader, COUNT(*) AS n_members
+    FROM (
+      SELECT hostname, MIN(event_id) AS seq
+      FROM ({DETAIL_SQL}) d
+      GROUP BY hostname
+    ) members
+    """,
+)
+def agg_minby_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 (ZKService.scala:230-239): leader = member with the
+    smallest sequence id. Membership synthesized per FIXTURES.md:
+    hosts h0..h3, seq = first event_id seen per host."""
+    members = (
+        detail(spark, sf_dir)
+        .groupBy("hostname")
+        .agg(F.min("event_id").alias("seq"))
+    )
+    return members.agg(
+        F.min_by("hostname", "seq").alias("leader"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@query(
+    "upsert_last_write_wins",
+    f"""
+    SELECT name, logdate, hostname, receivecount, sinkcount, updatetime
+    FROM (
+      SELECT name, logdate, hostname,
+             COUNT(*) OVER (PARTITION BY name, logdate, hostname) AS receivecount,
+             CAST(event_id AS BIGINT) AS sinkcount,
+             updatetime,
+             row_number() OVER (
+               PARTITION BY name, logdate, hostname
+               ORDER BY updatetime DESC, event_id DESC) AS rn
+      FROM ({DETAIL_SQL}) d
+    ) t
+    WHERE rn = 1
+    """,
+)
+def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 (HiveSinkDetailDao.scala:85-98 + UpdateSinkDetailCallback):
+    each event is an upsert to (name, logdate, hostname); the winner
+    is the latest by updatetime (event_id tiebreak). One shuffle on
+    the key; at 100 TB this is the standard dedup-by-key pattern
+    (storage-side it would be a Delta MERGE)."""
+    d = detail(spark, sf_dir)
+    key = ["name", "logdate", "hostname"]
+    w = W.partitionBy(*key).orderBy(
+        F.col("updatetime").desc(), F.col("event_id").desc()
+    )
+    wc = W.partitionBy(*key)
+    return (
+        d.withColumn("receivecount", F.count("*").over(wc))
+        .withColumn("sinkcount", F.col("event_id").cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name", "logdate", "hostname", "receivecount", "sinkcount", "updatetime")
+    )

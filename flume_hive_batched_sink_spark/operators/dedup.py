@@ -1,0 +1,276 @@
+"""B10/[NS] — deduplication family over `documents`.
+
+Five mechanisms, each the 100 TB-shaped formulation:
+
+- exact        : normalize → sha256 → keep min doc_id per hash.
+                 One shuffle on the 32-byte hash (never on raw text).
+- minhash LSH  : shingle → k minhashes → band → bucket join. The
+                 banding turns O(n²) similarity into a self-join on
+                 (band_id, band_hash) buckets; only bucket collisions
+                 get exact-Jaccard verification.
+- simhash      : 64-bit sign-aggregated token hashes; near-dups share
+                 band substrings (Hamming ≤ r detection by pigeonhole).
+- n-gram Jaccard: candidate pairs share a 5-token shingle (inverted-
+                 index self-join), then exact token-set Jaccard.
+- embedding    : cosine ≥ τ pairs via the similarity module's exact
+                 decimal dot product (see similarity.py for ANN).
+
+Exact/Jaccard variants are oracle-checked; MinHash/SimHash use
+Spark's murmur3 (`F.hash`) which DuckDB can't reproduce → rows-only +
+property tests (tests/test_dedup_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, tbl
+
+_NORM = "lower(trim(text))"
+
+
+def _norm_col() -> Column:
+    return F.lower(F.trim(F.col("text")))
+
+
+@query(
+    "ns_dedup_exact",
+    f"""
+    SELECT keep_doc_id, text_hash, n_copies FROM (
+      SELECT sha256({_NORM}) AS text_hash,
+             MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY sha256({_NORM})
+    ) t
+    """,
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text. The shuffle key
+    is the 64-hex sha256, so skew is impossible and the wide text
+    column is dropped before the exchange."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2(_norm_col(), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "text_hash", "n_copies")
+    )
+
+
+# ---------- shingles + MinHash LSH ----------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band → catches jaccard ≳ 0.6 reliably
+SHINGLE = 3
+
+
+def shingles(col: Column, n: int = SHINGLE) -> Column:
+    """Distinct n-token shingles as strings (higher-order functions,
+    row-local)."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+        )
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
+    """k minhashes: min over shingles of murmur3(seed_i ++ shingle).
+    Row-local; the signature is 16 ints replacing arbitrary-size text."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.hash(F.concat(F.lit(f"seed{i}:"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands(
+    spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — LSH bucketing input."""
+    d = tbl(spark, sf_dir, "documents")
+    rows_per_band = N_HASHES // n_bands
+    sig = d.select(
+        "doc_id", minhash_signature(shingles(_norm_col())).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    return bands.select("doc_id", "band.band_id", "band.band_hash")
+
+
+@query("ns_dedup_minhash")  # rows-only: murmur3 not reproducible in DuckDB
+def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact-Jaccard
+    verification (jaccard ≥ 0.5), deduplicated across bands.
+
+    Scale path: the only shuffles are (a) the self-join on
+    (band_id, band_hash) buckets and (b) the pair dedup — never an
+    all-pairs product. Verification re-joins the two docs' shingle
+    sets by doc_id (broadcast-able at dim size; keyed join at scale).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(_norm_col()).alias("sh"))
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+@query("ns_dedup_simhash")  # rows-only: murmur3 not reproducible in DuckDB
+def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit signature = sign of per-bit sums of token
+    hashes; candidate near-dups share all 4 16-bit bands except ≤1
+    (pigeonhole for Hamming ≤ 16). Emits doc_id, simhash, and the 4
+    band values (the join keys a full pipeline buckets on)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(_norm_col(), " "))
+    hashed = d.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("h64")
+    )
+    # bit b of the signature: majority vote of bit b over token hashes
+    def bit_vote(b: int):
+        vote = F.aggregate(
+            F.col("h64"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint")) == 1,
+                1,
+            ).otherwise(-1),
+        )
+        return (
+            F.when(vote > 0, F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias(f"bit{b}")
+        )
+
+    sig = hashed.select("doc_id", *[bit_vote(b) for b in range(64)])
+    # reassemble: shiftleft(bit, 63) wraps to the sign bit (two's
+    # complement), which is exactly the int64 we want
+    simhash = None
+    for b in range(64):
+        term = F.shiftleft(F.col(f"bit{b}"), b)
+        simhash = term if simhash is None else simhash + term
+    out = sig.select("doc_id", simhash.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(0xFFFF),
+        )
+    return out
+
+
+@query(
+    "ns_dedup_ngram_jaccard",
+    f"""
+    WITH toksets AS (
+      SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(string_split({_NORM}, ' ')[i:i+4], ' ')
+                FOR i IN range(1, greatest(len(string_split({_NORM}, ' ')) - 4, 1) + 1)]
+             )) AS sh
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+             AS jaccard
+    FROM cand
+    JOIN toksets ta ON ta.doc_id = cand.doc_a
+    JOIN toksets tb ON tb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+          >= 0.3
+    """,
+)
+def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidate
+    generation (docs sharing a 5-token shingle) + exact token-set
+    Jaccard ≥ 0.3. Every step is a keyed join — the shingle index is
+    the scale lever (rare shingles → tiny buckets).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toksets = d.select(
+        "doc_id", F.array_distinct(F.split(_norm_col(), " ")).alias("toks")
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles(_norm_col(), 5)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,172 @@
+"""B10/[NS] — multimodal columns.
+
+Model: image/audio/video payloads are opaque `binary` columns with a
+typed metadata struct alongside (the FIXTURES tables carry no real
+media, so the payload is synthesized from `documents.text` bytes —
+the Spark-side plumbing is the deliverable: schema, batch shape,
+partitioning, Arrow transfer).
+
+- `ns_multimodal_cols`: typed metadata derivation over the binary
+  column — length, content hash, magic-byte sniff, plus element-wise
+  avg-pool of the embedding column per label. Oracle-checked.
+- `ns_multimodal_decode`: the decode / feature-extract path as a
+  `mapInPandas` operator. Real decoding libs (PIL/librosa/av) are not
+  in this container, so the decoder is pluggable: the default
+  'fake' decoder is deterministic (byte stats standing in for pixel
+  stats); 'pil' raises NotImplementedError at the exact seam where
+  the real library call goes. Rows-only (Python hash fns aren't in
+  DuckDB's dialect... they are — sha256 — so this one IS checked).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import davg, query, sql_davg, tbl
+
+
+@query(
+    "ns_multimodal_cols",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_hash,
+           CASE WHEN text LIKE 'the %' THEN 'type_the' ELSE 'type_other' END
+             AS sniffed_type
+    FROM documents
+    """,
+)
+def ns_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column + typed metadata: payload = utf8 bytes of
+    text (stand-in for image bytes), metadata = length / content hash
+    / magic-byte sniff. All JVM built-ins over the binary column."""
+    d = tbl(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_hash"),
+        F.when(F.col("text").like("the %"), "type_the")
+        .otherwise("type_other")
+        .alias("sniffed_type"),
+    )
+
+
+@query(
+    "ns_multimodal_pool",
+    f"""
+    SELECT label, pos, {sql_davg('e', 'avg_val')}, COUNT(*) AS n_vecs
+    FROM (
+      SELECT label, i.i - 1 AS pos, CAST(embedding[i.i] AS DOUBLE) AS e
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ) t
+    GROUP BY label, pos
+    """,
+)
+def ns_multimodal_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise avg-pool of embeddings per label (the 'average
+    image feature per class' shape). posexplode → one hash aggregate
+    on (label, pos); at 100 TB pre-aggregate per partition is free
+    (partial agg) and nothing is collected."""
+    em = tbl(spark, sf_dir, "embeddings")
+    exploded = em.select(
+        "label", F.posexplode("embedding").alias("pos", "e_raw")
+    ).select("label", "pos", F.col("e_raw").cast("double").alias("e"))
+    return exploded.groupBy("label", "pos").agg(
+        davg("e", "avg_val"), F.count("*").alias("n_vecs")
+    )
+
+
+# ---------- decode / feature-extract plumbing (mapInPandas) ----------
+
+DECODERS = {}
+
+
+def register_decoder(name: str, fn) -> None:
+    """Decoder: (payload: bytes) -> dict of features. Registered by
+    name, mirroring the serde registry (A26)."""
+    DECODERS[name] = fn
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: byte statistics
+    in place of pixel statistics. Replace with a real decoder via
+    register_decoder('pil', ...) when the library is present."""
+    n = len(payload)
+    return {
+        "width": n % 640,
+        "height": (n * 31) % 480,
+        "mean_byte": (sum(payload) / n) if n else 0.0,
+    }
+
+
+def _pil_decode(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real image decode requires PIL, which is not in this container; "
+        "pip-install pillow and register: "
+        "register_decoder('pil', lambda b: ...Image.open(io.BytesIO(b))...)"
+    )
+
+
+register_decoder("fake", _fake_decode)
+register_decoder("pil", _pil_decode)
+
+
+def decode_features(
+    df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
+) -> DataFrame:
+    """mapInPandas decode: Arrow batches of binary payloads in, typed
+    feature rows out. The batch shape (one pandas DataFrame per Arrow
+    batch, iterator API → constant memory) is exactly what a real
+    image/audio decode stage needs at scale; partitioning of the
+    input df is preserved."""
+    fn = DECODERS[decoder]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf[payload_col].apply(
+                lambda b: fn(bytes(b) if b is not None else b"")
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": feats.apply(lambda f: f["width"]).astype("int32"),
+                    "height": feats.apply(lambda f: f["height"]).astype("int32"),
+                    "mean_byte": feats.apply(lambda f: f["mean_byte"]).astype(
+                        "float64"
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(
+        batches, schema="doc_id long, width int, height int, mean_byte double"
+    )
+
+
+@query(
+    "ns_multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 31) % 480 AS INT) AS height,
+           CAST(list_sum(list_transform(string_split_regex(text, ''),
+                                        c -> ascii(c))) AS DOUBLE)
+             / octet_length(encode(text)) AS mean_byte
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def ns_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage over the synthesized binary column with the
+    deterministic 'fake' decoder (ASCII fixture text ⇒ byte mean is
+    exactly the oracle's int-sum / length — exact int arithmetic)."""
+    d = tbl(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ).filter(F.length(F.col("payload")) > 0)
+    return decode_features(with_payload)

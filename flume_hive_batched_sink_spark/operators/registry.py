@@ -1,0 +1,90 @@
+"""Query/oracle registry + cross-engine determinism helpers.
+
+Every operator registers a PySpark callable `(spark, sf_dir) ->
+DataFrame` and (unless genuinely non-SQL-expressible) an ANSI-SQL
+twin that DuckDB runs on the same parquet tables. The driver compares
+row count, schema, and an order-insensitive value hash — so results
+must be *bit-identical*, not just approximately equal.
+
+Determinism rules used throughout:
+
+- **Float aggregation**: summing doubles is order-dependent; Spark's
+  partial aggregates and DuckDB's single-threaded scan would disagree
+  in low bits. All double sums/avgs therefore go through an exact
+  decimal: row-level arithmetic stays in IEEE double (identical in
+  both engines), the result is cast to DECIMAL(28,6), summed exactly,
+  and cast back to double. Helper: `dsum` / `davg`.
+- **Time bucketing**: naive epoch-seconds arithmetic on both sides
+  (no to_timestamp/TZ functions in the oracle — DuckDB's default TZ
+  is the host's, not necessarily UTC).
+- **Top-k / row_number**: every ordering carries a unique-key
+  tiebreaker so LIMIT/rank boundaries are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; `oracle=None` → rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- exact float aggregation (see module docstring) ---
+
+_DEC = "decimal(28,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent double sum: exact decimal inside, double out."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent double avg: exact decimal sum / count, both
+    engines divide the same two numbers."""
+    col = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    """DuckDB twin of `dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    """DuckDB twin of `davg`."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# --- shared table access ---
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, name)

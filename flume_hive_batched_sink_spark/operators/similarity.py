@@ -1,0 +1,227 @@
+"""B10/[NS] — similarity search over `embeddings` (64-dim float).
+
+- `ns_similarity_topk`: brute-force cosine top-k — the correctness
+  baseline. Query side is tiny (broadcast); dot products are computed
+  with `zip_with` + an exact decimal fold so the DuckDB oracle hashes
+  identically; ranking carries a unique tiebreak.
+- `ns_similarity_ann_lsh`: the scale path — random-hyperplane LSH
+  (sign sketch) buckets vectors; candidates only within the probe's
+  bucket. At 100 TB: bucket id is the shuffle key; brute force never
+  leaves a bucket. Hyperplanes are seeded numpy constants shipped as
+  literals (no RNG inside the plan — resume/retry safe).
+- `ns_dedup_embedding`: cosine ≥ τ near-dup pairs (embedding-space
+  dedup), exact decimal dot products, oracle-checked.
+
+`F.aggregate`/`zip_with` keep everything JVM-side; no Python UDF in
+any hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query, tbl
+
+# precision 25 keeps decimal addition below Spark's 38-digit cap, so
+# the fold never rescales (stays exact); |values| here are ≪ 10^13.
+_DEC = "decimal(25,12)"
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact dot product: per-element double multiply (IEEE, identical
+    in both engines) → decimal(25,12) → exact sum → double."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
+    ).cast("double")
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot_dec(a, a))
+
+
+# DuckDB twin: unnest both lists positionally via a range join.
+_SQL_DOT = """
+  SELECT {aa}.vec_id AS ida, {ba}.vec_id AS idb,
+         CAST(SUM(CAST(CAST({aa}.embedding[i.i] AS DOUBLE)
+                       * CAST({ba}.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM {a} {aa}, {b} {ba}, (SELECT unnest(range(1, 65)) AS i) i
+  {where}
+  GROUP BY 1, 2
+"""
+
+
+@query(
+    "ns_similarity_topk",
+    f"""
+    WITH queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      GROUP BY vec_id
+    ),
+    dots AS ({_SQL_DOT.format(a='queries', aa='q', b='embeddings', ba='c',
+                              where='WHERE q.vec_id <> c.vec_id')}),
+    scored AS (
+      SELECT dots.ida AS query_id, dots.idb AS neighbor_id,
+             dots.dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = dots.ida
+      JOIN norms nc ON nc.vec_id = dots.idb
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for 5 probe vectors.
+    Probes are broadcast; each corpus partition scores locally; the
+    per-query top-k is a window over query_id (k·|queries| rows after
+    AQE, never the full n×m product materialized to the driver)."""
+    em = tbl(spark, sf_dir, "embeddings")
+    norms = em.select(
+        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    q = norms.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = norms.join(F.broadcast(q), norms.vec_id != q.query_id)
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot_dec(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+_N_PLANES = 8
+_rng = np.random.RandomState(42)
+_PLANES = _rng.normal(size=(_N_PLANES, 64)).astype("float64")
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Random-hyperplane sign sketch → bucket id in [0, 2^8).
+    Hyperplane constants are baked literals — deterministic across
+    runs, retries, and engines."""
+    bucket = F.lit(0).cast("bigint")
+    for i in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _PLANES[i]])
+        dot = F.aggregate(
+            F.zip_with(emb, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+@query("ns_similarity_ann_lsh")  # rows-only: approximate by design
+def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via hyperplane-LSH: candidates share the probe's
+    bucket; exact cosine only within buckets. Recall vs brute force
+    is property-tested (tests/test_similarity.py). Scale: bucket id
+    is the join/shuffle key; per-bucket work is |bucket|·|probes∩bucket|."""
+    em = tbl(spark, sf_dir, "embeddings")
+    bucketed = em.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    norms = bucketed.select(
+        "vec_id",
+        "bucket",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    q = norms.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = norms.join(
+        F.broadcast(q),
+        (norms.bucket == q.q_bucket) & (norms.vec_id != q.query_id),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot_dec(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "ns_dedup_embedding",
+    f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      GROUP BY vec_id
+    ),
+    dots AS ({_SQL_DOT.format(a='embeddings', aa='a', b='embeddings', ba='b',
+                              where='WHERE a.vec_id < b.vec_id')})
+    SELECT dots.ida AS vec_a, dots.idb AS vec_b,
+           dots.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = dots.ida
+    JOIN norms nb ON nb.vec_id = dots.idb
+    WHERE dots.dot / (na.nrm * nb.nrm) >= 0.95
+    """,
+)
+def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95). Exact
+    all-pairs at oracle scale; at 100 TB the identical expression
+    runs per-LSH-bucket (swap the join condition for bucket equality,
+    as in ns_similarity_ann_lsh) — semantics unchanged."""
+    em = tbl(spark, sf_dir, "embeddings")
+    norms = em.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cosine = _dot_dec(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_a", "vec_b", "cosine")
+    )

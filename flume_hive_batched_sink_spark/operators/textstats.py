@@ -1,0 +1,323 @@
+"""B10/[NS] — text analysis over `documents` (training-data pipeline
+operators: language-ID, quality scoring, token counting, document
+fingerprinting, corpus stats, tf-idf).
+
+Design for 100 TB: everything is either a row-local column expression
+(lang-ID, quality, token counts, fingerprints — embarrassingly
+parallel, zero shuffle) or a single keyed aggregation (corpus stats,
+tf-idf doc-frequency join). No driver-side collection anywhere.
+
+Determinism: ratios are int/int divisions (exact in IEEE); the
+tf-idf ranking uses the exact rational weight tf·(N/df) rather than a
+log idf so the DuckDB oracle hashes identically (log() low bits are
+libm-dependent); fingerprints fold in exact int64 modular arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query, tbl
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+# (The fixture text is synthetic; the heuristic's job is to be a
+# deterministic, scalable lang-ID *mechanism*, swappable word lists.)
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "a", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+_FP_MOD = 1_000_000_007
+_TOKENS = lambda c: F.split(c, " ")  # noqa: E731
+
+
+def _marker_hits(tokens: Column, lang: str) -> Column:
+    """Count tokens (with multiplicity) in the marker list — a
+    size(filter(...)) over the token array, no shuffle."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(markers, x)))
+
+
+def _sql_marker_hits(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+    )
+
+
+_LANGS = sorted(LANG_MARKERS)
+
+
+@query(
+    "ns_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           {', '.join(f'hits_{lg}' for lg in _LANGS)},
+           CASE WHEN {' AND '.join(f'hits_{lg} = 0' for lg in _LANGS)}
+                THEN 'unknown'
+                {' '.join(f"WHEN hits_{lg} = greatest({', '.join('hits_' + x for x in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+           END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             {', '.join(f'CAST({_sql_marker_hits(lg)} AS BIGINT) AS hits_{lg}' for lg in _LANGS)}
+      FROM documents
+    ) t
+    """,
+)
+def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token voting: argmax over per-language
+    hit counts, alphabetical tiebreak, 'unknown' when nothing hits.
+    Pure column math → scales linearly, no shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = _TOKENS(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_hits(toks, lg).cast("bigint").alias(f"hits_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    # argmax with alphabetical tiebreak: array_min over (-hits, lang)
+    # structs picks highest hits, then lexicographically first lang.
+    candidates = F.array(
+        *[
+            F.struct(
+                (-F.col(f"hits_{lg}")).alias("h"), F.lit(lg).alias("l")
+            )
+            for lg in _LANGS
+        ]
+    )
+    all_zero = None
+    for lg in _LANGS:
+        cond = F.col(f"hits_{lg}") == 0
+        all_zero = cond if all_zero is None else (all_zero & cond)
+    return scored.withColumn(
+        "pred_lang",
+        F.when(all_zero, F.lit("unknown")).otherwise(
+            F.array_min(candidates).getField("l")
+        ),
+    )
+
+
+@query(
+    "ns_quality_score",
+    """
+    SELECT doc_id, n_tokens, n_chars,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CASE WHEN n_tokens >= 20
+                 AND CAST(stop_hits AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'of', 'and', 'a', 'to'))) AS BIGINT) AS stop_hits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents
+    ) t
+    """,
+)
+def ns_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / lexical-diversity
+    gates (the standard pretraining-corpus filter shape). All ratios
+    are int/int IEEE divisions — exact in both engines."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = _TOKENS(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        _marker_hits(toks, "en").cast("bigint").alias("stop_hits"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & stop_ratio.between(0.01, 0.6)
+            & (distinct_ratio > 0.3),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@query(
+    "ns_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS BIGINT) AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS chars_div4_est
+    FROM documents
+    """,
+)
+def ns_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    segmentation (letters / digits / other), and the chars/4 quick
+    estimate used for budget accounting."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_TOKENS(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("chars_div4_est"),
+    )
+
+
+@query(
+    "ns_doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> list_reduce(
+                        list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split_regex(t, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+                        (a, b) -> (a * 31 + b) % {_FP_MOD}))),
+             (acc, h) -> (acc * 131 + h) % {_FP_MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling polynomial hash (token-level
+    roll over char-level rolls, all mod 1e9+7 in exact int64). The
+    same construction at shingle granularity feeds MinHash (dedup.py).
+    Zero-shuffle column math."""
+    d = tbl(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("bigint")
+    seven = F.lit(7).cast("bigint")
+
+    def char_roll(tok: Column) -> Column:
+        chars = F.split(tok, "")
+        return F.aggregate(
+            chars,
+            seven,
+            lambda a, c: (a * 31 + F.ascii(c)) % _FP_MOD,
+        )
+
+    token_hashes = F.transform(_TOKENS(F.col("text")), char_roll)
+    fingerprint = F.aggregate(
+        token_hashes, zero, lambda acc, h: (acc * 131 + h) % _FP_MOD
+    )
+    return d.select("doc_id", fingerprint.alias("fingerprint"))
+
+
+@query(
+    "ns_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok) AS chars_per_token,
+           MIN(n_tok) AS min_tokens,
+           MAX(n_tok) AS max_tokens
+    FROM (
+      SELECT lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ) t
+    GROUP BY lang
+    """,
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: one hash aggregation."""
+    d = tbl(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "n_chars",
+        F.size(_TOKENS(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tok")).alias(
+            "chars_per_token"
+        ),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+@query(
+    "ns_tfidf_topterms",
+    """
+    SELECT source, term, tf, df, score FROM (
+      SELECT source, term, tf, df,
+             CAST(tf AS DOUBLE) * (n_sources / CAST(df AS DOUBLE)) AS score,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(tf AS DOUBLE) * (n_sources / CAST(df AS DOUBLE)) DESC,
+                        term) AS rn
+      FROM (
+        SELECT source, term, COUNT(*) AS tf
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents) x
+        GROUP BY source, term
+      ) tfs
+      JOIN (
+        SELECT term, CAST(COUNT(DISTINCT source) AS BIGINT) AS df
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents) y
+        GROUP BY term
+      ) dfs USING (term)
+      CROSS JOIN (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources
+                  FROM documents) ns
+    ) ranked
+    WHERE rn <= 5
+    """,
+)
+def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top-5 terms per source. Linear idf (N/df) keeps the
+    ranking weight an exact rational so the oracle hashes identically
+    (log-idf differs in libm low bits; swap one line for production).
+    Two aggregations + one broadcast join on term df."""
+    d = tbl(spark, sf_dir, "documents")
+    terms = d.select(
+        "source", F.explode(_TOKENS(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("source").alias("df")
+    )
+    n_sources = d.select(
+        F.countDistinct("source").cast("double").alias("n_sources")
+    )
+    score = F.col("tf").cast("double") * (
+        F.col("n_sources") / F.col("df").cast("double")
+    )
+    w = W.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_sources))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "df", "score")
+    )

@@ -1,0 +1,174 @@
+"""B9 — UDF / UDAF / UDTF surface.
+
+The reference's single extension point is the serde class loaded by
+name (A26, HiveBatchedSink.scala:244-257). The engine exposes the
+full PySpark trio — all Arrow-vectorized, never row-at-a-time:
+- scalar `pandas_udf`  (UDF)
+- GROUPED_AGG `pandas_udf` (UDAF)
+- `applyInPandas` grouped map (UDTF-equivalent)
+- a user-registered pandas parser in the serde registry (A26 parity)
+
+UDF objects are created lazily (pandas_udf needs an active session,
+and parsing the DDL return type requires a SparkContext).
+
+Determinism note: UDAF/UDTF bodies stick to exact arithmetic (int64
+sums, min/max) or row-level float ops so the DuckDB oracle matches
+bit-for-bit; a float mean inside pandas would disagree with SQL in
+the low bits (numpy pairwise vs sequential summation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parse import parse_column, register_parser
+from .registry import query, tbl
+
+
+def make_add_ten_pct():
+    @F.pandas_udf("double")
+    def add_ten_pct(v: pd.Series) -> pd.Series:
+        """Vectorized scalar UDF: one IEEE multiply per row."""
+        return v * 1.1
+
+    return add_ten_pct
+
+
+@query(
+    "udf_scalar_pandas",
+    """
+    SELECT event_id, value, value * 1.1 AS boosted
+    FROM events
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    add_ten_pct = make_add_ten_pct()
+    return ev.select("event_id", "value", add_ten_pct("value").alias("boosted"))
+
+
+@query(
+    "udaf_grouped_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(user_id) AS BIGINT) AS total_uid,
+           CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (int64-exact bodies)."""
+
+    @F.pandas_udf("long")
+    def sum_uid(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("long")
+    def n_high(v: pd.Series) -> int:
+        return int((v > 100.0).sum())
+
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        sum_uid("user_id").alias("total_uid"),
+        n_high("value").alias("n_high_value"),
+    )
+
+
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo = pdf["value"].min()
+    hi = pdf["value"].max()
+    span = hi - lo
+    pdf = pdf.copy()
+    pdf["value_norm"] = 0.0 if span == 0 else (pdf["value"] - lo) / span
+    return pdf[["event_id", "event_type", "value", "value_norm"]]
+
+
+@query(
+    "udtf_apply_in_pandas",
+    """
+    SELECT event_id, event_type, value,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS value_norm
+    FROM (
+      SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events
+    ) t
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (UDTF-equivalent): min-max normalize per category.
+    min/max are exact; the normalization is row-level IEEE — matches
+    the SQL window formulation exactly."""
+    ev = tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _minmax_normalize,
+        schema="event_id long, event_type string, value double, value_norm double",
+    )
+
+
+# --- A26 parity: a user parser registered by name ---
+
+
+def _kv_parser(col, schema: str, options: dict):
+    """User serde plugin: parses 'k=v;k2=v2' text via a pandas UDF.
+    Demonstrates the registry path a custom Flume serde subclass
+    would take (TextDeserializer.scala:68)."""
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+
+    @F.pandas_udf("struct<" + ",".join(f"{n}:{t}" for n, t in fields) + ">")
+    def parse(s: pd.Series) -> pd.DataFrame:
+        out = {}
+        split = s.str.split(";").apply(
+            lambda parts: dict(p.split("=", 1) for p in parts if "=" in p)
+        )
+        for name, typ in fields:
+            vals = split.apply(lambda d, n=name: d.get(n))
+            if typ in ("bigint", "long", "int"):
+                vals = pd.to_numeric(vals, errors="coerce").astype("Int64")
+            out[name] = vals
+        return pd.DataFrame(out)
+
+    return parse(col)
+
+
+register_parser("kv_pandas", _kv_parser)
+
+
+@query(
+    "udf_serde_plugin",
+    """
+    SELECT event_id,
+           regexp_extract(body, 'type=([^;]*)', 1) AS p_type,
+           CAST(regexp_extract(body, 'uid=([^;]*)', 1) AS BIGINT) AS p_uid
+    FROM (
+      SELECT event_id,
+             concat('type=', event_type, ';uid=', CAST(user_id AS VARCHAR)) AS body
+      FROM events
+    ) t
+    """,
+)
+def udf_serde_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: by-name pluggable parser applied to raw text bodies."""
+    ev = tbl(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.col("event_type"), F.lit(";uid="), F.col("user_id")
+        ).alias("body"),
+    )
+    parsed = raw.select(
+        "event_id",
+        # schema field names address the k=v keys in the body (the
+        # serde-properties mapping a real plugin would carry)
+        parse_column("body", "kv_pandas", "type string, uid bigint").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.type").alias("p_type"),
+        F.col("p.uid").alias("p_uid"),
+    )

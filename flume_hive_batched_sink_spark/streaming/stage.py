@@ -1,0 +1,113 @@
+"""Deterministic micro-batch staging for streaming tests/queries.
+
+The reference drained a live Flume channel; our replayable stand-in
+is a file-source directory of parquet chunks consumed with
+`maxFilesPerTrigger=1` + `Trigger.AvailableNow` — each chunk becomes
+one micro-batch, in lexicographic file order, fully deterministic
+(SURVEY.md §5.3: never sleep-based).
+
+Chunks are split on explicit event-time boundaries so watermark
+progress (and therefore late-row dropping) is reproducible and
+expressible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.tmp")
+
+
+def stage_chunks(
+    name: str, chunks: list[DataFrame]
+) -> tuple[str, "object"]:
+    """Write each chunk as chunk_<i>/part-*.parquet under a fresh
+    staging dir; returns (dir glob for readStream, schema)."""
+    base = os.path.join(SCRATCH, "stream_stage", name)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    schema = chunks[0].schema
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"chunk_{i:03d}")
+        )
+    # flatten: file source wants one dir of files; move part files up.
+    # FileStreamSource orders by modification time at millisecond
+    # granularity (ties are arbitrary), so stamp strictly increasing
+    # mtimes — one second apart per chunk — to pin micro-batch order.
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat, exist_ok=True)
+    import time as _time
+
+    t0 = _time.time() - 3600
+    k = 0
+    for i in range(len(chunks)):
+        src = os.path.join(base, f"chunk_{i:03d}")
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        for j, p in enumerate(parts):
+            dst = os.path.join(flat, f"{i:03d}_{j}.parquet")
+            shutil.copy(os.path.join(src, p), dst)
+            os.utime(dst, (t0 + k, t0 + k))
+            k += 1
+    return flat, schema
+
+
+def run_stream(
+    spark: SparkSession,
+    staged_dir: str,
+    schema,
+    transform,
+    query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """readStream over the staged chunks (1 file = 1 micro-batch) →
+    transform → memory sink, driven to completion with AvailableNow;
+    returns the collected result table. Deterministic: file order is
+    lexicographic, no wall-clock dependence."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged_dir)
+    )
+    out = transform(src)
+    ckpt = os.path.join(SCRATCH, "checkpoints", query_name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def events_chunks_by_time(
+    spark: SparkSession, sf_dir: str, boundaries: list[str]
+) -> list[DataFrame]:
+    """Split events on event-time boundaries → in-order chunks
+    (monotone watermark, no accidental late rows)."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    chunks = []
+    edges = (
+        [None] + [F.lit(b).cast("timestamp") for b in boundaries] + [None]
+    )
+    for i in range(len(edges) - 1):
+        c = ev
+        if edges[i] is not None:
+            c = c.filter(F.col("ts") >= edges[i])
+        if edges[i + 1] is not None:
+            c = c.filter(F.col("ts") < edges[i + 1])
+        chunks.append(c)
+    return chunks

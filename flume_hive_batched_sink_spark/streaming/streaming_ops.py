@@ -1,0 +1,315 @@
+"""B8 — Structured Streaming operators.
+
+Each query replays the `events` table through a file-source stream
+(deterministic micro-batches, stage.py) and returns the collected
+result — the batch-equivalence test strategy of SURVEY.md §5.3. The
+DuckDB oracles encode the *streaming* semantics: append-mode windowed
+aggregates emit exactly the windows whose end precedes the final
+watermark (global max event time − delay), and engineered late rows
+are dropped — so the streaming path itself is oracle-checked, not
+just smoke-tested.
+
+Reference parity: tumbling window counts ↔ A14/A15
+(TimedUtils.scala:44-137); watermark finalization ↔ A11's
+minFinishedTimestamp gate (HiveBatchedWriter.scala:60-63); dedup ↔
+A2's at-least-once replay hazard; foreachBatch landing ↔ the whole
+sink (A1-A24); observe() counters ↔ A16 (TimedSinkCounter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import SinkConfig
+from ..operators.pipeline import sql_logdate
+from ..operators.registry import query
+from .stage import SCRATCH, events_chunks_by_time, run_stream, stage_chunks
+
+_DELAY = "10 minutes"
+_CHUNK_BOUNDS = ["2024-01-11", "2024-01-21"]
+
+# final watermark in SQL: global max event time − 10 min
+_SQL_WM = "(SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events)"
+_SQL_BUCKET5 = (
+    "make_timestamp(((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 300)"
+    " * 300) * 1000000)"
+)
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, name: str):
+    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
+    return stage_chunks(name, chunks)
+
+
+@query(
+    "stream_tumbling_5min",
+    f"""
+    SELECT win_start, event_type, n FROM (
+      SELECT {_SQL_BUCKET5} AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ) t
+    WHERE win_start + INTERVAL 5 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/A15: per-category 5-minute tumbling counts, streaming
+    append mode. Emitted set = windows finalized by the final
+    watermark — exactly what the oracle states."""
+    staged, schema = _staged_events(spark, sf_dir, "tumb5")
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", _DELAY)
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("win_start"), "event_type", "n"
+            )
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_tumbling_5min")
+
+
+@query(
+    "stream_sliding",
+    f"""
+    SELECT win_start, n FROM (
+      SELECT win_start, COUNT(*) AS n FROM (
+        -- each event belongs to 2 overlapping 10-min windows: starts
+        -- on the 600s grid and the 600s grid shifted by 300s
+        SELECT make_timestamp((((CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                 AS BIGINT) - off.o) // 600) * 600 + off.o) * 1000000) AS win_start
+        FROM events, (SELECT unnest([0, 300]) AS o) off
+      ) assigned
+      GROUP BY win_start
+    ) t
+    WHERE win_start + INTERVAL 10 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5: each event lands in 2
+    windows (the oracle assigns both by offset arithmetic)."""
+    staged, schema = _staged_events(spark, sf_dir, "slide10")
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", _DELAY)
+            .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("win_start"), "n")
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_sliding")
+
+
+@query(
+    "stream_session",
+    f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM numbered
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user. The oracle is the
+    gap-islands formulation; emitted sessions are those closed by the
+    final watermark."""
+    staged, schema = _staged_events(spark, sf_dir, "sess30")
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", _DELAY)
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n",
+            )
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_session")
+
+
+@query(
+    "stream_watermark_late",
+    f"""
+    SELECT win_start, n FROM (
+      SELECT {_SQL_BUCKET5} AS win_start, COUNT(*) AS n
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
+      GROUP BY 1
+    ) t
+    WHERE win_start + INTERVAL 5 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's finalization gate, adversarially: day-1 rows are
+    *replayed out of order* as the third micro-batch, after two weeks
+    of data has advanced the watermark and their windows have been
+    finalized+evicted — so they are dropped
+    (numRowsDroppedByWatermark). The oracle excludes exactly those
+    rows and finalizes by the final watermark.
+
+    Note the semantics pinned by this construction: Spark only drops
+    a late row once its window has been *evicted* (emitted). A late
+    row whose window was never finalized still merges and emits —
+    that's why the replay must come at least one batch after the
+    watermark passed the windows (verified empirically; a 2-batch
+    version of this test emits the late windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    T = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    b1 = ev.filter((F.col("ts") >= T("2024-01-02")) & (F.col("ts") < T("2024-01-16")))
+    b2 = ev.filter((F.col("ts") >= T("2024-01-16")) & (F.col("ts") < T("2024-01-20")))
+    b3 = ev.filter(
+        (F.col("ts") < T("2024-01-02")) | (F.col("ts") >= T("2024-01-20"))
+    )
+    staged, schema = stage_chunks("wmlate", [b1, b2, b3])
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", _DELAY)
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("win_start"), "n")
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_watermark_late")
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's at-least-once replay fixed by keyed dedup: every event is
+    delivered twice (duplicated inside each chunk);
+    dropDuplicatesWithinWatermark collapses them to exactly-once."""
+    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
+    doubled = [c.unionAll(c) for c in chunks]
+    staged, schema = stage_chunks("dedup", doubled)
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type", "value")
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_dedup")
+
+
+@query(
+    "stream_foreach_batch_land",
+    f"""
+    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 3600)} AS logdate,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_foreach_batch_land(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire job as a streaming pipeline: micro-batch
+    → parse/route → partitioned parquet append → bookkeeping upsert →
+    completeness epilogue (land.py). Verified by reading the landed
+    table back and auditing per-partition counts against the raw
+    events — the reconciliation the reference's hive_sink_detail
+    table + DTE notification supported."""
+    from .land import run_landing_stream
+
+    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
+    staged, schema = stage_chunks("land", chunks)
+    cfg = SinkConfig(
+        table="events_landed_stream",
+        output_path=os.path.join(SCRATCH, "warehouse"),
+        round_unit="hour",
+        round_value=1,
+    )
+    completed: list[str] = []
+    run_landing_stream(
+        spark, staged, schema, cfg, on_complete=completed.extend
+    )
+    back = spark.read.parquet(
+        os.path.join(cfg.output_path, cfg.table)
+    )
+    return back.groupBy(
+        F.col(cfg.partition_col).cast("string").alias("logdate")
+    ).agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "stream_observe_counters",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase
+    FROM events
+    """,
+)
+def stream_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: the reference's JMX counters as `observe()` metrics —
+    per-micro-batch observed metrics summed across the run equal the
+    batch totals (counters are associative, exactly the property the
+    reference exploited with its 5-min maps)."""
+    staged, schema = _staged_events(spark, sf_dir, "obs")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    observed = src.observe(
+        "counters",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_uid"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchase"),
+    )
+    import shutil
+
+    ckpt = os.path.join(SCRATCH, "checkpoints", "observe_counters")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_events": 0, "sum_uid": 0, "n_purchase": 0}
+    for prog in q.recentProgress:
+        metrics = (prog.observedMetrics or {}).get("counters")
+        if metrics:
+            for k in totals:
+                totals[k] += metrics[k] or 0
+    return spark.createDataFrame(
+        [tuple(totals[k] for k in ("n_events", "sum_uid", "n_purchase"))],
+        "n_events bigint, sum_uid bigint, n_purchase bigint",
+    )

