@@ -81,16 +81,43 @@ def shingles(col: Column, n: int = SHINGLE) -> Column:
     )
 
 
+# affine permutation constants: 31-bit odd multipliers / 32-bit offsets,
+# so a*h + b over a 32-bit base hash stays within int64 (< 2^63) and
+# never trips Spark 4 ANSI overflow checks — no wraparound needed.
+_MH_A = [(0x9E3779B9 * (2 * i + 1)) % (1 << 31) | 1 for i in range(N_HASHES)]
+_MH_B = [(0xC2B2AE3D ^ (i * 0x27D4EB2F)) % (1 << 32) for i in range(N_HASHES)]
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """murmur3 each shingle ONCE — the base for all k permutations."""
+    return F.transform(sh, lambda s: F.hash(s).cast("bigint"))
+
+
 def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
-    """k minhashes: min over shingles of murmur3(seed_i ++ shingle).
-    Row-local; the signature is 16 ints replacing arbitrary-size text."""
+    """k minhashes via one base hash + k affine permutations:
+    minhash_i = min over shingles of (a_i·murmur3(s) + b_i), with
+    |a|<2^31 and |h|<2^31 so each product fits comfortably in int64.
+    This replaces k full string-hash passes with k integer
+    transforms: ~10× cheaper on long documents, which is what makes
+    signature computation viable over 100 TB of text.
+
+    NOTE: pass pre-hashed shingles through `minhash_from_hashes` when
+    composing in a plan, so the base hash is computed once per row
+    (Catalyst doesn't CSE across lambda boundaries)."""
+    return minhash_from_hashes(shingle_hashes(sh), n_hashes)
+
+
+def _perm(i: int):
+    # single-arg closure: a 2-arg lambda would be treated by
+    # F.transform as (element, index) and shadow the constants
+    a = F.lit(_MH_A[i]).cast("bigint")
+    b = F.lit(_MH_B[i]).cast("bigint")
+    return lambda h: a * h + b
+
+
+def minhash_from_hashes(hashes: Column, n_hashes: int = N_HASHES) -> Column:
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.hash(F.concat(F.lit(f"seed{i}:"), s)))
-            )
-            for i in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(hashes, _perm(i))) for i in range(n_hashes)]
     )
 
 
@@ -101,8 +128,8 @@ def minhash_bands(
     d = tbl(spark, sf_dir, "documents")
     rows_per_band = N_HASHES // n_bands
     sig = d.select(
-        "doc_id", minhash_signature(shingles(_norm_col())).alias("sig")
-    )
+        "doc_id", shingle_hashes(shingles(_norm_col())).alias("h")
+    ).select("doc_id", minhash_from_hashes(F.col("h")).alias("sig"))
     bands = sig.select(
         "doc_id",
         F.explode(
