@@ -71,7 +71,7 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: 8 aggregates over 2 grouping keys — one
     shuffle, partial aggregation map-side (what the reference
     hand-rolled in TimedUtils.scala:78-111)."""
-    li = tbl(spark, sf_dir, "lineitem")
+    li = tbl(spark, sf_dir, "lineitem", parallel=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

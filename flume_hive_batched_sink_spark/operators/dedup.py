@@ -121,15 +121,40 @@ def minhash_from_hashes(hashes: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
-def minhash_bands(
-    spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
+def minhash_sig_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, m0..m{k-1}) via explode + hash aggregate.
+
+    The higher-order array formulation (`minhash_signature`) evaluates
+    interpreted (HOFs are CodegenFallback); this explode→groupBy-min
+    form keeps every step — Generate, murmur3, k affine mins — inside
+    whole-stage codegen with map-side partial aggregation, so the
+    shuffle carries one combined row per (doc, map partition), not the
+    exploded shingles. Deliberately NO collect_set here: array-state
+    aggregates force ObjectHashAggregate (codegen off, heavy state);
+    exact verification instead recomputes shingle sets for only the
+    candidate docs (see ns_dedup_minhash).
+    """
+    exploded = (
+        docs.select("doc_id", F.explode(shingles(_norm_col())).alias("s"))
+        .withColumn("h", F.hash("s").cast("bigint"))
+        .drop("s")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.lit(_MH_A[i]).cast("bigint") * F.col("h")
+                + F.lit(_MH_B[i]).cast("bigint")
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands_from_sig(
+    sig: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(doc_id, band_id, band_hash) — LSH bucketing input."""
-    d = tbl(spark, sf_dir, "documents")
-    rows_per_band = N_HASHES // n_bands
-    sig = d.select(
-        "doc_id", shingle_hashes(shingles(_norm_col())).alias("h")
-    ).select("doc_id", minhash_from_hashes(F.col("h")).alias("sig"))
+    """(doc_id, band_id, band_hash) — LSH bucketing from wide sig."""
+    rows_per_band = n_hashes // n_bands
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -139,7 +164,7 @@ def minhash_bands(
                         F.lit(b).alias("band_id"),
                         F.hash(
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.col(f"m{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ]
                         ).alias("band_hash"),
@@ -152,19 +177,33 @@ def minhash_bands(
     return bands.select("doc_id", "band.band_id", "band.band_hash")
 
 
+def minhash_bands(
+    spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — LSH bucketing input."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    return minhash_bands_from_sig(minhash_sig_wide(d), n_bands)
+
+
 @query("ns_dedup_minhash")  # rows-only: murmur3 not reproducible in DuckDB
 def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs with exact-Jaccard
     verification (jaccard ≥ 0.5), deduplicated across bands.
 
-    Scale path: the only shuffles are (a) the self-join on
-    (band_id, band_hash) buckets and (b) the pair dedup — never an
-    all-pairs product. Verification re-joins the two docs' shingle
-    sets by doc_id (broadcast-able at dim size; keyed join at scale).
+    Scale path: the only shuffles are (a) the doc_id aggregate that
+    builds signatures, (b) the self-join on (band_id, band_hash)
+    buckets, (c) the pair dedup, and (d) the verify joins over ONLY
+    the candidate docs — never an all-pairs product, and the full
+    corpus is never materialized with array state. Both band sides
+    come from the same signature subplan (identical shuffle →
+    ReusedExchange). Exact-Jaccard verification semi-joins `documents`
+    down to candidate doc_ids (a tiny fraction of the corpus) and
+    recomputes their shingle sets — cheaper at 100 TB than carrying a
+    collect_set through the main aggregate.
     """
-    d = tbl(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles(_norm_col()).alias("sh"))
-    bands = minhash_bands(spark, sf_dir)
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    sig = minhash_sig_wide(d)
+    bands = minhash_bands_from_sig(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -178,6 +217,14 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    # no .distinct(): left_semi ignores duplicate build-side keys,
+    # and skipping it saves a shuffle
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    sh = d.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", shingles(_norm_col()).alias("sh")
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -200,7 +247,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes; candidate near-dups share all 4 16-bit bands except ≤1
     (pigeonhole for Hamming ≤ 16). Emits doc_id, simhash, and the 4
     band values (the join keys a full pipeline buckets on)."""
-    d = tbl(spark, sf_dir, "documents")
+    d = tbl(spark, sf_dir, "documents", parallel=True)
     toks = F.array_distinct(F.split(_norm_col(), " "))
     hashed = d.select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("h64")
@@ -273,7 +320,7 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.3. Every step is a keyed join — the shingle index is
     the scale lever (rare shingles → tiny buckets).
     """
-    d = tbl(spark, sf_dir, "documents")
+    d = tbl(spark, sf_dir, "documents", parallel=True)
     toksets = d.select(
         "doc_id", F.array_distinct(F.split(_norm_col(), " ")).alias("toks")
     )

@@ -84,7 +84,21 @@ def sql_davg(expr: str, alias: str) -> str:
 # --- shared table access ---
 
 
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def tbl(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Load a testdata table. `parallel=True` marks a scan feeding
+    CPU-heavy map-side work (parse/hash/fold per row): it repartitions
+    up to the core count when the scan yields fewer splits. The local
+    testdata is one row group per file, so without this every per-row
+    computation serializes onto one task; on a real cluster a 100 TB
+    scan yields thousands of splits and this guard never fires —
+    it is never a down-partitioning."""
     from ..catalog import load_table
 
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if parallel:
+        want = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < want:
+            df = df.repartition(want)
+    return df

@@ -90,7 +90,7 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probes are broadcast; each corpus partition scores locally; the
     per-query top-k is a window over query_id (k·|queries| rows after
     AQE, never the full n×m product materialized to the driver)."""
-    em = tbl(spark, sf_dir, "embeddings")
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
     norms = em.select(
         "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
     )
@@ -143,7 +143,7 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket; exact cosine only within buckets. Recall vs brute force
     is property-tested (tests/test_similarity.py). Scale: bucket id
     is the join/shuffle key; per-bucket work is |bucket|·|probes∩bucket|."""
-    em = tbl(spark, sf_dir, "embeddings")
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
     bucketed = em.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
@@ -204,7 +204,7 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs at oracle scale; at 100 TB the identical expression
     runs per-LSH-bucket (swap the join condition for bucket equality,
     as in ns_similarity_ann_lsh) — semantics unchanged."""
-    em = tbl(spark, sf_dir, "embeddings")
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
     norms = em.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     a = norms.select(
         F.col("vec_id").alias("vec_a"),
