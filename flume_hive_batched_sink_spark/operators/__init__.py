@@ -7,6 +7,7 @@ Importing this package registers every implemented query into
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     filters,
     joins,

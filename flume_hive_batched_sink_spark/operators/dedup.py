@@ -285,9 +285,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "ns_dedup_ngram_jaccard",
-    f"""
+_NGRAM_PAIRS_SQL = f"""
     WITH toksets AS (
       SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
       FROM documents
@@ -312,8 +310,10 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
           / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
           >= 0.3
-    """,
-)
+    """
+
+
+@query("ns_dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: inverted-index candidate
     generation (docs sharing a 5-token shingle) + exact token-set
@@ -348,3 +348,73 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query(
+    "ns_dedup_clusters",
+    f"""
+    WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+    bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE t(x, y) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
+      )
+      SELECT * FROM t
+    )
+    SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+    FROM reach GROUP BY x
+    """,
+)
+def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph (edges = ngram-Jaccard ≥ 0.3), cluster id =
+    min doc_id in the component — the canonical 'keep one per
+    cluster' step after pairwise dedup.
+
+    Iterative min-label propagation (the Pregel/GraphX pattern as
+    plain DataFrames): each round joins labels to the bidirectional
+    edge list, takes min(own, neighbors); convergence in ≤ graph
+    diameter rounds. `localCheckpoint` truncates lineage per round —
+    without it the plan doubles every iteration. Driver involvement
+    is one count() per round (the convergence test), never the data.
+    The DuckDB oracle is the same fixpoint via a recursive CTE."""
+    pairs = ns_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(30):  # cap ≫ any plausible dup-graph diameter
+        nbr_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.select("doc_id", "label")
+        if n_changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -148,6 +148,56 @@ def decode_features(
     )
 
 
+FRAME_BYTES = 32
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+@query(
+    "ns_multimodal_framesample",
+    f"""
+    SELECT doc_id, (i.i - 1) AS frame_idx,
+           sha256(substring(text, (i.i - 1) * {FRAME_BYTES} + 1,
+                            {FRAME_BYTES})) AS frame_sha
+    FROM documents, (SELECT unnest(range(1, 101)) AS i) i
+    WHERE (i.i - 1) * {FRAME_BYTES} < octet_length(encode(text))
+      AND (i.i - 1) % {FRAME_STRIDE} = 0
+    """,
+)
+def ns_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload (video stand-in):
+    chunk the byte stream into fixed 32-byte frames, keep every 2nd,
+    emit (doc_id, frame_idx, sha256(frame)).
+    Runs as `mapInPandas` — the Arrow-batched iterator shape a real
+    ffmpeg/PIL frame extractor plugs into; one output row per sampled
+    frame, constant memory per batch. The fixture payload is ASCII
+    text bytes, so the DuckDB oracle can express the same frames with
+    string substring + sha256."""
+    d = tbl(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                for k in range(0, len(data), FRAME_BYTES * FRAME_STRIDE):
+                    frame = data[k : k + FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(k // FRAME_BYTES)
+                    shas.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return with_payload.mapInPandas(
+        batches, schema="doc_id long, frame_idx long, frame_sha string"
+    )
+
+
 @query(
     "ns_multimodal_decode",
     """

@@ -189,3 +189,35 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("logdate").cast("string").alias("logdate")).agg(
         F.count("*").alias("n_rows")
     )
+
+
+@query(
+    "sink_orc_write",
+    f"""
+    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 3600)} AS logdate,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sink_orc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 in the reference's own storage format: the same partitioned
+    landing job writing ORC (HiveBatchedWriter.scala:28-32 creates
+    ORC writers), then a read-back audit. Spark's vectorized ORC
+    reader/writer make parquet↔orc a format flag — the plan, the
+    partition routing, and the commit protocol are identical."""
+    ev = tbl(spark, sf_dir, "events")
+    routed = ev.withColumn("logdate", derive_logdate("ts", 3600))
+    out = os.path.join(SCRATCH, "sink_orc_write")
+    (
+        routed.repartition("logdate")
+        .write.mode("overwrite")
+        .partitionBy("logdate")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return back.groupBy(F.col("logdate").cast("string").alias("logdate")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
