@@ -309,3 +309,147 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
         F.count("*").alias("n_customers"),
     )
+
+
+# ---------- batch sessionization (gaps-and-islands) ----------
+
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "sessionize",
+    f"""
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                       > {_SESSION_GAP_S}
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, 30-min inactivity gap (the batch twin of
+    streaming's `session_window`, B8 `stream_session`): classic
+    gaps-and-islands — lag() marks session starts, a running sum
+    numbers them, one aggregate per (user, session). Two window
+    passes + one aggregate over a single shuffle by user_id (the
+    window and the groupBy share the partitioning, so Catalyst reuses
+    the exchange). Ordering ties broken by event_id ⇒ deterministic."""
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("double")
+        - F.lag(F.col("ts")).over(w).cast("double")
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            gap > _SESSION_GAP_S, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    numbered = marked.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------- RANGE window frame ----------
+
+
+@query(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           COUNT(*) OVER w AS n_in_band,
+           SUM(o_orderkey) OVER w AS keysum_in_band
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, peers included — vs the row-counted
+    ROWS frame of win_running_frame): all orders within 1000 price
+    units below the current row. Aggregates over the frame are exact
+    integers, so frame-membership equality is the only thing the
+    oracle can disagree on — and the boundary arithmetic
+    (o_totalprice - 1000) is exact double math in both engines."""
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum("o_orderkey").over(w).alias("keysum_in_band"),
+    )
+
+
+# ---------- misc scalar functions: edit distance, bits, encodings ----------
+
+
+@query(
+    "f_misc",
+    """
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS edit_dist,
+           translate(p_name, 'aeiou', '.....') AS devoweled,
+           lower(hex(encode(p_brand))) AS brand_hex,
+           base64(encode(p_name)) AS name_b64,
+           xor(p_partkey, CAST(p_size AS BIGINT)) AS key_xor_size,
+           p_partkey & 255 AS key_low_byte,
+           p_partkey << 2 AS key_shl2,
+           p_partkey >> 1 AS key_shr1
+    FROM part
+    """,
+)
+def f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance, translate, hex/base64 encodings, and bitwise
+    ops — row-local codegen'd expressions (levenshtein bounds the
+    per-row cost at O(|a|·|b|); everything else is O(len))."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("edit_dist"),
+        F.translate("p_name", "aeiou", ".....").alias("devoweled"),
+        F.lower(F.hex(F.encode(F.col("p_brand"), "utf-8"))).alias("brand_hex"),
+        F.base64(F.encode(F.col("p_name"), "utf-8")).alias("name_b64"),
+        F.col("p_partkey")
+        .bitwiseXOR(F.col("p_size").cast("bigint"))
+        .alias("key_xor_size"),
+        F.col("p_partkey").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        F.shiftleft(F.col("p_partkey"), 2).alias("key_shl2"),
+        F.shiftright(F.col("p_partkey"), 1).alias("key_shr1"),
+    )

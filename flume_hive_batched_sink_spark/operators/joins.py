@@ -269,3 +269,54 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_ord.o_orderdate").alias("asof_orderdate"),
         )
     )
+
+
+@query(
+    "join_bucketed",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: both sides pre-bucketed by the join
+    key into the same bucket count, so the join plan has NO Exchange
+    on either side — the bucket files line up one-to-one (a cheap
+    in-task sort remains; Spark does not exploit sortBy metadata
+    across files). At 100 TB this is the lever for fact tables
+    repeatedly joined on the same key: pay the shuffle once at write
+    time, never again at read time. Results are identical to the
+    plain join (bucketing is purely physical), which is what the
+    oracle checks."""
+    import os
+
+    from .scans import SCRATCH
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for name, df, key in (
+        ("b_orders", o, "o_custkey"),
+        ("b_customer", c, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # repartition by the bucket key first: one file per bucket,
+            # so the reader's per-bucket sort order is global and SMJ
+            # needs no Sort either
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .option("path", os.path.join(SCRATCH, "bucketed", name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    # merge hint: at test scale the planner would broadcast the small
+    # side (disabling bucketed scans); force SMJ to exercise the
+    # zero-Exchange zero-Sort bucket path the 100 TB case relies on
+    return bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name"
+    )
