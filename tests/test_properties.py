@@ -166,3 +166,50 @@ def test_flagship_entry_smoke(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 70
+
+
+def test_dedup_clusters_are_consistent(spark):
+    """Cluster labels must be transitive-closed: both endpoints of
+    every near-dup edge carry the same cluster id, and the id is the
+    min doc_id of its cluster."""
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["ns_dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["ns_dedup_clusters"](spark, SF_SMALL).collect()
+    }
+    for a, b in edges:
+        assert labels[a] == labels[b], (a, b, labels[a], labels[b])
+    members = {}
+    for doc, lab in labels.items():
+        members.setdefault(lab, []).append(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs), (lab, min(docs))
+
+
+def test_sample_hash_deterministic(spark):
+    """The md5-prefix sample must be identical across runs and
+    partitionings (the property df.sample does not have)."""
+    a = {r.o_orderkey for r in QUERIES["sample_hash"](spark, SF_SMALL).collect()}
+    b = {r.o_orderkey for r in QUERIES["sample_hash"](spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of join_bucketed: zero Exchange in the plan."""
+    df = QUERIES["join_bucketed"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_pruned_scan_pushes_filters(spark):
+    """scan_pruned must reach the parquet reader with pushed filters
+    and a pruned read schema."""
+    df = QUERIES["scan_pruned"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to scan"
