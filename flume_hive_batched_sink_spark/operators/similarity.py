@@ -225,3 +225,76 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.95)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@query("ns_similarity_ann_ivf")  # rows-only: approximate by design
+def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via IVF (inverted-file index): coarse-quantize every
+    vector to its nearest centroid cell, then search only the probe's
+    best `nprobe=2` cells. Centroids are a deterministic subset of
+    the corpus (vec_id % 50 == 0) — no training step, no RNG, stable
+    across runs/retries.
+
+    Scale path: centroid list is tiny and broadcast everywhere; cell
+    assignment is a single broadcast-join projection over the corpus
+    (one pass, no shuffle); the search is a keyed join on cell_id, so
+    per-probe work is |cell| · nprobe instead of |corpus|. This is
+    the same partition-pruning shape an IVF index gives FAISS, done
+    with joins."""
+    em = tbl(spark, sf_dir, "embeddings")
+    cent = em.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def dot(a: Column, b: Column) -> Column:
+        # double dot for cell assignment (ranking only, never output)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # nearest cell per corpus vector (ties → smallest cent_id)
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
+    assigned = (
+        em.join(F.broadcast(cent))
+        .withColumn("cdot", dot(F.col("embedding"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+    )
+    norms = assigned.select(
+        "vec_id", "cell_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    # probes search their top-2 cells
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("cdot"), "cent_id")
+    probe_cells = (
+        em.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .join(F.broadcast(cent))
+        .withColumn("cdot", dot(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell_id"))
+    )
+    q_norms = probe_cells.join(
+        norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("q_nrm")),
+        "query_id",
+    )
+    cand = q_norms.join(norms, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot_dec(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )

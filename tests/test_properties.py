@@ -213,3 +213,17 @@ def test_pruned_scan_pushes_filters(spark):
     assert "PushedFilters: [" in plan, plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert pushed.strip(), "no filters pushed to scan"
+
+
+def test_ann_ivf_produces_ranked_candidates(spark):
+    """IVF ANN must produce ≤3 ranked neighbors per probe from its
+    nprobe cells, all with valid cosine values."""
+    rows = QUERIES["ns_similarity_ann_ivf"](spark, SF_SMALL).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    assert len(per_q) == 5, sorted(per_q)
+    for q, cosines in per_q.items():
+        assert len(cosines) <= 3
+        assert cosines == sorted(cosines, reverse=True), (q, cosines)
+        assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines), (q, cosines)
