@@ -202,7 +202,14 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set through the main aggregate.
     """
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    sig = minhash_sig_wide(d)
+    # persist: the signature table feeds both self-join sides and the
+    # band derivation, and the candidate list is consumed three times
+    # (verify join + both sides of the id union) — without persistence
+    # Spark re-derives the whole upstream per consumer (measured: 12
+    # scans / 30 aggregates in the unpersisted plan). At 100 TB this
+    # is the in-memory analog of checkpointing signatures to storage
+    # before the LSH join, which any production near-dup pass does.
+    sig = minhash_sig_wide(d).persist()
     bands = minhash_bands_from_sig(sig)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -217,6 +224,7 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
     # no .distinct(): left_semi ignores duplicate build-side keys,
     # and skipping it saves a shuffle
