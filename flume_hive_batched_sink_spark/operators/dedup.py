@@ -393,36 +393,58 @@ def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one count() per round (the convergence test), never the data.
     The DuckDB oracle is the same fixpoint via a recursive CTE."""
     pairs = ns_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    # persist: every propagation round joins the edge list — without
+    # it the whole ngram-Jaccard pipeline would re-run per iteration
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(30):  # cap ≫ any plausible dup-graph diameter
-        nbr_min = (
-            labels.join(edges, labels.doc_id == edges.src)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                    "changed"
-                ),
+    # Size the per-round shuffles to the PAIR GRAPH, not the corpus:
+    # after banding/verification the edge list is orders of magnitude
+    # smaller than the input, and each propagation round is 2 joins +
+    # 1 aggregate + 1 count, so per-round fixed cost scales with the
+    # shuffle partition count. ~100k edges per partition; restored
+    # after the loop (the final labels are already materialized).
+    n_edges = edges.count()
+    loop_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                            n_edges // 100_000 + 1))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(30):  # cap ≫ any plausible dup-graph diameter
+            nbr_min = (
+                labels.join(edges, labels.doc_id == edges.src)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = updated.filter("changed").count()
-        labels = updated.select("doc_id", "label")
-        if n_changed == 0:
-            break
+            updated = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                        "changed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_changed = updated.filter("changed").count()
+            labels = updated.select("doc_id", "label")
+            if n_changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
