@@ -221,3 +221,70 @@ def sink_orc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+_SQL_BOTH_DIALECTS = """
+SELECT n.n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING COUNT(*) > 1
+"""
+
+
+@query("sql_interface", _SQL_BOTH_DIALECTS)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the catalog registers every table as
+    a temp view and the IDENTICAL SQL text runs on both Spark and the
+    DuckDB oracle (the query sticks to the common ANSI subset).
+    Catalyst plans it exactly like the DataFrame formulation — same
+    broadcasts, same two-phase aggregate."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_SQL_BOTH_DIALECTS)
+
+
+@query(
+    "ingest_bad_records",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+           SUM(CASE WHEN event_id % 10 = 0 THEN 0
+                    ELSE CAST(json_extract_string(props, '$.k') AS INT)
+               END) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ingest_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness (the reference's serde could throw
+    mid-batch and roll back the whole transaction,
+    HiveBatchedSink.scala:348-357; the Spark path degrades per-row
+    instead): every 10th event's props is mangled into invalid JSON;
+    `from_json` yields NULL for those rows (PERMISSIVE semantics), and
+    the audit counts corrupt rows per category — no exception, no
+    batch rollback, bad rows quarantined by predicate."""
+    ev = tbl(spark, sf_dir, "events")
+    mangled = ev.withColumn(
+        "props_dirty",
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(F.lit("NOT_JSON<"), F.col("props")),
+        ).otherwise(F.col("props")),
+    )
+    # PERMISSIVE from_json yields a struct with NULL fields (not a
+    # NULL struct) on malformed input — detect corruption on the field
+    parsed = mangled.withColumn(
+        "parsed", F.from_json("props_dirty", "k int")
+    ).withColumn("is_corrupt", F.col("parsed.k").isNull())
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("is_corrupt"), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(F.col("is_corrupt"), 0).otherwise(F.col("parsed.k"))).alias(
+            "sum_k"
+        ),
+    )
