@@ -246,3 +246,21 @@ def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("name", "logdate", "hostname", "receivecount", "sinkcount", "updatetime")
     )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch-based by design
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group via the KLL-style sketch
+    (`approx_percentile`, relative error 1/accuracy). The sketch
+    aggregate is mergeable — partial sketches combine map-side
+    exactly like partial sums, which is why it scales where exact
+    `percentile` (full sort state per group) does not. Error bound vs
+    the exact percentile is property-tested."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            F.col("l_orderkey"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(1000),
+        ).alias("approx_pcts")
+    )

@@ -219,3 +219,41 @@ def f_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("user_id") % 2 == 0, F.col("user_id")), F.lit(-1)
         ).alias("even_uid_filled"),
     )
+
+
+@query(
+    "f_struct",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price_field,
+           upper(o_orderstatus) AS status_field,
+           concat(o_orderpriority, ':', CAST(o_custkey AS VARCHAR)) AS packed
+    FROM orders
+    """,
+)
+def f_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct mechanics: build a struct column with
+    named_struct, nest it inside another struct, then project fields
+    back out (the oracle sees only the flattened scalars — structs
+    are Spark-side plumbing). Catalyst collapses the build/extract
+    round trip, so this costs nothing at any scale."""
+    o = tbl(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.upper("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_orderpriority").alias("pri"),
+                F.col("o_custkey").alias("cust"),
+            ).alias("inner"),
+        ).alias("s"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("s.price").cast("double").alias("price_field"),
+        F.col("s.status").alias("status_field"),
+        F.concat(
+            F.col("s.inner.pri"), F.lit(":"), F.col("s.inner.cust").cast("string")
+        ).alias("packed"),
+    )

@@ -227,3 +227,20 @@ def test_ann_ivf_produces_ranked_candidates(spark):
         assert len(cosines) <= 3
         assert cosines == sorted(cosines, reverse=True), (q, cosines)
         assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines), (q, cosines)
+
+
+def test_approx_percentile_error_bound(spark):
+    """Sketch percentiles must be within rank error of the exact ones
+    (accuracy=1000 → ~0.1% rank error; allow generous slack)."""
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in QUERIES["agg_percentile"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_pcts
+        for r in QUERIES["agg_approx_percentile"](spark, SF_SMALL).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, ex in exact.items():
+        for e, a in zip(ex, approx[flag]):
+            assert abs(e - a) <= max(100.0, 0.05 * abs(e)), (flag, e, a)
