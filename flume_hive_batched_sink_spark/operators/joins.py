@@ -74,8 +74,10 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact ⋈ 4 dims → grouped revenue. Dims are
     broadcast (customer included — it is 1.5% of lineitem), so the
     fact table is scanned once with zero shuffles before the final
-    aggregation."""
-    l = tbl(spark, sf_dir, "lineitem")
+    aggregation. (`parallel=True` only spreads the probe work when
+    the local scan yields fewer splits than cores — a no-op on a real
+    layout, so the zero-shuffle property holds at scale.)"""
+    l = tbl(spark, sf_dir, "lineitem", parallel=True)
     o = tbl(spark, sf_dir, "orders")
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
