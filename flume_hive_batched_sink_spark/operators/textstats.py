@@ -321,3 +321,70 @@ def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "term", "tf", "df", "score")
     )
+
+
+@query(
+    "ns_text_scrub",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<NUM>', 'g'),
+                               ' +', ' ', 'g')) AS scrubbed,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def ns_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing pass (the PII-redaction shape every training-data
+    pipeline runs): lowercase, digit-runs → <NUM> sentinel, whitespace
+    collapse, plus a redaction count for auditing. Row-local regex —
+    zero shuffle, scales linearly; swap patterns for real PII regexes
+    (emails, phones, SSNs) without touching the plan."""
+    d = tbl(spark, sf_dir, "documents")
+    scrubbed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[0-9]+", "<NUM>"),
+            r" +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+"))
+        .cast("bigint")
+        .alias("n_redactions"),
+    )
+
+
+# per-language keep rates for the stratified sample (a real pipeline
+# balances language mix this way: downsample the dominant language)
+_STRATA_RATES = {"en": "28", "es": "56", "de": "56", "fr": "56", "zh": "84"}
+
+
+@query(
+    "ns_sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE lang
+            {' '.join(f"WHEN '{lg}' THEN '{th}'" for lg, th in _STRATA_RATES.items())}
+            ELSE '00' END
+    """,
+)
+def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates via
+    an md5-prefix threshold (en ~16%, zh ~52% — rebalancing the
+    language mix). Same reproducibility properties as `sample_hash`
+    (partition- and retry-independent), still a pure row-local filter
+    pushed into the scan: sampling 100 TB costs one pass, no shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    threshold = F.lit("00")
+    expr = None
+    for lg, th in _STRATA_RATES.items():
+        cond = F.col("lang") == lg
+        expr = F.when(cond, th) if expr is None else expr.when(cond, th)
+    threshold = expr.otherwise("00")
+    return d.select("doc_id", "lang").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= threshold
+    )
