@@ -264,3 +264,34 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000),
         ).alias("approx_pcts")
     )
+
+
+@query(
+    "agg_mode",
+    """
+    SELECT user_cohort, event_type AS mode_event_type, n FROM (
+      SELECT user_id % 20 AS user_cohort, event_type, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY user_id % 20
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events
+      GROUP BY user_id % 20, event_type
+    ) t
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value per group): count per
+    (group, value), then rank with an alphabetical tiebreak — unlike
+    the builtin `mode()`, ties resolve identically everywhere. Two
+    hash shuffles (count, then rank by group); both partial-aggregate
+    map-side."""
+    ev = tbl(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 20).alias("user_cohort"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_cohort").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_cohort", F.col("event_type").alias("mode_event_type"), "n")
+    )
