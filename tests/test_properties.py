@@ -244,3 +244,11 @@ def test_approx_percentile_error_bound(spark):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(e - a) <= max(100.0, 0.05 * abs(e)), (flag, e, a)
+
+
+def test_topk_plans_take_ordered(spark):
+    """Global top-N must plan as TakeOrderedAndProject (per-partition
+    top-N + bounded driver merge), never a full sort."""
+    df = QUERIES["sort_limit_topk"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
