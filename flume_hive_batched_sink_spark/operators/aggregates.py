@@ -295,3 +295,42 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_cohort", F.col("event_type").alias("mode_event_type"), "n")
     )
+
+
+@query(
+    "agg_skew_salted",
+    """
+    SELECT skew_key, n, total FROM (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                  ELSE CAST(user_id % 100 AS BIGINT) END AS skew_key,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY 1
+    ) t
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for a skewed group key (half the
+    rows share key 0): phase 1 aggregates by (key, salt) — the hot
+    key's state spreads over 8 reducers — phase 2 merges the 8
+    partials. Catalyst's map-side partial aggregation already bounds
+    per-reducer input to one row per upstream partition, so salting
+    GROUP BY matters when per-key STATE is large (collect/distinct
+    states), not for plain sums; the pattern is shown on exact sums
+    so the oracle can verify re-aggregation correctness bit-for-bit."""
+    ev = tbl(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0).cast("bigint"))
+        .otherwise((F.col("user_id") % 100).cast("bigint"))
+        .alias("skew_key"),
+        (F.col("event_id") % 8).cast("int").alias("salt"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+    )
+    partial = keyed.groupBy("skew_key", "salt").agg(
+        F.count("*").alias("pn"), F.sum("v").alias("pv")
+    )
+    return partial.groupBy("skew_key").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total"),
+    )

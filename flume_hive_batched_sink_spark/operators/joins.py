@@ -322,3 +322,58 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name"
     )
+
+
+_N_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    """
+    SELECT f.event_id, f.skew_key, d.dim_label
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN 0
+                  ELSE CAST(user_id % 100 AS BIGINT) END AS skew_key
+      FROM events
+    ) f
+    JOIN (
+      SELECT CAST(c_custkey % 100 AS BIGINT) AS dim_key,
+             concat('seg', CAST(MIN(c_custkey) AS VARCHAR)) AS dim_label
+      FROM customer
+      GROUP BY c_custkey % 100
+    ) d ON f.skew_key = d.dim_key
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: half the fact rows share ONE key
+    (event_id%2=0 → key 0), so a plain hash join would send 50% of
+    the data to one reducer. Salting appends `salt = event_id %
+    N_SALT` to the fact side and explodes the dim side ×N_SALT, so
+    the hot key spreads over N_SALT reducers; results are identical
+    to the plain join (what the oracle checks). This is the MANUAL
+    lever — AQE's skewJoin handles residual skew automatically, but
+    salting is the deterministic answer when one key dominates by
+    orders of magnitude (the word-frequency reality of 100 TB of
+    text). Dims small enough to broadcast don't need either; this
+    pattern is for shuffle joins of two big sides."""
+    ev = tbl(spark, sf_dir, "events")
+    c = tbl(spark, sf_dir, "customer")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0).cast("bigint"))
+        .otherwise((F.col("user_id") % 100).cast("bigint"))
+        .alias("skew_key"),
+    ).withColumn("salt", (F.col("event_id") % _N_SALT).cast("int"))
+    dim = c.groupBy(
+        (F.col("c_custkey") % 100).cast("bigint").alias("skew_key")
+    ).agg(
+        F.concat(F.lit("seg"), F.min("c_custkey").cast("string")).alias(
+            "dim_label"
+        )
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALT)]))
+    )
+    joined = fact.join(dim_salted, ["skew_key", "salt"])
+    return joined.select("event_id", "skew_key", "dim_label")

@@ -288,3 +288,35 @@ def ingest_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_k"
         ),
     )
+
+
+@query(
+    "sink_table_partitions",
+    f"""
+    SELECT DISTINCT concat('logdate=', {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)})
+      AS partition_spec
+    FROM events
+    """,
+)
+def sink_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — automatic partition registration
+    (AddPartitionCallback.scala:25-34 + HiveUtils.scala:42-69): a
+    partitioned `saveAsTable` registers every partition in the
+    session catalog as part of the commit, and SHOW PARTITIONS reads
+    them back — the metastore add_partition RPC collapsed into the
+    write protocol. Daily buckets; the audit returns the registered
+    partition specs (`k=v` strings, A13's format)."""
+    ev = tbl(spark, sf_dir, "events")
+    routed = ev.withColumn("logdate", derive_logdate("ts", 86400))
+    spark.sql("DROP TABLE IF EXISTS events_registered")
+    (
+        routed.repartition("logdate")
+        .write.mode("overwrite")
+        .option("path", os.path.join(SCRATCH, "events_registered"))
+        .partitionBy("logdate")
+        .format("parquet")
+        .saveAsTable("events_registered")
+    )
+    return spark.sql("SHOW PARTITIONS events_registered").select(
+        F.col("partition").alias("partition_spec")
+    )
