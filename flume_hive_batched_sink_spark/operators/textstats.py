@@ -388,3 +388,60 @@ def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang").filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= threshold
     )
+
+
+_PACK_BIN_TOKENS = 512
+
+
+@query(
+    "ns_pack_sequences",
+    f"""
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor(
+               (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_tokens)
+               / {_PACK_BIN_TOKENS}) AS BIGINT) AS bin_id
+      FROM (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ) tok
+    ) binned
+    GROUP BY source, bin_id
+    """,
+)
+def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the training-data step that concatenates
+    documents into fixed-token-budget bins): deterministic streaming
+    assignment — docs ordered by id within each source, bin_id =
+    floor(tokens-before-this-doc / 512). One window + one aggregate,
+    both keyed by source, sharing a single shuffle. (Greedy best-fit
+    packs tighter but is inherently sequential; the offset-bin rule
+    is order-stable, parallel, and reproducible across retries — the
+    properties that matter when packing 100 TB.)"""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        "doc_id",
+        F.size(_TOKENS(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = tok.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / _PACK_BIN_TOKENS
+        ).cast("bigint"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
