@@ -453,3 +453,36 @@ def f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("p_partkey"), 2).alias("key_shl2"),
         F.shiftright(F.col("p_partkey"), 1).alias("key_shr1"),
     )
+
+
+# ---------- histogram ----------
+
+_HIST_WIDTH = 50_000.0
+_HIST_MAX_BUCKET = 9
+
+
+@query(
+    "agg_histogram",
+    f"""
+    SELECT o_orderstatus,
+           CAST(least(floor(o_totalprice / {_HIST_WIDTH}),
+                      {_HIST_MAX_BUCKET}) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group: bucket = floor(price / 50k),
+    clamped to a last overflow bucket. Bucketing is row-local exact
+    IEEE arithmetic (identical in both engines); the count is one
+    hash aggregate — the histogram of 100 TB costs the same single
+    shuffle as any grouped count."""
+    o = tbl(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH),
+        F.lit(_HIST_MAX_BUCKET),
+    ).cast("bigint")
+    return o.groupBy(
+        "o_orderstatus", bucket.alias("bucket")
+    ).agg(F.count("*").alias("n"))
