@@ -36,7 +36,7 @@ class SinkConfig:
     # README.md:28 + BucketPath escaping, HiveBatchedSink.scala:311-315).
     partition_col: str = "logdate"
     partition_format: str = "yyyyMMddHHmm"
-    round_unit: str = "minute"  # second | minute | hour
+    round_unit: str = "minute"  # second | minute | hour | day
     round_value: int = 5
     timezone: str = "UTC"
     # serde: named parser from sources.parse registry (↔ Config.scala:32
@@ -58,5 +58,7 @@ class SinkConfig:
     @property
     def round_seconds(self) -> int:
         """Bucket width in seconds (CommonUtils.scala:35-40 ms math)."""
-        unit = {"second": 1, "minute": 60, "hour": 3600}[self.round_unit]
+        unit = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+            self.round_unit
+        ]
         return unit * self.round_value

@@ -257,12 +257,21 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` (full sort state per group) does not. Error bound vs
     the exact percentile is property-tested."""
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            F.col("l_orderkey"),
-            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-            F.lit(1000),
-        ).alias("approx_pcts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                F.col("l_orderkey"),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(1000),
+            ).alias("_pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pcts")[0].alias("approx_p25"),
+            F.col("_pcts")[1].alias("approx_p50"),
+            F.col("_pcts")[2].alias("approx_p75"),
+        )
     )
 
 

@@ -105,7 +105,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     """
     SELECT l_returnflag,
-           quantile_cont(l_orderkey, [0.25, 0.5, 0.75]) AS pcts,
+           quantile_cont(l_orderkey, 0.25) AS p25,
+           quantile_cont(l_orderkey, 0.5) AS p50,
+           quantile_cont(l_orderkey, 0.75) AS p75,
            quantile_cont(l_orderkey, 0.5) AS median_key
     FROM lineitem
     GROUP BY l_returnflag
@@ -116,14 +118,26 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; bigint inputs ⇒ exact doubles). Spark's exact
     `percentile` sorts within the aggregate state; the approximate
     scale path is `approx_percentile` (see agg_approx_distinct for
-    the sketch-aggregate pattern)."""
+    the sketch-aggregate pattern). Scalar output columns (p25/p50/
+    p75), not array — array cells are unhashable downstream."""
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(
-            F.col("l_orderkey"),
-            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-        ).alias("pcts"),
-        F.percentile(F.col("l_orderkey"), F.lit(0.5)).alias("median_key"),
+    pcts = F.percentile(
+        F.col("l_orderkey"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("_pcts"),
+            F.percentile(F.col("l_orderkey"), F.lit(0.5)).alias("median_key"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pcts")[0].alias("p25"),
+            F.col("_pcts")[1].alias("p50"),
+            F.col("_pcts")[2].alias("p75"),
+            "median_key",
+        )
     )
 
 
@@ -178,7 +192,7 @@ def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     return d.select(
         "doc_id", F.posexplode(F.slice(toks, 1, 5)).alias("pos", "token")
-    )
+    ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
 # ---------- distribution window functions ----------
@@ -206,7 +220,7 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
@@ -293,7 +307,8 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     """
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+             AS segments,
            COUNT(*) AS n_customers
     FROM customer
     GROUP BY c_nationkey
@@ -301,12 +316,15 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array per group (sorted ⇒ deterministic
-    array value). Bounded-cardinality column only — collecting an
+    value), joined to one CSV string so the output is hash-stable
+    scalar columns. Bounded-cardinality column only — collecting an
     unbounded column into array state is the anti-pattern
     minhash_sig_wide's docstring explains."""
     c = tbl(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
         F.count("*").alias("n_customers"),
     )
 
@@ -331,14 +349,16 @@ _SESSION_GAP_S = 1800
     ),
     numbered AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS session_idx
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+               AS session_idx
       FROM marked
     )
     SELECT user_id, session_idx,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
            COUNT(*) AS n_events
     FROM numbered
     GROUP BY user_id, session_idx
@@ -351,7 +371,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers them, one aggregate per (user, session). Two window
     passes + one aggregate over a single shuffle by user_id (the
     window and the groupBy share the partitioning, so Catalyst reuses
-    the exchange). Ordering ties broken by event_id ⇒ deterministic."""
+    the exchange). Ordering ties broken by event_id ⇒ deterministic.
+    Session bounds are emitted as epoch-microsecond bigints — exact
+    integers on both engines, immune to timestamp-unit canon drift."""
     ev = tbl(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (
@@ -375,8 +397,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return numbered.groupBy("user_id", "session_idx").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
         F.count("*").alias("n_events"),
     )
 
@@ -387,31 +409,38 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_range_frame",
     """
-    SELECT o_orderkey, o_orderpriority, o_totalprice,
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
            COUNT(*) OVER w AS n_in_band,
-           SUM(o_orderkey) OVER w AS keysum_in_band
+           CAST(SUM(o_orderkey) OVER w AS BIGINT) AS keysum_in_band
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                 RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, peers included — vs the row-counted
     ROWS frame of win_running_frame): all orders within 1000 price
-    units below the current row. Aggregates over the frame are exact
-    integers, so frame-membership equality is the only thing the
-    oracle can disagree on — and the boundary arithmetic
-    (o_totalprice - 1000) is exact double math in both engines."""
+    units below the current row. The frame is keyed on integer cents
+    (round(price*100) as bigint) so frame-membership comparisons are
+    exact int64 math in both engines — a double-keyed RANGE frame's
+    `current - 1000` boundary can disagree across engines at the ULP
+    level, which flips membership for rows sitting on the boundary."""
     o = tbl(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    priced = o.select(
+        "o_orderkey", "o_orderpriority", cents.alias("price_cents")
+    )
     w = (
         W.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice")
-        .rangeBetween(-1000, W.currentRow)
+        .orderBy("price_cents")
+        .rangeBetween(-100000, W.currentRow)
     )
-    return o.select(
+    return priced.select(
         "o_orderkey",
         "o_orderpriority",
-        "o_totalprice",
+        "price_cents",
         F.count("*").over(w).alias("n_in_band"),
         F.sum("o_orderkey").over(w).alias("keysum_in_band"),
     )
@@ -442,7 +471,7 @@ def f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = tbl(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.levenshtein("p_brand", "p_type").alias("edit_dist"),
+        F.levenshtein("p_brand", "p_type").cast("bigint").alias("edit_dist"),
         F.translate("p_name", "aeiou", ".....").alias("devoweled"),
         F.lower(F.hex(F.encode(F.col("p_brand"), "utf-8"))).alias("brand_hex"),
         F.base64(F.encode(F.col("p_name"), "utf-8")).alias("name_b64"),

@@ -257,27 +257,27 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band values (the join keys a full pipeline buckets on)."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
     toks = F.array_distinct(F.split(_norm_col(), " "))
-    hashed = d.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("h64")
+    # explode → hash once per token → ONE groupBy(doc_id) holding all
+    # 64 bit votes as codegen'd conditional sums (whole-stage codegen
+    # + map-side partial agg) — vs 64 interpreted `F.aggregate` HOF
+    # passes per row (CodegenFallback, ~10× slower), the same
+    # explode/groupBy shape minhash_sig_wide uses. `split` always
+    # yields ≥1 token (even for empty text), so explode drops no docs.
+    hashed = d.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
     )
-    # bit b of the signature: majority vote of bit b over token hashes
+    one = F.lit(1).cast("bigint")
+
     def bit_vote(b: int):
-        vote = F.aggregate(
-            F.col("h64"),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint")) == 1,
-                1,
-            ).otherwise(-1),
-        )
+        is_set = F.shiftrightunsigned(F.col("h"), b).bitwiseAND(one) == 1
+        vote = F.sum(F.when(is_set, 1).otherwise(-1))
         return (
             F.when(vote > 0, F.lit(1).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint"))
             .alias(f"bit{b}")
         )
 
-    sig = hashed.select("doc_id", *[bit_vote(b) for b in range(64)])
+    sig = hashed.groupBy("doc_id").agg(*[bit_vote(b) for b in range(64)])
     # reassemble: shiftleft(bit, 63) wraps to the sign bit (two's
     # complement), which is exactly the int64 we want
     simhash = None

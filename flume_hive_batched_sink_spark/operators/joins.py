@@ -71,12 +71,13 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: fact ⋈ 4 dims → grouped revenue. Dims are
-    broadcast (customer included — it is 1.5% of lineitem), so the
-    fact table is scanned once with zero shuffles before the final
-    aggregation. (`parallel=True` only spreads the probe work when
-    the local scan yields fewer splits than cores — a no-op on a real
-    layout, so the zero-shuffle property holds at scale.)"""
+    """TPC-H Q5 shape: fact ⋈ 4 dims → grouped revenue. The truly
+    tiny dims (nation 25 rows, region 5) carry broadcast hints;
+    customer is left to the planner/AQE — at small SF it broadcasts
+    anyway, at 100 TB customer is tens of GB and a forced broadcast
+    would OOM, so AQE correctly falls back to a shuffled join there.
+    (`parallel=True` only spreads the probe work when the local scan
+    yields fewer splits than cores — a no-op on a real layout.)"""
     l = tbl(spark, sf_dir, "lineitem", parallel=True)
     o = tbl(spark, sf_dir, "orders")
     c = tbl(spark, sf_dir, "customer")
@@ -84,7 +85,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = tbl(spark, sf_dir, "region")
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )

@@ -75,7 +75,11 @@ def ns_multimodal_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = tbl(spark, sf_dir, "embeddings")
     exploded = em.select(
         "label", F.posexplode("embedding").alias("pos", "e_raw")
-    ).select("label", "pos", F.col("e_raw").cast("double").alias("e"))
+    ).select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("e_raw").cast("double").alias("e"),
+    )
     return exploded.groupBy("label", "pos").agg(
         davg("e", "avg_val"), F.count("*").alias("n_vecs")
     )

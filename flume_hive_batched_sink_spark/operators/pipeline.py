@@ -52,7 +52,8 @@ SELECT logdate, event_type, n_events, sum_k FROM (
   SELECT {sql_logdate('CAST(ts AS TIMESTAMP)')} AS logdate,
          event_type,
          COUNT(*) AS n_events,
-         SUM(CAST(json_extract_string(props, '$.k') AS INT)::BIGINT) AS sum_k
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)::BIGINT)
+              AS BIGINT) AS sum_k
   FROM events
   GROUP BY 1, 2
 ) t

@@ -32,9 +32,7 @@ from ..sources.parse import parse_column
 from .pipeline import sql_logdate
 from .registry import query, tbl
 
-SCRATCH = os.environ.get(
-    "SPARK_GRAFT_SCRATCH", "/root/repo/.tmp"
-)
+from ..scratch import SCRATCH
 
 
 @query(
@@ -157,7 +155,7 @@ def partition_spec_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_partitioned_write",
     f"""
-    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 3600)} AS logdate,
+    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate,
            COUNT(*) AS n_rows
     FROM events
     GROUP BY 1
@@ -172,12 +170,14 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: `repartition(logdate)` before the write gives one
     task per partition bucket → no small-file explosion at 100 TB
-    (§4 "partition-wise file clustering"). Hourly buckets keep the
-    sf0.01 partition count sane; 5-min is a config knob
-    (SinkConfig.round_*).
+    (§4 "partition-wise file clustering"). Daily buckets keep the
+    sf0.01 partition count sane (~30 meaty partitions — hourly gave
+    720 dirs of ~14 rows, small-file explosion in miniature and ~6×
+    the wall time in writer/commit overhead); hourly/5-min are
+    config knobs (SinkConfig.round_*).
     """
     ev = tbl(spark, sf_dir, "events")
-    routed = ev.withColumn("logdate", derive_logdate("ts", 3600))
+    routed = ev.withColumn("logdate", derive_logdate("ts", 86400))
     out = os.path.join(SCRATCH, "sink_partitioned_write")
     (
         routed.repartition("logdate")
@@ -194,7 +194,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_orc_write",
     f"""
-    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 3600)} AS logdate,
+    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
@@ -208,7 +208,7 @@ def sink_orc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader/writer make parquet↔orc a format flag — the plan, the
     partition routing, and the commit protocol are identical."""
     ev = tbl(spark, sf_dir, "events")
-    routed = ev.withColumn("logdate", derive_logdate("ts", 3600))
+    routed = ev.withColumn("logdate", derive_logdate("ts", 86400))
     out = os.path.join(SCRATCH, "sink_orc_write")
     (
         routed.repartition("logdate")
@@ -252,10 +252,11 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
-           SUM(CASE WHEN event_id % 10 = 0 THEN 0
-                    ELSE CAST(json_extract_string(props, '$.k') AS INT)
-               END) AS sum_k
+           CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 0
+                         ELSE CAST(json_extract_string(props, '$.k') AS INT)
+                    END) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

@@ -124,17 +124,47 @@ _PLANES = _rng.normal(size=(_N_PLANES, 64)).astype("float64")
 def lsh_bucket(emb: Column) -> Column:
     """Random-hyperplane sign sketch → bucket id in [0, 2^8).
     Hyperplane constants are baked literals — deterministic across
-    runs, retries, and engines."""
+    runs, retries, and engines. Per-plane dots fold through decimal
+    (order-insensitive exact sum), so the sign — and therefore the
+    bucket — is reproducible bit-for-bit in any engine, including the
+    DuckDB oracle twin (`_SQL_BUCKETS`)."""
     bucket = F.lit(0).cast("bigint")
+    zero = F.lit(0).cast(_DEC)
     for i in range(_N_PLANES):
         plane = F.array(*[F.lit(float(v)) for v in _PLANES[i]])
-        dot = F.aggregate(
-            F.zip_with(emb, plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        prods = F.zip_with(
+            emb, plane, lambda x, p: (x.cast("double") * p).cast(_DEC)
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+        dot = F.aggregate(prods, zero, lambda acc, v: (acc + v).cast(_DEC))
+        bucket = bucket + F.when(dot > zero, F.lit(1 << i)).otherwise(0)
     return bucket
+
+
+def _planes_values_sql() -> str:
+    """The hyperplane constants as a DuckDB VALUES list
+    (plane, j, p) with 1-based element index j — the oracle's copy of
+    `_PLANES`, so both engines derive identical buckets."""
+    rows = ", ".join(
+        f"({i}, {j + 1}, {float(_PLANES[i][j])!r})"
+        for i in range(_N_PLANES)
+        for j in range(64)
+    )
+    return f"(VALUES {rows}) pl(plane, j, p)"
+
+
+# DuckDB twin of lsh_bucket: same decimal-exact per-plane dot signs.
+_SQL_BUCKETS = f"""
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pdot > 0 THEN (1 << plane) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM (
+    SELECT e.vec_id, pl.plane,
+           SUM(CAST(CAST(e.embedding[pl.j] AS DOUBLE) * pl.p
+               AS DECIMAL(38,12))) AS pdot
+    FROM embeddings e CROSS JOIN {_planes_values_sql()}
+    GROUP BY e.vec_id, pl.plane
+  ) GROUP BY vec_id
+"""
 
 
 @query("ns_similarity_ann_lsh")  # rows-only: approximate by design
@@ -189,8 +219,23 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
       GROUP BY vec_id
     ),
-    dots AS ({_SQL_DOT.format(a='embeddings', aa='a', b='embeddings', ba='b',
-                              where='WHERE a.vec_id < b.vec_id')})
+    buckets AS ({_SQL_BUCKETS}),
+    cand AS (
+      SELECT ba.vec_id AS ida, bb.vec_id AS idb
+      FROM buckets ba JOIN buckets bb
+        ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(SUM(CAST(CAST(a.embedding[i.i] AS DOUBLE)
+                           * CAST(b.embedding[i.i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.ida
+      JOIN embeddings b ON b.vec_id = c.idb
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY 1, 2
+    )
     SELECT dots.ida AS vec_a, dots.idb AS vec_b,
            dots.dot / (na.nrm * nb.nrm) AS cosine
     FROM dots
@@ -200,23 +245,40 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.95). Exact
-    all-pairs at oracle scale; at 100 TB the identical expression
-    runs per-LSH-bucket (swap the join condition for bucket equality,
-    as in ns_similarity_ann_lsh) — semantics unchanged."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) via LSH
+    buckets: candidate pairs share a hyperplane-sign bucket; exact
+    decimal cosine is computed on candidates only. The pair join is a
+    keyed (shuffle) join on `bucket` — per-bucket work is
+    Σ|bucket|², never the all-pairs |corpus|² product, and nothing is
+    broadcast. The oracle buckets identically (hyperplanes are baked
+    literals, decimal-exact sign math on both engines), so this is
+    oracle-checked despite being an approximate (bucket-scoped)
+    dedup. At higher scale, raise `_N_PLANES` (more, smaller buckets)
+    and/or OR together a few independent plane sets for recall."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    norms = em.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    a = norms.select(
+    feats = em.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    ).persist()  # both sides of the self-join share this subplan
+    a = feats.select(
         F.col("vec_id").alias("vec_a"),
+        F.col("bucket").alias("bucket_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = norms.select(
+    b = feats.select(
         F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    pairs = a.join(
+        b,
+        (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
     cosine = _dot_dec(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )

@@ -34,8 +34,8 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
     )
 
 
@@ -58,7 +58,7 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
     )
 
 

@@ -42,7 +42,9 @@ def route_and_parse(df: DataFrame, cfg: SinkConfig) -> DataFrame:
         )
     return out.withColumn(
         cfg.partition_col,
-        derive_logdate("ts", cfg.round_seconds, cfg.partition_format),
+        derive_logdate(
+            "ts", cfg.round_seconds, cfg.partition_format, cfg.timezone
+        ),
     )
 
 
@@ -96,9 +98,15 @@ def land_batch(
                 routed.select(cfg.partition_col)
                 .distinct()
                 .withColumn(
+                    # logdate is a LOCAL wall time (cfg.timezone);
+                    # shift back to the true instant before comparing
+                    # against the batch's max event time.
                     "window_end",
-                    F.to_timestamp(
-                        F.col(cfg.partition_col), cfg.partition_format
+                    F.to_utc_timestamp(
+                        F.to_timestamp(
+                            F.col(cfg.partition_col), cfg.partition_format
+                        ),
+                        cfg.timezone,
                     )
                     + F.expr(f"INTERVAL {cfg.round_seconds} SECOND"),
                 )

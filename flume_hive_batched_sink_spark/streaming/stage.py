@@ -19,7 +19,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.tmp")
+from ..scratch import SCRATCH
 
 
 def stage_chunks(

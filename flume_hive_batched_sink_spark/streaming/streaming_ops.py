@@ -228,7 +228,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_foreach_batch_land",
     f"""
-    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 3600)} AS logdate,
+    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate,
            COUNT(*) AS n_rows
     FROM events
     GROUP BY 1
@@ -248,7 +248,7 @@ def stream_foreach_batch_land(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = SinkConfig(
         table="events_landed_stream",
         output_path=os.path.join(SCRATCH, "warehouse"),
-        round_unit="hour",
+        round_unit="day",
         round_value=1,
     )
     completed: list[str] = []

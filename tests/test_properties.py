@@ -41,6 +41,36 @@ def test_bucket_matches_python_reimpl(spark):
         assert r.logdate == want_str
 
 
+def test_bucket_non_utc_timezone(spark):
+    """Config.scala:36-38 / HiveBatchedSink.scala:237-238: logdate is
+    rounded AND formatted in a configurable timezone. Asia/Shanghai
+    (+08:00, no DST) daily buckets must match an independent Python
+    reimpl — i.e. the local calendar day, not the UTC one."""
+    import zoneinfo
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    sh = zoneinfo.ZoneInfo("Asia/Shanghai")
+    ev = load_table(spark, SF_SMALL, "events").limit(200)
+    rows = (
+        ev.select("ts")
+        .withColumn(
+            "logdate", derive_logdate("ts", 86400, "yyyyMMdd", "Asia/Shanghai")
+        )
+        .collect()
+    )
+    assert rows
+    diverged = 0
+    for r in rows:
+        local = r.ts.replace(tzinfo=datetime.timezone.utc).astimezone(sh)
+        assert r.logdate == local.strftime("%Y%m%d")
+        utc_day = r.ts.strftime("%Y%m%d")
+        diverged += r.logdate != utc_day
+    # the test data must actually exercise the offset (16:00-24:00 UTC
+    # falls on the next Shanghai day) or the assert above proves nothing
+    assert diverged > 0
+
+
 def test_dedup_exact_idempotent(spark):
     """op(op(x)) == op(x): dedup output has no duplicate hashes."""
     out = QUERIES["ns_dedup_exact"](spark, SF_SMALL)
@@ -233,11 +263,11 @@ def test_approx_percentile_error_bound(spark):
     """Sketch percentiles must be within rank error of the exact ones
     (accuracy=1000 → ~0.1% rank error; allow generous slack)."""
     exact = {
-        r.l_returnflag: r.pcts
+        r.l_returnflag: (r.p25, r.p50, r.p75)
         for r in QUERIES["agg_percentile"](spark, SF_SMALL).collect()
     }
     approx = {
-        r.l_returnflag: r.approx_pcts
+        r.l_returnflag: (r.approx_p25, r.approx_p50, r.approx_p75)
         for r in QUERIES["agg_approx_percentile"](spark, SF_SMALL).collect()
     }
     assert set(exact) == set(approx)
