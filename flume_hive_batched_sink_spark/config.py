@@ -54,6 +54,15 @@ class SinkConfig:
     # (↔ maxOpenFiles's real intent — bounded writer resources).
     max_records_per_file: int = 5_000_000
     file_format: str = "parquet"  # reference wrote ORC; both supported
+    # landed-file naming (↔ Config.scala:25-27 fileNamePrefix /
+    # fileSuffix). Applied to committed part files; keep the format
+    # extension in the suffix if readers glob by extension (Spark
+    # itself reads any non-hidden file in the directory). The
+    # reference's third knob, inUsePrefix (marks files still being
+    # written), collapses into Spark's commit protocol — uncommitted
+    # work lives under _temporary and is never visible to readers.
+    file_name_prefix: str = ""
+    file_name_suffix: str = ""
 
     @property
     def round_seconds(self) -> int:

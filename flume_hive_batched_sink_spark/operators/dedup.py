@@ -17,7 +17,7 @@ Five mechanisms, each the 100 TB-shaped formulation:
 
 Exact/Jaccard variants are oracle-checked; MinHash/SimHash use
 Spark's murmur3 (`F.hash`) which DuckDB can't reproduce → rows-only +
-property tests (tests/test_dedup_properties.py).
+property tests (tests/test_properties.py).
 """
 
 from __future__ import annotations

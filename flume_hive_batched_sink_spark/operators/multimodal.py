@@ -162,7 +162,10 @@ FRAME_STRIDE = 2  # keep every 2nd frame
     SELECT doc_id, (i.i - 1) AS frame_idx,
            sha256(substring(text, (i.i - 1) * {FRAME_BYTES} + 1,
                             {FRAME_BYTES})) AS frame_sha
-    FROM documents, (SELECT unnest(range(1, 101)) AS i) i
+    FROM documents,
+         (SELECT unnest(range(1, (SELECT MAX(octet_length(encode(text)))
+                                  FROM documents) // {FRAME_BYTES} + 2))
+            AS i) i
     WHERE (i.i - 1) * {FRAME_BYTES} < octet_length(encode(text))
       AND (i.i - 1) % {FRAME_STRIDE} = 0
     """,

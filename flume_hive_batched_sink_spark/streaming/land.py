@@ -48,6 +48,26 @@ def route_and_parse(df: DataFrame, cfg: SinkConfig) -> DataFrame:
     )
 
 
+def _apply_file_naming(data_path: str, cfg: SinkConfig) -> None:
+    """Rename committed part files to `<prefix>part-...<suffix>`
+    (Config.scala:25-27). Driver-side but bounded: one os.rename per
+    newly committed file (file count per batch is bounded by
+    `repartition(partition_col)` × maxRecordsPerFile). Idempotent —
+    already-renamed files no longer match the `part-` pattern (or
+    already carry the suffix) and are skipped, so append batches
+    never double-rename."""
+    if not cfg.file_name_prefix and not cfg.file_name_suffix:
+        return
+    for root, _dirs, files in os.walk(data_path):
+        for name in files:
+            if not name.startswith("part-") or name.endswith(".crc"):
+                continue
+            if cfg.file_name_suffix and name.endswith(cfg.file_name_suffix):
+                continue
+            new = f"{cfg.file_name_prefix}{name}{cfg.file_name_suffix}"
+            os.rename(os.path.join(root, name), os.path.join(root, new))
+
+
 def land_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -76,6 +96,7 @@ def land_batch(
             .format(cfg.file_format)
             .save(data_path)
         )
+        _apply_file_naming(data_path, cfg)
 
         # bookkeeping upsert (A20): per (logdate, host-bucket) counts
         book_path = os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping")

@@ -277,7 +277,12 @@ def stream_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16: the reference's JMX counters as `observe()` metrics —
     per-micro-batch observed metrics summed across the run equal the
     batch totals (counters are associative, exactly the property the
-    reference exploited with its 5-min maps)."""
+    reference exploited with its 5-min maps). A CounterReporter
+    listener additionally mirrors the running totals to a JSON report
+    file (TimedSinkCounterMBean.getCountersJson parity, counters.py)."""
+    from .counters import install, uninstall
+
+    reporter = install(spark)
     staged, schema = _staged_events(spark, sf_dir, "obs")
     src = (
         spark.readStream.schema(schema)
@@ -309,6 +314,7 @@ def stream_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if metrics:
             for k in totals:
                 totals[k] += metrics[k] or 0
+    uninstall(spark, reporter)
     return spark.createDataFrame(
         [tuple(totals[k] for k in ("n_events", "sum_uid", "n_purchase"))],
         "n_events bigint, sum_uid bigint, n_purchase bigint",

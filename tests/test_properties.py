@@ -168,24 +168,125 @@ def test_minhash_finds_planted_duplicates(spark):
     assert n_good >= len(pairs) * 0.8, [r.agree for r in pairs]
 
 
-def test_ann_lsh_recall_vs_brute_force(spark):
-    """ANN candidates must include most true top-1 neighbors when the
-    neighbor shares the bucket; measure bucket-collision recall@1."""
+def test_ann_lsh_scores_match_brute_force(spark):
+    """Every (query, neighbor) pair the ANN returns must carry EXACTLY
+    the cosine the brute-force path computes for that pair — LSH may
+    drop candidates (that's the approximation) but must never mis-score
+    one. (The test corpus has no planted near-dups, so recall@1 of
+    random top-1 neighbors is theoretically low for any LSH — the
+    recall property is asserted on planted dups in
+    test_lsh_planted_near_dup_recall instead.)"""
     brute = {
-        (r.query_id, r.neighbor_id)
+        (r.query_id, r.neighbor_id): r.cosine
         for r in QUERIES["ns_similarity_topk"](spark, SF_SMALL).collect()
         if r.cosine is not None
     }
-    top1 = {}
-    for q, n in sorted(brute):
-        top1.setdefault(q, n)
-    ann = {
-        (r.query_id, r.neighbor_id)
-        for r in QUERIES["ns_similarity_ann_lsh"](spark, SF_SMALL).collect()
+    ann = QUERIES["ns_similarity_ann_lsh"](spark, SF_SMALL).collect()
+    assert len({r.query_id for r in ann}) >= 3, "too few probes got candidates"
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:  # pair also in brute top-3 → identical score
+            assert r.cosine == brute[key], key
+
+
+def test_lsh_planted_near_dup_recall(spark):
+    """Plant twin vectors (tiny perturbation ⇒ cosine ≈ 0.9999) and
+    assert the multi-band buckets catch ≥90% of the planted pairs —
+    the OR-amplification math (1-(1-p^8)^4) predicts ~1.0 at this
+    similarity, where a single 8-plane band would already lose ~7%."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        band_keys,
+        embedding_features,
+    )
+
+    base = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .limit(100)
+        .collect()
+    )
+    rows = []
+    for r in base:
+        emb = [float(x) for x in r.embedding]
+        rows.append((int(r.vec_id), emb))
+        twin = [x + 0.005 * ((i % 2) * 2 - 1) for i, x in enumerate(emb)]
+        rows.append((int(r.vec_id) + 1_000_000, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    keys = band_keys(embedding_features(spark, df))
+    a = keys.select(F.col("vec_id").alias("ida"), "band", "bucket")
+    b = keys.select(F.col("vec_id").alias("idb"), "band", "bucket")
+    collided = {
+        r.ida
+        for r in a.join(b, ["band", "bucket"])
+        .filter(F.col("idb") == F.col("ida") + 1_000_000)
+        .select("ida")
+        .distinct()
+        .collect()
     }
-    ann_q = {q for q, _ in ann}
-    # every probe must at least produce candidates from its bucket
-    assert len(ann_q) >= 3, f"too few probes with non-empty buckets: {ann_q}"
+    recall = len(collided) / len(base)
+    assert recall >= 0.9, f"planted near-dup recall {recall}"
+
+
+def test_landing_file_naming(spark, tmp_path):
+    """Config.scala:25-27 fileNamePrefix/fileSuffix: landed part
+    files carry the configured prefix/suffix, and the renamed files
+    read back with no row loss."""
+    import os
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.config import SinkConfig
+    from flume_hive_batched_sink_spark.streaming.land import run_landing_stream
+    from flume_hive_batched_sink_spark.streaming.stage import stage_chunks
+
+    ev = load_table(spark, SF_SMALL, "events").limit(300)
+    staged, schema = stage_chunks("naming", [ev])
+    cfg = SinkConfig(
+        table="events_named",
+        output_path=str(tmp_path),
+        round_unit="day",
+        round_value=1,
+        file_name_prefix="flume.",
+        file_name_suffix=".data",
+    )
+    run_landing_stream(spark, staged, schema, cfg)
+    table_dir = os.path.join(str(tmp_path), "events_named")
+    files = [
+        f
+        for root, _d, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith((".", "_"))
+    ]
+    assert files
+    assert all(
+        f.startswith("flume.part-") and f.endswith(".data") for f in files
+    ), files
+    assert spark.read.parquet(table_dir).count() == 300
+
+
+def test_counters_json_report(spark):
+    """A16 / TimedSinkCounterMBean.getCountersJson parity: running the
+    observe query leaves a JSON counter report whose accumulated
+    totals match the query's own observed sums."""
+    import json
+    import os
+    import time
+
+    from flume_hive_batched_sink_spark.scratch import SCRATCH
+
+    row = QUERIES["stream_observe_counters"](spark, SF_SMALL).collect()[0]
+    path = os.path.join(SCRATCH, "counters", "sink_counters.json")
+    total = -1
+    for _ in range(150):  # listener events are delivered async
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+            total = sum(
+                q["observed"].get("n_events", 0) for q in data.values()
+            )
+            if total >= row.n_events:
+                break
+        time.sleep(0.2)
+    assert total == row.n_events, (total, row.n_events)
 
 
 def test_flagship_entry_smoke(spark):
