@@ -448,3 +448,78 @@ def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# ---------- benchmark decontamination ----------
+
+
+@query(
+    "ns_contamination_ngram",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               [array_to_string(string_split({_NORM}, ' ')[i:i+4], ' ')
+                FOR i IN range(1, greatest(len(string_split({_NORM}, ' ')) - 4, 1) + 1)]
+             )) AS sh
+      FROM documents
+    ),
+    corpus AS (SELECT doc_id, sh FROM shingled WHERE source <> 'src0'),
+    eval_sh AS (SELECT DISTINCT sh FROM shingled WHERE source = 'src0'),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM corpus c JOIN eval_sh e USING (sh)
+      GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles
+             AS contamination,
+           CASE WHEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles
+                     >= 0.2
+                THEN 1 ELSE 0 END AS is_contaminated
+    FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+)
+def ns_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct 5-token shingles that also appear in the eval set
+    (docs with source = 'src0' stand in for the held-out benchmark).
+    Training pipelines drop or flag documents above a threshold
+    before a run, so the eval data cannot leak into training.
+
+    Scale shape: the eval shingle set is keyed by shingle — a plain
+    shuffle join that AQE downgrades to broadcast when the benchmark
+    is small (the usual case); the corpus side is the exploded
+    (doc_id, shingle) stream, so nothing corpus-sized is ever
+    collected or broadcast, and the wide text column is dropped
+    before the shuffle. Zero-hit documents are preserved by the left
+    join against per-doc shingle totals."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    shingled = d.select(
+        "doc_id", "source", F.explode(shingles(_norm_col(), 5)).alias("sh")
+    )
+    corpus = shingled.filter(F.col("source") != "src0").select("doc_id", "sh")
+    eval_sh = (
+        shingled.filter(F.col("source") == "src0").select("sh").distinct()
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(eval_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    contamination = F.col("n_hit").cast("double") / F.col("n_shingles")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("contamination", contamination)
+        .withColumn(
+            "is_contaminated",
+            F.when(contamination >= 0.2, 1).otherwise(0),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_hit", "contamination",
+            "is_contaminated",
+        )
+    )

@@ -445,3 +445,82 @@ def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+# ---------- corpus health report ----------
+
+
+@query(
+    "ns_corpus_report",
+    """
+    WITH hashed AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             sha256(lower(trim(text))) AS h
+      FROM documents
+    ),
+    per_hash AS (
+      SELECT source, h, COUNT(*) AS n_copies
+      FROM hashed GROUP BY source, h
+    ),
+    dup AS (
+      SELECT source,
+             CAST(SUM(n_copies) AS BIGINT) AS n_docs_h,
+             CAST(COUNT(*) AS BIGINT) AS n_unique,
+             CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs
+      FROM per_hash GROUP BY source
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(s.n_chars) AS BIGINT) AS total_chars,
+           d.n_dup_docs,
+           CAST(d.n_dup_docs AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM hashed s JOIN dup d ON d.source = s.source
+    GROUP BY s.source, d.n_dup_docs
+    """,
+)
+def ns_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the one-stop numbers a
+    training-data run reads before mixing sources: document / token /
+    char volume, language spread, and the exact-duplicate rate
+    (docs whose normalized sha256 collides within the source).
+
+    Scale shape: two hash aggregates that share the source key — the
+    duplicate counts aggregate on (source, sha256) first (the 32-byte
+    hash is the shuffle key, text dropped pre-shuffle), then both
+    roll up to one row per source. No distinct-on-text, no collect,
+    nothing wider than the hash crosses an exchange."""
+    d = tbl(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_TOKENS(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+    )
+    dup = (
+        hashed.groupBy("source", "h")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("source")
+        .agg(F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dup_docs"))
+    )
+    per_source = hashed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        per_source.join(dup, "source")
+        .withColumn(
+            "dup_rate",
+            F.col("n_dup_docs").cast("double") / F.col("n_docs"),
+        )
+        .select(
+            "source", "n_docs", "n_langs", "total_tokens", "total_chars",
+            "n_dup_docs", "dup_rate",
+        )
+    )
