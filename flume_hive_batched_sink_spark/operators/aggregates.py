@@ -343,3 +343,45 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total"),
     )
+
+
+@query("agg_count_min")  # rows-only: sketch layout is seed/impl-specific
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates: per event_type, sketch
+    the user_id stream (eps=0.1%, confidence 99%, fixed seed) and
+    estimate the frequency of 5 probe users. The third sketch
+    aggregate next to HLL (agg_approx_distinct) and KLL-style
+    quantiles (agg_approx_percentile).
+
+    Scale shape: `count_min_sketch` is a JVM-side mergeable
+    aggregate — each partition builds a local sketch, partial
+    aggregation merges them up the tree, and ONE kilobyte-scale
+    sketch per group reaches the driver regardless of input size.
+    Only the estimation of the 5 probe keys is driver-side
+    (deserializing the merged sketch), bounded by groups × probes.
+    The estimate-vs-exact error bound is property-tested
+    (tests/test_properties.py::test_count_min_error_bound)."""
+    ev = tbl(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_min_sketch(
+                "user_id", F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sketch"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    probes = list(range(5))
+    out = []
+    for r in rows:
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r.sketch)
+        )
+        for u in probes:
+            out.append((r.event_type, u, int(cms.estimateCount(u)), r.n_rows))
+    return spark.createDataFrame(
+        sorted(out),
+        "event_type string, user_id bigint, est_count bigint, group_rows bigint",
+    )

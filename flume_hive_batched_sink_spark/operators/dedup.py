@@ -523,3 +523,73 @@ def ns_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_contaminated",
         )
     )
+
+
+# ---------- containment dedup ----------
+
+
+@query(
+    "ns_dedup_containment",
+    f"""
+    WITH toksets AS (
+      SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(string_split({_NORM}, ' ')[i:i+4], ' ')
+                FOR i IN range(1, greatest(len(string_split({_NORM}, ' ')) - 4, 1) + 1)]
+             )) AS sh
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / least(len(ta.toks), len(tb.toks)) AS containment
+    FROM cand
+    JOIN toksets ta ON ta.doc_id = cand.doc_a
+    JOIN toksets tb ON tb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / least(len(ta.toks), len(tb.toks)) >= 0.6
+    """,
+)
+def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.6 over
+    distinct token sets. Jaccard misses subset duplicates (a page
+    plus the same page wrapped in boilerplate scores low on union
+    but ~1.0 on containment) — web-scrape dedup runs both. Candidate
+    generation is the same shingle inverted index as
+    ns_dedup_ngram_jaccard: every step a keyed join, exact set math
+    on candidates only."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toksets = d.select(
+        "doc_id", F.array_distinct(F.split(_norm_col(), " ")).alias("toks")
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles(_norm_col(), 5)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    containment = inter / F.least(F.size("ta"), F.size("tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= 0.6)
+        .select("doc_a", "doc_b", "containment")
+    )

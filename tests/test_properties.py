@@ -227,6 +227,30 @@ def test_lsh_planted_near_dup_recall(spark):
     assert recall >= 0.9, f"planted near-dup recall {recall}"
 
 
+def test_count_min_error_bound(spark):
+    """CMS guarantees est ≥ true and est ≤ true + eps·N with prob ≥
+    confidence; with eps=0.001 and these group sizes the additive
+    slack rounds to ~0, so estimates must equal exact counts."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    est = {
+        (r.event_type, r.user_id): (r.est_count, r.group_rows)
+        for r in QUERIES["agg_count_min"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.filter(F.col("user_id") < 5)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert est
+    for key, (e, n_rows) in est.items():
+        true = exact.get(key, 0)
+        assert true <= e <= true + max(1, int(0.001 * n_rows)), (key, e, true)
+
+
 def test_landing_file_naming(spark, tmp_path):
     """Config.scala:25-27 fileNamePrefix/fileSuffix: landed part
     files carry the configured prefix/suffix, and the renamed files
