@@ -321,3 +321,57 @@ def sink_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SHOW PARTITIONS events_registered").select(
         F.col("partition").alias("partition_spec")
     )
+
+
+@query(
+    "scan_dpp_join",
+    f"""
+    WITH routed AS (
+      SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate,
+             user_id
+      FROM events
+    )
+    SELECT logdate, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM routed
+    WHERE CAST(substr(logdate, 7, 2) AS INT) <= 3
+    GROUP BY logdate
+    """,
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a dim-side filter prunes FACT
+    PARTITIONS at runtime. The landed events table is partitioned by
+    logdate on disk; the dim (a derived calendar keeping days 1-3)
+    joins on the partition column, and Catalyst injects a runtime
+    `dynamicpruning` subquery into the fact scan so only 3 of ~30
+    partition directories are read — on a 100 TB warehouse this is
+    the difference between scanning 3 days and scanning everything.
+    The dim filter (`dayofmonth <= 3` over a string-coded logdate)
+    is deliberately NOT statically pushable into the fact scan.
+    Plan property (`PartitionFilters: [... dynamicpruning ...]`) is
+    asserted in tests/test_properties.py::test_dpp_prunes_partitions."""
+    ev = tbl(spark, sf_dir, "events")
+    routed = ev.select(
+        derive_logdate("ts", 86400).alias("logdate"), "user_id"
+    )
+    out = os.path.join(SCRATCH, "dpp_events")
+    (
+        routed.repartition("logdate")
+        .write.mode("overwrite")
+        .partitionBy("logdate")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        fact.select("logdate")
+        .distinct()
+        .filter(F.substring("logdate", 7, 2).cast("int") <= 3)
+    )
+    return (
+        fact.join(F.broadcast(dim), "logdate")
+        .groupBy(F.col("logdate").cast("string").alias("logdate"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -319,3 +319,86 @@ def stream_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(totals[k] for k in ("n_events", "sum_uid", "n_purchase"))],
         "n_events bigint, sum_uid bigint, n_purchase bigint",
     )
+
+
+@query(
+    "stream_stateful_counter",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`
+    — the escape hatch for semantics the built-in windowed aggregates
+    can't express (the reference's hand-rolled per-key accumulator
+    maps, TimedSinkCounter.scala, generalized to arbitrary Python
+    state). Per user_id, an Arrow-batched function folds each
+    micro-batch into (n_events, sum_value) state and emits the
+    running snapshot; the registered result takes the final snapshot
+    per user, which the DuckDB oracle checks as a plain groupBy —
+    state-fold totals must equal batch totals regardless of how the
+    stream was chunked. State accumulates integer cents (values are
+    2-decimal), so the fold is exact and order-free — summing raw
+    doubles per batch would drift from the oracle at the ULP level
+    (pandas pairwise vs sequential addition).
+
+    Scale shape: state lives in the state store partitioned by
+    user_id (one shuffle), snapshots are tiny rows; nothing is
+    collected until the memory-sink read the test harness does."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    staged, schema = _staged_events(spark, sf_dir, "stateful")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+
+    def fold(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
+    snap = src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import shutil
+
+    ckpt = os.path.join(SCRATCH, "checkpoints", "stateful_counter")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        snap.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_stateful_counter")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_snaps = spark.table("stream_stateful_counter")
+    # final snapshot per user = max running count (monotone state)
+    return all_snaps.groupBy("user_id").agg(
+        F.max_by(F.col("n_events"), F.col("n_events")).alias("n_events"),
+        F.max_by(F.col("sum_value"), F.col("n_events")).alias("sum_value"),
+    )

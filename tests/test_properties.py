@@ -227,6 +227,17 @@ def test_lsh_planted_near_dup_recall(spark):
     assert recall >= 0.9, f"planted near-dup recall {recall}"
 
 
+def test_dpp_prunes_partitions(spark):
+    """scan_dpp_join's fact scan must carry a runtime dynamic-
+    partition-pruning filter (the dim filter is not statically
+    pushable), so only the selected partition dirs are read."""
+    df = QUERIES["scan_dpp_join"](spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_count_min_error_bound(spark):
     """CMS guarantees est ≥ true and est ≤ true + eps·N with prob ≥
     confidence; with eps=0.001 and these group sizes the additive
