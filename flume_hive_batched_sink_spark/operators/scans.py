@@ -375,3 +375,116 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "ingest_jsonl",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_good,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events
+    WHERE event_id % 13 <> 0
+    GROUP BY event_type
+    """,
+)
+def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level JSON-lines ingestion with corrupt-record capture —
+    the source-format counterpart of ingest_bad_records' column-level
+    parse. Events are staged as JSONL with every 13th line corrupted
+    (truncated JSON); the reader runs PERMISSIVE with an explicit
+    schema + `columnNameOfCorruptRecord`, so bad lines land in a
+    quarantine column instead of failing the job, and good rows
+    aggregate normally. The reference's serde threw mid-batch and
+    rolled back the whole transaction (HiveBatchedSink.scala:348-357)
+    — here bad input degrades per-row with an audit trail.
+
+    Scale note: an explicit schema is mandatory at 100 TB — schema
+    inference is a second full scan of the input."""
+    ev = tbl(spark, sf_dir, "events")
+    staged = os.path.join(SCRATCH, "jsonl_events")
+    line = F.concat(
+        F.lit('{"event_id":'), F.col("event_id").cast("string"),
+        F.lit(',"user_id":'), F.col("user_id").cast("string"),
+        F.lit(',"event_type":"'), F.col("event_type"), F.lit('"}'),
+    )
+    # every 13th line truncated mid-object → invalid JSON
+    dirty = F.when(
+        F.col("event_id") % 13 == 0, F.substring(line, 1, 10)
+    ).otherwise(line)
+    ev.select(dirty.alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(staged)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(staged)
+    )
+    return (
+        back.filter(F.col("_corrupt").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_good"),
+            F.sum("user_id").alias("sum_uid"),
+        )
+    )
+
+
+@query(
+    "sink_compact_small_files",
+    f"""
+    SELECT {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming
+    landing table needs (micro-batch appends accumulate one file per
+    batch per partition; the reference capped writer count with
+    maxOpenFiles but still left per-batch files). A fragmented landed
+    table (forced ~8 files per partition via repartition without
+    partition alignment) is rewritten with `repartition(logdate)` so
+    each partition collapses to one task's worth of output, then the
+    read-back audit proves row preservation. The compacted layout is
+    asserted to have strictly fewer files.
+
+    At 100 TB this runs per-partition-predicate (compact only
+    yesterday's partitions), which is the same plan with a WHERE on
+    the partition column — partition pruning makes it incremental."""
+    ev = tbl(spark, sf_dir, "events")
+    routed = ev.withColumn("logdate", derive_logdate("ts", 86400))
+    frag = os.path.join(SCRATCH, "compact_in")
+    # fragment: round-robin repartition → every task writes into
+    # every partition dir (the anti-pattern sink_partitioned_write's
+    # docstring warns about), ~8 files per partition
+    routed.repartition(8).write.mode("overwrite").partitionBy(
+        "logdate"
+    ).parquet(frag)
+    compacted = os.path.join(SCRATCH, "compact_out")
+    (
+        spark.read.parquet(frag)
+        .repartition("logdate")
+        .write.mode("overwrite")
+        .partitionBy("logdate")
+        .parquet(compacted)
+    )
+
+    def _nfiles(root: str) -> int:
+        return sum(
+            1
+            for r, _d, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert _nfiles(compacted) < _nfiles(frag), "compaction must shrink files"
+    back = spark.read.parquet(compacted)
+    return back.groupBy(
+        F.col("logdate").cast("string").alias("logdate")
+    ).agg(F.count("*").alias("n_rows"))
