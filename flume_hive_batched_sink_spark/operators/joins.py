@@ -378,3 +378,70 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = fact.join(dim_salted, ["skew_key", "salt"])
     return joined.select("event_id", "skew_key", "dim_label")
+
+
+@query(
+    "join_bloom_runtime",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective filter
+    lives on `orders` (the small build side), but the expensive scan
+    is `lineitem` — Catalyst builds a bloom filter over the surviving
+    o_orderkeys at runtime and injects `might_contain(...)` into the
+    lineitem scan's filter, so ~99% of fact rows die BEFORE the join
+    shuffle instead of after it. At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the matching
+    1%. The feature is on by default at cluster scale; locally the
+    application-side scan is under the 10 GiB activation threshold,
+    so the threshold is lowered for this plan (and restored) — the
+    plan property (`might_contain` inside the lineitem Filter) is
+    asserted in tests/test_properties.py::test_bloom_filter_injected.
+    Broadcast is disabled here only to force the shuffle join that
+    models the at-scale shape (a broadcast join needs no bloom
+    filter — the build side IS the filter).
+
+    Plans are optimized lazily at action time, so the result is
+    materialized EAGERLY (localCheckpoint) inside the conf scope —
+    restoring confs first and returning a lazy plan would silently
+    plan without the bloom filter."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        conf.set(k, v)
+    try:
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+_BLOOM_CONFS = {
+    # local activation only: the 10 GiB application-side floor is
+    # sized for clusters; the semantics under test are identical
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join plan join_bloom_runtime materializes; the plan
+    test builds this under _BLOOM_CONFS and asserts might_contain."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )

@@ -488,3 +488,35 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(
         F.col("logdate").cast("string").alias("logdate")
     ).agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "scan_file_lineage",
+    """
+    SELECT 'lineitem.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+    FROM lineitem
+    """,
+)
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file lineage audit via the hidden `_metadata` column:
+    which physical files contributed which rows — the debugging /
+    incremental-reprocessing primitive (find the file a bad row came
+    from; re-run only files newer than a watermark). `_metadata` is
+    populated by the scan itself, so this adds zero I/O beyond the
+    aggregate's column read; grouping by file name costs one tiny
+    shuffle (one row per file). The reference tracked lineage at
+    batch granularity in ZK (HiveBatchedSink.scala batch commit);
+    file granularity is the lakehouse equivalent."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_okey"),
+        )
+    )

@@ -524,3 +524,223 @@ def ns_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_docs", "dup_rate",
         )
     )
+
+
+@query(
+    "ns_quality_gopher",
+    """
+    SELECT doc_id, n_tokens,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_word_len,
+           CAST(n_short AS DOUBLE) / n_tokens AS frac_short,
+           CAST(n_long AS DOUBLE) / n_tokens AS frac_long,
+           CASE WHEN n_tokens BETWEEN 50 AND 100000
+                 AND CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+                     BETWEEN 3 AND 10
+                 AND CAST(n_short AS DOUBLE) / n_tokens < 0.3
+                 AND CAST(n_long AS DOUBLE) / n_tokens < 0.2
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> len(x) <= 2)) AS BIGINT) AS n_short,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> len(x) >= 8)) AS BIGINT) AS n_long
+      FROM documents
+    ) t
+    """,
+)
+def ns_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-shape quality rules (Rae et al. 2021 §A1.1):
+    document length bounds, mean-word-length band [3,10], and caps on
+    the short-word (<=2 chars) and long-word (>=8 chars) fractions —
+    the complement of ns_quality_score's stopword/diversity gates.
+    Mean word length is derived EXACTLY from (n_chars, n_tokens) for
+    single-space text — `(n_chars - n_tokens + 1) / n_tokens` — so no
+    second pass over the tokens is needed; the short/long fractions
+    are one array-filter each. Row-local, zero shuffle: at 100 TB
+    this is a pure map stage that fuses into the scan.
+
+    Bullet/ellipsis line-ratio rules from the paper need line
+    structure the synthetic corpus lacks; the mechanism (a
+    line-split + startswith filter) is the same array-filter shape.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = _TOKENS(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+        .cast("bigint")
+        .alias("n_short"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 8))
+        .cast("bigint")
+        .alias("n_long"),
+    )
+    mwl = (F.col("n_chars") - F.col("n_tokens") + 1).cast("double") / F.col(
+        "n_tokens"
+    )
+    f_short = F.col("n_short").cast("double") / F.col("n_tokens")
+    f_long = F.col("n_long").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        mwl.alias("mean_word_len"),
+        f_short.alias("frac_short"),
+        f_long.alias("frac_long"),
+        F.when(
+            F.col("n_tokens").between(50, 100000)
+            & mwl.between(3, 10)
+            & (f_short < 0.3)
+            & (f_long < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_gopher"),
+    )
+
+
+@query(
+    "ns_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT t.doc_id, t.ts[i.i] || ' ' || t.ts[i.i + 1] || ' ' ||
+             t.ts[i.i + 2] AS g
+      FROM toks t,
+           (SELECT unnest(range(1, (SELECT CAST(MAX(len(ts)) AS BIGINT)
+                                    FROM toks) - 1)) AS i) i
+      WHERE i.i <= len(t.ts) - 2
+    ),
+    cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct_grams,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_gram_frac,
+           CASE WHEN 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) <= 0.2
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def ns_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: the duplicate-3-gram fraction per
+    document (`1 - distinct_grams / total_grams`) flags boilerplate
+    and degenerate loops that per-token stats miss. Shape: posexplode
+    tokens → two `lead()`s over one (doc_id, pos) window build the
+    3-grams (whole-stage codegen; no interpreted array HOF), then one
+    (doc_id, gram) count and one doc_id rollup. The window and both
+    aggregations share the doc_id shuffle key, so at 100 TB this is
+    ONE repartition by doc_id reused across all three steps — grams
+    never leave their partition.
+
+    Docs shorter than 3 tokens have no 3-grams and drop out (the
+    oracle's WHERE bound does the same)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "doc_id", F.posexplode(_TOKENS(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "tok",
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    dup_frac = F.lit(1.0) - F.col("n_distinct_grams").cast("double") / F.col(
+        "n_grams"
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+            F.max("c").cast("bigint").alias("top_gram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            "top_gram_count",
+            dup_frac.alias("dup_gram_frac"),
+            F.when(dup_frac <= 0.2, 1).otherwise(0).alias(
+                "passes_repetition"
+            ),
+        )
+    )
+
+
+@query(
+    "ns_domain_mixture",
+    """
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS actual_share,
+           1.0 / n_sources AS target_share,
+           CASE WHEN CAST(total_tokens AS DOUBLE) / n_sources / n_tokens > 1.0
+                THEN 1.0
+                ELSE CAST(total_tokens AS DOUBLE) / n_sources / n_tokens
+           END AS sample_rate
+    FROM per, tot
+    """,
+)
+def ns_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning: given a target mixture (uniform over
+    sources here; any weight vector works the same way), compute each
+    source's actual token share and the per-source downsampling rate
+    that hits the target — the planning step of data-mixing pipelines
+    (e.g. The Pile / Dolma recipes). One hash aggregation over the
+    corpus + a broadcast cross-join of the one-row totals; no window
+    over a constant key (which would serialize on one task). The
+    emitted `sample_rate` feeds ns_sample_stratified's hash-threshold
+    mechanism for the actual deterministic downsample."""
+    d = tbl(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_TOKENS(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    raw_rate = (
+        F.col("total_tokens").cast("double")
+        / F.col("n_sources")
+        / F.col("n_tokens")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+            "actual_share"
+        ),
+        (F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+        F.when(raw_rate > 1.0, F.lit(1.0)).otherwise(raw_rate).alias(
+            "sample_rate"
+        ),
+    )

@@ -418,3 +418,24 @@ def test_topk_plans_take_ordered(spark):
     df = QUERIES["sort_limit_topk"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_filter_injected(spark):
+    """join_bloom_runtime's lineitem scan must carry a runtime
+    might_contain(bloom) filter built from the selective orders side,
+    so non-matching fact rows die before the join shuffle."""
+    from flume_hive_batched_sink_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join_frame(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
