@@ -33,7 +33,19 @@ _DEC = "decimal(25,12)"
 
 def _dot_dec(a: Column, b: Column) -> Column:
     """Exact dot product: per-element double multiply (IEEE, identical
-    in both engines) → decimal(25,12) → exact sum → double."""
+    in both engines) → decimal(25,12) → exact sum → double.
+
+    Measured alternative (rejected for now): unrolling the fixed
+    64-dim into a balanced GetArrayItem·multiply·decimal-add tree is
+    codegen'd and ~2× faster per row at steady state, but the
+    generated decimal method is large enough that Janino/JIT compile
+    dominates at local scale — end-to-end the similarity queries ran
+    3-5× SLOWER at sf0.1 (3.5 s first collect vs 0.2 s warm). The
+    interpreted fold costs no compile and the per-row penalty is
+    bounded by the candidate count (banded LSH keeps candidates ≪
+    |corpus|²). On a long-running 100 TB job the tree would win
+    (compile amortizes to zero); flip there if profiles show the dot
+    product hot."""
     prods = F.zip_with(
         a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
     )
