@@ -402,3 +402,107 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("n_events"), F.col("n_events")).alias("n_events"),
         F.max_by(F.col("sum_value"), F.col("n_events")).alias("sum_value"),
     )
+
+
+@query(
+    "stream_static_join",
+    f"""
+    SELECT win_start, c_mktsegment, n FROM (
+      SELECT {_SQL_BUCKET5} AS win_start,
+             c.c_mktsegment, COUNT(*) AS n
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY 1, 2
+    ) t
+    WHERE win_start + INTERVAL 5 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    a static dimension (customer segment) before the windowed count —
+    the standard streaming-ETL enrich step (the reference's A22
+    per-event serde + routing was its degenerate form: enrichment
+    from config, not data). Stream-static joins are STATELESS — the
+    dim is re-resolved per micro-batch, so a small dim broadcasts and
+    adds no state store; only the post-join windowed agg keeps state.
+    At 100 TB/day the dim side stays broadcast-sized (segments,
+    domains, tenant configs) while the stream side scales with
+    executors. Emitted set = watermark-finalized windows, same
+    append-mode contract as stream_tumbling_5min."""
+    staged, schema = _staged_events(spark, sf_dir, "sjoin")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", _DELAY)
+            .join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "5 minutes"), "c_mktsegment")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("win_start"),
+                "c_mktsegment",
+                "n",
+            )
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_static_join")
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT v.event_id AS view_id, a.event_id AS act_id,
+           v.user_id AS user_id
+    FROM events v
+    JOIN events a
+      ON v.user_id = a.user_id
+     AND v.event_id % 2 = 0 AND a.event_id % 2 = 1
+     AND CAST(a.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(a.ts AS TIMESTAMP)
+         <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: two live streams (even event_ids
+    as "views", odd as "actions") matched on user within a 5-minute
+    event-time window — the attribution-join shape (click joins its
+    impression). Both sides carry watermarks and the join condition
+    bounds event-time distance, so the state store holds only rows
+    younger than watermark + interval — WITHOUT the time bound a
+    stream-stream join buffers both streams forever, the canonical
+    streaming OOM. Inner join emits on match arrival, so with
+    in-order replay the result equals the batch interval join (what
+    the oracle states). At scale both streams shuffle on user_id once
+    and state is partitioned with them."""
+    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
+    cols = ["event_id", "user_id", "ts"]
+    views = [c.filter(F.col("event_id") % 2 == 0).select(cols) for c in chunks]
+    acts = [c.filter(F.col("event_id") % 2 == 1).select(cols) for c in chunks]
+    staged_v, schema = stage_chunks("ssj_views", views)
+    staged_a, _ = stage_chunks("ssj_acts", acts)
+
+    def xform(src: DataFrame) -> DataFrame:
+        v = src.withWatermark("ts", _DELAY).alias("v")
+        a = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(staged_a)
+            .withWatermark("ts", _DELAY)
+            .alias("a")
+        )
+        return v.join(
+            a,
+            F.expr(
+                "v.user_id = a.user_id AND a.ts >= v.ts "
+                "AND a.ts <= v.ts + interval 5 minutes"
+            ),
+        ).select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("a.event_id").alias("act_id"),
+            F.col("v.user_id").alias("user_id"),
+        )
+
+    return run_stream(spark, staged_v, schema, xform, "stream_stream_join")
