@@ -385,3 +385,63 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(out),
         "event_type string, user_id bigint, est_count bigint, group_rows bigint",
     )
+
+
+@query(
+    "agg_incremental_merge",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_okey,
+           MAX(o_orderkey) AS max_okey
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    per-group aggregate plus today's delta batch are MERGED into the
+    updated aggregate without rescanning history — the batched-sink
+    update loop (the reference re-landed each batch into its Hive
+    partition; here the rollup itself is maintained). Split: orders
+    with o_orderkey % 4 == 0 play the "history" aggregate, the rest
+    the delta. Merge rule per group: counts and decimal sums add,
+    min/max fold — every Spark aggregate with a partial/merge pair
+    supports this, which is WHY map-side partial aggregation works;
+    this operator is that algebra made explicit at the table level.
+    At 100 TB the history side is a tiny pre-aggregated table (one
+    row per group) and only the delta is scanned: cost O(delta), not
+    O(history). The oracle states the equivalence: merged(history,
+    delta) == aggregate(full table)."""
+    o = tbl(spark, sf_dir, "orders")
+
+    def agg_part(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "sum_price_dec"
+            ),
+            F.min("o_orderkey").alias("min_okey"),
+            F.max("o_orderkey").alias("max_okey"),
+        )
+
+    history = agg_part(o.filter(F.col("o_orderkey") % 4 == 0))
+    delta = agg_part(o.filter(F.col("o_orderkey") % 4 != 0))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price_dec").alias("sum_price_dec"),
+            F.min("min_okey").alias("min_okey"),
+            F.max("max_okey").alias("max_okey"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        "min_okey",
+        "max_okey",
+    )

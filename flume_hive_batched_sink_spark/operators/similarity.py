@@ -59,10 +59,13 @@ def _norm(a: Column) -> Column:
 
 
 # DuckDB twin: unnest both lists positionally via a range join.
+# All double→decimal casts route through VARCHAR: Spark's cast rounds
+# the shortest decimal string half-up while DuckDB's direct cast
+# rounds the binary double — one 10^-12 unit apart on tie values.
 _SQL_DOT = """
   SELECT {aa}.vec_id AS ida, {ba}.vec_id AS idb,
-         CAST(SUM(CAST(CAST({aa}.embedding[i.i] AS DOUBLE)
-                       * CAST({ba}.embedding[i.i] AS DOUBLE)
+         CAST(SUM(CAST(CAST(CAST({aa}.embedding[i.i] AS DOUBLE)
+                            * CAST({ba}.embedding[i.i] AS DOUBLE) AS VARCHAR)
                   AS DECIMAL(38,12))) AS DOUBLE) AS dot
   FROM {a} {aa}, {b} {ba}, (SELECT unnest(range(1, 65)) AS i) i
   {where}
@@ -76,7 +79,8 @@ _SQL_DOT = """
     WITH queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
     norms AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                AS VARCHAR)
                            AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
       FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
       GROUP BY vec_id
@@ -223,7 +227,7 @@ _SQL_BAND_BUCKETS = f"""
                        ELSE 0 END) AS BIGINT) AS bucket
   FROM (
     SELECT e.vec_id, pl.plane,
-           SUM(CAST(CAST(e.embedding[pl.j] AS DOUBLE) * pl.p
+           SUM(CAST(CAST(CAST(e.embedding[pl.j] AS DOUBLE) * pl.p AS VARCHAR)
                AS DECIMAL(38,12))) AS pdot
     FROM embeddings e CROSS JOIN {_planes_values_sql()}
     GROUP BY e.vec_id, pl.plane
@@ -286,7 +290,8 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH norms AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                AS VARCHAR)
                            AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
       FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
       GROUP BY vec_id
@@ -300,8 +305,8 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dots AS (
       SELECT a.vec_id AS ida, b.vec_id AS idb,
-             CAST(SUM(CAST(CAST(a.embedding[i.i] AS DOUBLE)
-                           * CAST(b.embedding[i.i] AS DOUBLE)
+             CAST(SUM(CAST(CAST(CAST(a.embedding[i.i] AS DOUBLE)
+                                * CAST(b.embedding[i.i] AS DOUBLE) AS VARCHAR)
                       AS DECIMAL(38,12))) AS DOUBLE) AS dot
       FROM cand c
       JOIN embeddings a ON a.vec_id = c.ida
@@ -435,4 +440,54 @@ def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "ns_embedding_profile",
+    """
+    SELECT i.i AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE) AS VARCHAR)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                              * CAST(e.embedding[i.i] AS DOUBLE) AS VARCHAR)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sum_sq,
+           MIN(CAST(e.embedding[i.i] AS DOUBLE)) AS min_v,
+           MAX(CAST(e.embedding[i.i] AS DOUBLE)) AS max_v
+    FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+    GROUP BY 1
+    """,
+)
+def ns_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-column profile (count / exact sum /
+    sum-of-squares / min / max per coordinate) — the stats pass
+    behind feature normalization, drift monitoring, and dead-dim
+    detection in embedding pipelines. posexplode fans each vector
+    into (dim, value) rows and ONE hash aggregation on the 64 dim
+    keys does the rest — whole-stage codegen, map-side partials, and
+    a 64-row shuffle regardless of corpus size (the at-scale shape;
+    an interpreted per-row HOF fold would serialize this). Sums
+    accumulate in exact decimal so both engines agree bitwise;
+    downstream mean/std are (sum/n, sum_sq/n - mean²) computed from
+    these exact inputs.
+
+    Cross-engine cast detail: Spark's double→decimal cast rounds the
+    double's SHORTEST DECIMAL STRING half-up (BigDecimal.valueOf),
+    while DuckDB's direct cast rounds the binary double — they
+    disagree by one 10^-12 unit on tie-ish values, so the oracle
+    routes the cast through VARCHAR (shortest string) to match."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    ex = em.select(
+        F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("bigint").alias("dim"),
+             F.col("v").cast("double").alias("v"))
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(28,12)")).cast("double").alias("sum_v"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sum_sq"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
     )

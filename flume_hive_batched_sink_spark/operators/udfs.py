@@ -172,3 +172,61 @@ def udf_serde_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.type").alias("p_type"),
         F.col("p.uid").alias("p_uid"),
     )
+
+
+def make_chunk_docs():
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, n_tokens int, first_tok string",
+        useArrow=True,
+    )
+    class ChunkDocs:
+        """Arrow-optimized Python UDTF: split a document into
+        fixed-32-token chunks, one output row per chunk."""
+
+        def eval(self, text: str):  # noqa: D401
+            toks = text.split(" ")
+            for ci in range(0, len(toks), 32):
+                chunk = toks[ci : ci + 32]
+                yield ci // 32, len(chunk), chunk[0]
+
+    return ChunkDocs
+
+
+@query(
+    "udtf_python_lateral",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST(ci // 32 AS INT) AS chunk_idx,
+           CAST(CASE WHEN len(ts) - ci < 32 THEN len(ts) - ci ELSE 32 END
+                AS INT) AS n_tokens,
+           ts[ci + 1] AS first_tok
+    FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 32)) AS ci FROM toks)
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 `@udtf`, Arrow-enabled) invoked
+    with LATERAL — the third UDTF shape beside applyInPandas
+    (grouped) and mapInPandas (partition-wise): a correlated
+    per-row table function, here chunking documents into 32-token
+    windows (the sequence-chunking step before tokenization in
+    training pipelines; ns_pack_sequences then packs the chunks).
+    The UDTF body is pure per-row Python generating bounded output
+    (⌈n_tokens/32⌉ rows), shipped over Arrow batches; the lateral
+    join stays partition-local — no shuffle until a downstream agg.
+    For hot paths the same semantics compile to posexplode (see
+    lateral_explode); this row is the EXTENSIBILITY seam the
+    reference exposed as its serde class (A26)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    spark.udtf.register("chunk_docs", make_chunk_docs())
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT i.doc_id, c.chunk_idx, c.n_tokens, c.first_tok
+        FROM udtf_docs_in i, LATERAL chunk_docs(i.text) c
+        """
+    )

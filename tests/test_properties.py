@@ -439,3 +439,49 @@ def test_bloom_filter_injected(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sorted_layout_rowgroup_stats(spark):
+    """sink_sorted_layout must produce multiple row groups whose
+    event_id min/max ranges are narrow and disjoint (globally
+    sorted layout), and the selective filter must reach the parquet
+    scan — together these are what make row-group skipping
+    effective."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flume_hive_batched_sink_spark.scratch import SCRATCH
+
+    df = QUERIES["sink_sorted_layout"](spark, SF_SMALL)
+    df.collect()
+    root = os.path.join(SCRATCH, "sorted_layout")
+    files = [
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".parquet")
+    ]
+    spans = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        sch = md.schema.to_arrow_schema()
+        eid_idx = sch.names.index("event_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(eid_idx).statistics
+            spans.append((st.min, st.max))
+    n_groups = len(spans)
+    assert n_groups >= 4, f"want multiple row groups, got {n_groups}"
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    avg_span = sum(s[1] - s[0] for s in spans) / n_groups
+    assert avg_span < (hi - lo) / 2, (
+        f"sorted layout should give narrow row groups: avg {avg_span} "
+        f"vs full {hi - lo}"
+    )
+    back = spark.read.parquet(root).filter(
+        F.col("event_id").between(1000, 1999)
+    )
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "event_id" in plan
