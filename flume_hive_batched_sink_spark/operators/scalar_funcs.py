@@ -257,3 +257,36 @@ def f_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.inner.pri"), F.lit(":"), F.col("s.inner.cust").cast("string")
         ).alias("packed"),
     )
+
+
+@query(
+    "f_bitwise",
+    """
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xored,
+           CAST(bit_count(event_id) AS INT) AS popcount,
+           event_id << 3 AS shl3,
+           event_id >> 2 AS shr2
+    FROM events
+    WHERE event_id < 4096
+    """,
+)
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR, popcount, shifts — the
+    primitives behind every hash/bucket/bitmask routine in the
+    engine (minhash band packing, simhash bit votes, salted keys).
+    All codegen'd JVM intrinsics; the WHERE bound keeps shifts far
+    from the int64 sign bit so both engines agree without overflow
+    semantics entering (Spark ANSI would throw, DuckDB wraps)."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 4096).select(
+        "event_id",
+        F.col("event_id").bitwiseAND(255).alias("low_byte"),
+        F.col("event_id").bitwiseOR(4096).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.bit_count("event_id").alias("popcount"),
+        F.shiftleft("event_id", 3).alias("shl3"),
+        F.shiftright("event_id", 2).alias("shr2"),
+    )

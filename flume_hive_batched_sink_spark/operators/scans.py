@@ -568,3 +568,52 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("min_eid"),
         F.max("event_id").cast("bigint").alias("max_eid"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM (
+      SELECT user_id,
+             CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+      FROM events
+    ) t
+    GROUP BY event_type
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across landed batches: an early batch written
+    WITHOUT `event_type` (the column didn't exist yet) and a later
+    batch with it are read as ONE table via `mergeSchema` — old rows
+    surface NULL for the added column instead of failing the scan.
+    This is the add-column path every long-lived landing table hits
+    (the reference pinned its schema in serde properties and would
+    reject evolved events; a lakehouse table must absorb them).
+    Merge cost is footer-only (per-file schema union at planning
+    time); at 100 TB the practice is to pin the merged schema in the
+    catalog and pass it explicitly — same plan, no footer sweep."""
+    ev = tbl(spark, sf_dir, "events")
+    root = os.path.join(SCRATCH, "schema_evo")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "v1"))
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "user_id", "event_type")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "v2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").cast("bigint").alias("sum_uid"),
+    )
