@@ -81,6 +81,10 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
+    # The r01 headline set is the first 15 entries; its subtotal is the
+    # round-over-round comparable number (the full set grows as fixed /
+    # rebuilt queries are promoted into the bench for visibility).
+    r01_subtotal = round(sum(timings[n] for n in HEADLINE[:15]), 3)
     print(
         json.dumps(
             {
@@ -89,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r01_comparable_subtotal": r01_subtotal,
             }
         )
     )

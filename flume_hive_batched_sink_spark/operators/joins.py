@@ -445,3 +445,68 @@ def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_range_bucketed",
+    f"""
+    SELECT o.o_orderkey, COUNT(*) AS n_items,
+           {sql_dsum("l.l_quantity", "qty_sum")}
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join — NO equi key: lineitems shipped inside each
+    urgent order's 2-day window. Written naively (`l.ship BETWEEN
+    o.date AND o.date+2d`) Spark has no equi condition and plans a
+    BroadcastNestedLoopJoin — |orders|×|lineitem| comparisons, the
+    classic range-join scale-killer.
+
+    Scale path: discretize. Each order interval explodes into its
+    covered day buckets (`sequence` — bounded by interval/bucket
+    ratio, here 2 rows), lineitem maps to its single day bucket, and
+    the join becomes an EQUI join on the bucket followed by the exact
+    range predicate. Each lineitem day matches at most one exploded
+    bucket per order, so no dedup is needed. Work is
+    Σ_bucket |orders∩b|·|items∩b| — linear in co-bucketed pairs,
+    shuffle-partitioned by day, never all-pairs. (Same trick
+    Databricks' range-join hints and PostGIS grid joins use.)"""
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    day = lambda c: F.floor(F.col(c).cast("long") / 86400).cast("bigint")  # noqa: E731
+    o_b = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("long").alias("start_s"),
+        (F.col("o_orderdate").cast("long") + 2 * 86400).alias("end_s"),
+    ).select(
+        "o_orderkey",
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / 86400).cast("bigint"),
+                F.floor((F.col("end_s") - 1) / 86400).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    l_b = li.select(
+        F.col("l_quantity"),
+        F.col("l_shipdate").cast("long").alias("ship_s"),
+        day("l_shipdate").alias("bucket"),
+    )
+    return (
+        o_b.join(l_b, "bucket")
+        .filter(
+            (F.col("ship_s") >= F.col("start_s"))
+            & (F.col("ship_s") < F.col("end_s"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "qty_sum"))
+    )

@@ -744,3 +744,135 @@ def ns_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate"
         ),
     )
+
+
+# ---------- PII redaction ----------
+
+# Redaction patterns (RE2 ⊂ Java-regex compatible subset — no
+# backrefs/lookarounds, so Spark and DuckDB compile identically).
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[a-z]"
+_PII_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+@query(
+    "ns_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                       ELSE '' END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(raw, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ip,
+           length(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}',
+                  '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'))
+             AS clean_len,
+           substring(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}',
+                  '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'),
+                  greatest(length(raw) - 59, 1), 40) AS tail_snippet
+    FROM aug
+    """,
+)
+def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-category audit counts — the compliance
+    pass every training-data pipeline runs before tokenization. The
+    fixture text is synthetic word salad, so deterministic PII
+    (emails on doc_id%3, IPv4s on doc_id%5) is planted column-side
+    first; the scrub then detects and replaces it, and the audit
+    counts vary 0/1 per category so the oracle actually checks the
+    detector, not a constant.
+
+    Scale: row-local `regexp_replace`/`regexp_count` — whole-stage
+    codegen, zero shuffle, embarrassingly parallel. Patterns are the
+    RE2-compatible subset so the same strings compile in Java regex
+    (Spark) and RE2 (DuckDB) with identical semantics."""
+    d = tbl(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+        _PII_IPV4,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_IPV4)).alias("n_ip"),
+        F.length(clean).alias("clean_len"),
+        F.substring(
+            clean, F.greatest(F.length("raw") - 59, F.lit(1)), F.lit(40)
+        ).alias("tail_snippet"),
+    )
+
+
+# ---------- training-shard export planning ----------
+
+
+@query(
+    "ns_shard_plan",
+    """
+    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ns_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data export: docs
+    hash into 16 shards by the first md5 hex digit of the key, with
+    per-shard balance stats (row/char counts, language spread). The
+    stats are the pre-flight audit that shard sizes are balanced
+    before a 100 TB write fans out one task per shard.
+
+    Scale: assignment is row-local (md5 is the same algorithm in
+    both engines — partition-count-independent, re-run-stable, unlike
+    `rand()` or `monotonically_increasing_id`); the audit is one hash
+    aggregation on a 16-value key. The real export would
+    `.repartition("shard").write.partitionBy("shard")` — same key,
+    same single shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
