@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .registry import query, tbl
 
@@ -592,4 +593,65 @@ def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("containment", containment)
         .filter(F.col("containment") >= 0.6)
         .select("doc_a", "doc_b", "containment")
+    )
+
+
+@query(
+    "ns_dedup_canonical",
+    f"""
+    WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+    bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE t(x, y) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
+      )
+      SELECT * FROM t
+    ),
+    clusters AS (
+      SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+      FROM reach GROUP BY x
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.n_chars,
+           CAST(CASE WHEN row_number() OVER (
+               PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id) = 1
+             THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    """,
+)
+def ns_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's DELIVERABLE: a keep/drop manifest. Every
+    doc gets its duplicate-cluster id (itself if unclustered) and a
+    keep flag — the canonical representative is the longest doc in
+    the cluster (ties → lowest doc_id), everything else is dropped.
+    This is the step that turns pairwise/cluster dedup output into
+    the filtered training corpus.
+
+    Scale: clusters come from the label-propagation component pass
+    (shuffles sized to the pair graph); the manifest itself is one
+    left join on doc_id plus one row_number window partitioned by
+    cluster_id — both keyed shuffles, no skew (cluster sizes are
+    dup-group sizes, bounded by the near-dup structure, and the
+    window per cluster is O(|cluster| log |cluster|))."""
+    clusters = ns_dedup_clusters(spark, sf_dir)
+    d = tbl(spark, sf_dir, "documents")
+    joined = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )

@@ -617,3 +617,72 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("user_id").cast("bigint").alias("sum_uid"),
     )
+
+
+@query(
+    "sink_overwrite_dynamic",
+    f"""
+    WITH routed AS (
+      SELECT *, {sql_logdate('ts', 86400)} AS logdate FROM events
+    ),
+    final AS (
+      SELECT event_id, value, logdate FROM routed
+      WHERE logdate <> (SELECT MIN(logdate) FROM routed)
+      UNION ALL
+      SELECT event_id, value * 2 AS value, logdate FROM routed
+      WHERE logdate = (SELECT MIN(logdate) FROM routed)
+    )
+    SELECT logdate, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM final GROUP BY logdate
+    """,
+)
+def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition re-landing — the reference's re-run story
+    (a failed/replayed batch lands again into ITS partition without
+    touching the rest of the table; the reference did this with
+    in-use file renames + a bookkeeping table,
+    HiveBatchedSink.scala / UpdateSinkDetailCallback.scala). Spark
+    form: `partitionOverwriteMode=dynamic` — `mode("overwrite")`
+    replaces ONLY the partitions present in the incoming batch.
+
+    The test lands the full table, then re-lands a corrected batch
+    (value×2) for the earliest logdate only; the audit proves the
+    corrected partition was replaced (no doubled rows = idempotent
+    re-run) and every other partition is untouched.
+
+    Scale: the second write's cost is O(batch), not O(table) — the
+    commit swaps one partition directory. `repartition(logdate)`
+    keeps one writer task per partition (no small files)."""
+    ev = tbl(spark, sf_dir, "events")
+    routed = ev.select(
+        "event_id", "value", derive_logdate("ts", 86400).alias("logdate")
+    )
+    out = os.path.join(SCRATCH, "sink_overwrite_dynamic")
+    (
+        routed.repartition("logdate")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("logdate")
+        .parquet(out)
+    )
+    first_day = routed.agg(F.min("logdate")).collect()[0][0]  # one scalar
+    corrected = routed.filter(F.col("logdate") == first_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.repartition("logdate")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("logdate")
+        .parquet(out)
+    )
+    landed = spark.read.parquet(out)
+    # partition-dir values read back type-inferred; pin to string
+    landed = landed.withColumn("logdate", F.col("logdate").cast("string"))
+    return landed.groupBy("logdate").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -876,3 +876,60 @@ def ns_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------- URL canonicalization ----------
+
+
+@query(
+    "ns_url_canonicalize",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM/docs/'
+               || CAST(doc_id AS VARCHAR) || '/?ref=' || lang
+               || '&utm_source=feed#frag' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+           lower(regexp_extract(url, '://([^/?#]+)', 1)) AS host,
+           regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
+           lower(regexp_extract(url, '://([^/?#]+)', 1))
+             || regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
+                               '/+$', '')
+             AS canonical
+    FROM urls
+    """,
+)
+def ns_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the key step before URL-level dedup of a
+    web corpus (case-fold scheme/host, strip query string + fragment +
+    trailing slash; path stays case-sensitive per RFC 3986). URLs are
+    synthesized from doc columns (the fixture has none) with mixed
+    case, tracking params, and a fragment, so every normalization
+    rule is exercised and oracle-checked.
+
+    Scale: row-local regexp_extract (RE2⊂Java subset) — whole-stage
+    codegen, zero shuffle. The downstream dedup is then an exact
+    hash-groupBy on `canonical` (see ns_dedup_exact for the shape)."""
+    d = tbl(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?ref="),
+        F.col("lang"),
+        F.lit("&utm_source=feed#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", "://([^/?#]+)", 1))
+    path = F.regexp_extract("url", "://[^/?#]+([^?#]*)", 1)
+    return u.select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", "^([a-zA-Z]+)://", 1)).alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        F.concat(host, F.regexp_replace(path, "/+$", "")).alias("canonical"),
+    )
