@@ -411,17 +411,19 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plans are optimized lazily at action time, so the result is
     materialized EAGERLY (localCheckpoint) inside the conf scope —
-    restoring confs first and returning a lazy plan would silently
-    plan without the bloom filter."""
-    conf = spark.conf
-    saved = {k: conf.get(k) for k in _BLOOM_CONFS}
+    returning a lazy plan would silently plan without the bloom
+    filter. The scoped confs are set on a dedicated child session
+    (`spark.newSession()`: shared SparkContext/cached data, isolated
+    SQLConf), so a concurrently-built query on the caller's session
+    can never plan under the altered thresholds."""
+    scoped = spark.newSession()
+    # newSession inherits SparkConf-time settings but not runtime
+    # conf.set ones — carry over the two that affect semantics/shape.
+    for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
+        scoped.conf.set(k, spark.conf.get(k))
     for k, v in _BLOOM_CONFS.items():
-        conf.set(k, v)
-    try:
-        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
-    finally:
-        for k, v in saved.items():
-            conf.set(k, v)
+        scoped.conf.set(k, v)
+    return _bloom_join_frame(scoped, sf_dir).localCheckpoint(eager=True)
 
 
 _BLOOM_CONFS = {

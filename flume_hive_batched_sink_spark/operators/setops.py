@@ -38,6 +38,11 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIG_SPENDERS = "SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000"
 _AUTO_SEG = "SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+# set_except uses a higher spend bar: at the correctness SF nearly
+# every customer clears 150k at least once, which made the EXCEPT
+# empty — a vacuous green that can't catch broken semantics. 350k
+# leaves a small non-empty remainder at sf0.01 (verified: 17 rows).
+_HUGE_SPENDERS = "SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000"
 
 
 @query(
@@ -79,16 +84,16 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_except",
-    f"({_AUTO_SEG}) EXCEPT ({_BIG_SPENDERS})",
+    f"({_AUTO_SEG}) EXCEPT ({_HUGE_SPENDERS})",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Automobile-segment customers who are not big spenders."""
+    """Automobile-segment customers who never placed a >350k order."""
     o = tbl(spark, sf_dir, "orders")
     c = tbl(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
         F.col("c_custkey").alias("custkey")
     )
-    b = o.filter(F.col("o_totalprice") > 150000).select(
+    b = o.filter(F.col("o_totalprice") > 350000).select(
         F.col("o_custkey").alias("custkey")
     )
     return a.subtract(b)  # distinct EXCEPT semantics

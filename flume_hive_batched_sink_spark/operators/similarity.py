@@ -141,6 +141,15 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_BANDS = 4
 _PLANES_PER_BAND = 8
 _N_PLANES = _N_BANDS * _PLANES_PER_BAND
+
+# ns_dedup_embedding output threshold. A production near-dup bar is
+# ~0.95, but the synthetic sf-series corpus's maximum pairwise cosine
+# is ~0.51 — at 0.95 the operator (and its oracle) returned 0 rows, a
+# vacuous green. 0.40 keeps ~10 LSH-candidate pairs at sf0.01 so the
+# driver hash-checks real values; high-cosine recall is separately
+# property-tested on planted near-dups (test_lsh_planted_near_dup_
+# recall). The constant feeds BOTH engines, so they stay in lockstep.
+_DEDUP_TAU = 0.40
 _rng = np.random.RandomState(42)
 _PLANES = _rng.normal(size=(_N_PLANES, 64)).astype("float64")
 
@@ -319,17 +328,18 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots
     JOIN norms na ON na.vec_id = dots.ida
     JOIN norms nb ON nb.vec_id = dots.idb
-    WHERE dots.dot / (na.nrm * nb.nrm) >= 0.95
+    WHERE dots.dot / (na.nrm * nb.nrm) >= {_DEDUP_TAU}
     """,
 )
 def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) via multi-band
+    """Embedding-cosine near-dup pairs (cosine ≥ `_DEDUP_TAU`) via multi-band
     LSH: candidate pairs share at least one (band, bucket); exact
     decimal cosine is computed on candidates only. The pair join is a
     keyed (shuffle) join on (band, bucket) over exploded key rows —
     per-bucket work is Σ|bucket|² per band, never the all-pairs
     |corpus|² product, and no corpus-sized broadcast exists. Recall
-    at the 0.95 threshold is ~0.96 (see the band math at `_N_BANDS`),
+    at a production 0.95 bar is ~0.96 (see the band math at
+    `_N_BANDS`; `_DEDUP_TAU` explains the test-corpus setting),
     property-tested on planted near-dups. The oracle buckets
     identically (hyperplanes are baked literals, decimal-exact sign
     math on both engines), so this is oracle-checked despite being an
@@ -365,7 +375,7 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(a, "vec_a")
         .join(b, "vec_b")
         .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= _DEDUP_TAU)
         .select("vec_a", "vec_b", "cosine")
     )
 

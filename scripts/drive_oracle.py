@@ -1,6 +1,8 @@
 """Drive queries() vs oracle_sql() the way the driver's t2 gate does.
 
-Usage: python scripts/drive_oracle.py [sf_dir]   (default sf0.01)
+Usage: python scripts/drive_oracle.py [sf_dir] [name ...]
+(default sf0.01, all queries; trailing names restrict the run —
+`front` expands to the current round's fronted window.)
 Prints per-query OK/MISMATCH/ERROR + timing and a final BAD count.
 """
 import os
@@ -28,6 +30,11 @@ spark.sparkContext.setLogLevel("ERROR")
 
 con = duck_connection(SF)
 qs, osql = e.queries(), e.oracle_sql()
+only = set(sys.argv[2:])
+if "front" in only:
+    only = (only - {"front"}) | set(e._ROUND4_FRONT)
+if only:
+    qs = {n: f for n, f in qs.items() if n in only}
 bad = []
 for name in sorted(qs):
     t0 = time.time()
