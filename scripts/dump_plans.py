@@ -1,13 +1,19 @@
-"""Dump formatted physical plans for the headline queries → PLANS.md.
+"""Dump formatted physical plans for the headline queries → PLANS.md,
+and machine-check the scale-critical plan properties → PLANCHECK.json.
 
-Run after operator changes; the artifact documents that filters reach
+Run after operator changes; PLANS.md documents that filters reach
 the scans, dims broadcast, aggregates are two-phase, and bucketed
 joins carry no Exchange — the plan properties the 100 TB design
-relies on (README "Design for 100 TB").
+relies on (README "Design for 100 TB"). PLANCHECK.json mirrors the
+pytest plan assertions (tests/test_properties.py) as a standalone
+artifact: each row is {property, pass, evidence} so the pushdown /
+zero-Exchange / might_contain / row-group-skipping claims are
+verifiable without running Spark.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -36,6 +42,115 @@ PLAN_QUERIES = [
 ]
 
 
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_checks(spark, sf_dir: str) -> list[dict]:
+    """The scale-critical plan properties, as checkable facts. Each
+    mirrors a pytest assertion; the JSON artifact exists so the claims
+    are auditable without a Spark session."""
+    checks: list[dict] = []
+
+    def add(name: str, prop: str, ok: bool, evidence: str) -> None:
+        checks.append(
+            {"query": name, "property": prop, "pass": bool(ok),
+             "evidence": evidence[:300]}
+        )
+
+    # scan_pruned: predicate pushdown + column pruning reach parquet.
+    p = _executed(ops.QUERIES["scan_pruned"](spark, sf_dir))
+    pushed = ""
+    if "PushedFilters: [" in p:
+        pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0].strip()
+    add("scan_pruned", "parquet scan has non-empty PushedFilters",
+        bool(pushed), f"PushedFilters: [{pushed}]")
+    rs = ""
+    if "ReadSchema: " in p:
+        rs = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0].strip()
+    add("scan_pruned", "ReadSchema pruned to referenced columns",
+        0 < rs.count(":") <= 4, f"ReadSchema: {rs}")
+
+    # scan_dpp_join: runtime dynamic partition pruning on the fact scan.
+    p = _formatted(ops.QUERIES["scan_dpp_join"](spark, sf_dir))
+    add("scan_dpp_join", "fact scan carries dynamicpruning expression",
+        "dynamicpruning" in p.lower(),
+        next((ln.strip() for ln in p.splitlines()
+              if "dynamicpruning" in ln.lower()), "NOT FOUND"))
+
+    # join_bucketed: co-located join — zero Exchange, bucketed scans.
+    p = _executed(ops.QUERIES["join_bucketed"](spark, sf_dir))
+    add("join_bucketed", "zero Exchange in executed plan",
+        "Exchange" not in p, "plan contains no Exchange node"
+        if "Exchange" not in p else "Exchange FOUND")
+    add("join_bucketed", "scans are bucketed", "Bucketed: true" in p,
+        "Bucketed: true present" if "Bucketed: true" in p
+        else "Bucketed: true MISSING")
+
+    # join_bloom_runtime: runtime bloom semi-join filter on the fact
+    # scan (plan built the same way the operator does — child session).
+    from flume_hive_batched_sink_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    scoped = spark.newSession()
+    for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
+        scoped.conf.set(k, spark.conf.get(k))
+    for k, v in _BLOOM_CONFS.items():
+        scoped.conf.set(k, v)
+    p = _executed(_bloom_join_frame(scoped, sf_dir))
+    add("join_bloom_runtime", "might_contain(bloom) filters fact scan",
+        "might_contain" in p,
+        next((ln.strip() for ln in p.splitlines()
+              if "might_contain" in ln), "NOT FOUND"))
+
+    # sort_limit_topk: top-k without a global sort.
+    p = _executed(ops.QUERIES["sort_limit_topk"](spark, sf_dir))
+    add("sort_limit_topk", "plans as TakeOrderedAndProject (no global sort)",
+        "TakeOrderedAndProject" in p,
+        "TakeOrderedAndProject present" if "TakeOrderedAndProject" in p
+        else "MISSING")
+
+    # join_multiway: dims under BroadcastExchange (fact never broadcast).
+    p = _executed(ops.QUERIES["join_multiway"](spark, sf_dir))
+    n_bcast = p.count("BroadcastExchange")
+    add("join_multiway", "dimension tables broadcast (>=2 BroadcastExchange)",
+        n_bcast >= 2, f"{n_bcast} BroadcastExchange nodes")
+
+    # sink_sorted_layout: execution artifact — sorted, disjoint,
+    # skippable row groups (requires running the write).
+    import pyarrow.parquet as pq
+
+    from flume_hive_batched_sink_spark.scratch import SCRATCH
+
+    ops.QUERIES["sink_sorted_layout"](spark, sf_dir).collect()
+    root = os.path.join(SCRATCH, "sorted_layout")
+    spans = []
+    for f in os.listdir(root):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        idx = md.schema.to_arrow_schema().names.index("event_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    spans.sort()
+    disjoint = all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    add("sink_sorted_layout",
+        "row-group event_id ranges are disjoint (skippable layout)",
+        len(spans) >= 4 and disjoint,
+        f"{len(spans)} row groups, disjoint={disjoint}, "
+        f"first span={spans[0] if spans else None}")
+    return checks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="dump-plans")
@@ -54,13 +169,24 @@ def main() -> None:
     ]
     for name in PLAN_QUERIES:
         df = ops.QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = _formatted(df)
         lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}")
+
+    checks = plan_checks(spark, sf_dir)
+    check_path = os.path.join(os.path.dirname(out_path), "PLANCHECK.json")
+    with open(check_path, "w") as f:
+        json.dump(
+            {"sf_dir": sf_dir, "n_pass": sum(c["pass"] for c in checks),
+             "n_total": len(checks), "checks": checks},
+            f, indent=2,
+        )
+    print(f"wrote {check_path}: "
+          f"{sum(c['pass'] for c in checks)}/{len(checks)} pass")
+    if not all(c["pass"] for c in checks):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

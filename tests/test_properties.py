@@ -395,6 +395,48 @@ def test_ann_ivf_produces_ranked_candidates(spark):
         assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines), (q, cosines)
 
 
+def test_ann_ivf_planted_twin_recall(spark, tmp_path):
+    """Plant a near-identical twin (cosine ≈ 0.9999) for each of the 5
+    probe vectors and assert IVF finds it: the twin quantizes to the
+    same (or an adjacent) centroid cell as its probe, so with nprobe=2
+    the candidate set must contain it and the exact re-rank must put a
+    ~0.9999-cosine neighbor at rank 1 (corpus max is ~0.5). Mirrors
+    test_lsh_planted_near_dup_recall for the IVF path; recall@top3
+    ≥ 0.8 tolerates at most one knife-edge cell-boundary miss."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    base = load_table(spark, SF_SMALL, "embeddings").collect()
+    rows = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in base]
+    twin_of = {}
+    for q in range(5):
+        emb = dict(rows)[q]
+        twin = [x + 0.005 * ((i % 2) * 2 - 1) for i, x in enumerate(emb)]
+        # twin ids chosen so none is % 50 == 0 (would become a centroid)
+        twin_id = 1_000_001 + q
+        rows.append((twin_id, twin))
+        twin_of[q] = twin_id
+    planted_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{planted_dir}/embeddings.parquet")
+    got = QUERIES["ns_similarity_ann_ivf"](spark, planted_dir).collect()
+    top = {}
+    for r in got:
+        top.setdefault(r.query_id, []).append((r.cosine, r.neighbor_id))
+    hits = sum(
+        1
+        for q, twin_id in twin_of.items()
+        if twin_id in [n for _, n in top.get(q, [])]
+    )
+    recall = hits / len(twin_of)
+    assert recall >= 0.8, f"planted twin recall {recall}: {top}"
+    # and when found, the twin must be rank 1 with near-1 cosine
+    for q, twin_id in twin_of.items():
+        ranked = sorted(top.get(q, []), reverse=True)
+        if ranked and ranked[0][1] == twin_id:
+            assert ranked[0][0] > 0.99, ranked[0]
+
+
 def test_approx_percentile_error_bound(spark):
     """Sketch percentiles must be within rank error of the exact ones
     (accuracy=1000 → ~0.1% rank error; allow generous slack)."""
