@@ -67,7 +67,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for field in df.schema.fields:
-        if field.name in ns_cols:
+        # ns_cols comes from the pyarrow footer, which also reports
+        # legacy INT96 timestamps as ns — those decode to TIMESTAMP in
+        # Spark regardless of the nanosAsLong flag, so gate the int64
+        # ns→µs conversion on the type Spark actually read.
+        if field.name in ns_cols and field.dataType.typeName() == "long":
             # int64 nanos → truncate to µs (matches DuckDB's ns→µs
             # cast). Integer DIV — a double division would lose
             # precision above 2^53 ns.

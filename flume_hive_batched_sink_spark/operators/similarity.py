@@ -138,9 +138,24 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on ONE band (OR-amplification): for true cosine s, per-plane
 # collision p = 1 - arccos(s)/π, recall = 1-(1-p^8)^4 — ~0.96 at
 # s=0.95 where a single 8-plane band gives only ~0.43.
+#
+# Sizing at scale: a band with k planes has 2^k buckets, and the
+# candidate-pair work is Σ|bucket|² per band — for a corpus of n
+# near-uniform vectors that is ~n²/2^k, so k MUST grow with the
+# corpus (k ≈ log2(n / target_bucket_size)). The 8-plane default is
+# sized for the sf-series test corpora AND baked into the DuckDB
+# oracle literals; at 10⁸-10⁹ vectors pass planes_per_band=16-24
+# (65k-16M buckets/band) to `embedding_features`/`band_keys` — twin
+# recall at near-dup cosines stays ≈1.0 (0.9955^16 per band ⇒ ~0.999
+# over 4 bands at s=0.9999) while bucket occupancy stays bounded.
+# The scale configuration is property-tested in
+# tests/test_properties.py::test_lsh_scale_band_config.
 _N_BANDS = 4
 _PLANES_PER_BAND = 8
 _N_PLANES = _N_BANDS * _PLANES_PER_BAND
+# one deterministic gaussian pool; prefixes are stable, so the
+# oracle-baked default planes are exactly _PLANE_POOL[:32]
+_MAX_PLANES = 192
 
 # ns_dedup_embedding output threshold. A production near-dup bar is
 # ~0.95, but the synthetic sf-series corpus's maximum pairwise cosine
@@ -151,21 +166,27 @@ _N_PLANES = _N_BANDS * _PLANES_PER_BAND
 # recall). The constant feeds BOTH engines, so they stay in lockstep.
 _DEDUP_TAU = 0.40
 _rng = np.random.RandomState(42)
-_PLANES = _rng.normal(size=(_N_PLANES, 64)).astype("float64")
+_PLANE_POOL = _rng.normal(size=(_MAX_PLANES, 64)).astype("float64")
+_PLANES = _PLANE_POOL[:_N_PLANES]
 
 
-def _planes_by_pos(spark: SparkSession) -> DataFrame:
+def _planes_by_pos(spark: SparkSession, n_planes: int = _N_PLANES) -> DataFrame:
     """Broadcast-side constants: one row per vector position j, with
-    the 32 plane coefficients at j as an array. Built from baked
+    the n_planes plane coefficients at j as an array. Built from baked
     literals — deterministic across runs, retries, and engines."""
     rows = [
-        (j, [float(_PLANES[i][j]) for i in range(_N_PLANES)])
+        (j, [float(_PLANE_POOL[i][j]) for i in range(n_planes)])
         for j in range(64)
     ]
     return spark.createDataFrame(rows, "pos int, p array<double>")
 
 
-def embedding_features(spark: SparkSession, em: DataFrame) -> DataFrame:
+def embedding_features(
+    spark: SparkSession,
+    em: DataFrame,
+    n_bands: int = _N_BANDS,
+    planes_per_band: int = _PLANES_PER_BAND,
+) -> DataFrame:
     """vec_id, embedding, nrm, band0.._N_BANDS-1 bucket ids — the
     norm and ALL 32 plane dots in ONE explode → broadcast-join →
     groupBy(vec_id) pass. Every sum is a codegen'd conditional
@@ -175,22 +196,29 @@ def embedding_features(spark: SparkSession, em: DataFrame) -> DataFrame:
     at 32 planes. Dots fold through decimal (order-insensitive exact
     sum), so each sign — and therefore each bucket — is reproducible
     bit-for-bit in any engine, including the DuckDB oracle twin
-    (`_SQL_BAND_BUCKETS`)."""
+    (`_SQL_BAND_BUCKETS`).
+
+    `n_bands`/`planes_per_band` select the band geometry (see the
+    sizing note at `_N_BANDS`); the defaults are the oracle-baked
+    test-corpus configuration, larger corpora pass more planes."""
+    n_planes = n_bands * planes_per_band
+    if n_planes > _MAX_PLANES:
+        raise ValueError(f"{n_planes} planes > pool of {_MAX_PLANES}")
     ex = em.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x_raw")
     ).select("vec_id", "pos", F.col("x_raw").cast("double").alias("x"))
-    j = ex.join(F.broadcast(_planes_by_pos(spark)), "pos")
+    j = ex.join(F.broadcast(_planes_by_pos(spark, n_planes)), "pos")
     aggs = [
         F.sum((F.col("x") * F.col("p")[i]).cast(_DEC)).alias(f"pdot{i}")
-        for i in range(_N_PLANES)
+        for i in range(n_planes)
     ]
     aggs.append(F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("nrm_sq"))
     wide = j.groupBy("vec_id").agg(*aggs)
     buckets = []
-    for b in range(_N_BANDS):
+    for b in range(n_bands):
         col = F.lit(0).cast("bigint")
-        for k in range(_PLANES_PER_BAND):
-            i = b * _PLANES_PER_BAND + k
+        for k in range(planes_per_band):
+            i = b * planes_per_band + k
             col = col + (
                 F.when(F.col(f"pdot{i}") > 0, F.lit(1 << k)).otherwise(0)
             )
@@ -203,14 +231,14 @@ def embedding_features(spark: SparkSession, em: DataFrame) -> DataFrame:
     return feat.join(em, "vec_id")
 
 
-def band_keys(feats: DataFrame) -> DataFrame:
+def band_keys(feats: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     """(vec_id, band, bucket) join keys — one row per band. At 100 TB
     this (not the vector) is the shuffle payload for candidate
     generation."""
     return feats.select(
         "vec_id",
         F.posexplode(
-            F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
         ).alias("band", "bucket"),
     )
 

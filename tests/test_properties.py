@@ -395,6 +395,51 @@ def test_ann_ivf_produces_ranked_candidates(spark):
         assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines), (q, cosines)
 
 
+def test_lsh_scale_band_config(spark):
+    """The at-scale band geometry (16 planes/band → 65k buckets/band,
+    see the sizing note at similarity._N_BANDS) must (a) keep planted
+    near-dup recall ≥0.9 — per-plane collision 0.9955 at cosine
+    0.9999 ⇒ band collision ~0.93, ~1.0 over 4 bands — and (b) cut
+    candidate volume vs the 8-plane default on unrelated vectors
+    (more buckets ⇒ smaller Σ|bucket|² ⇒ sub-quadratic work)."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        band_keys,
+        embedding_features,
+    )
+
+    base = load_table(spark, SF_SMALL, "embeddings").limit(100).collect()
+    rows = []
+    for r in base:
+        emb = [float(x) for x in r.embedding]
+        rows.append((int(r.vec_id), emb))
+        twin = [x + 0.005 * ((i % 2) * 2 - 1) for i, x in enumerate(emb)]
+        rows.append((int(r.vec_id) + 1_000_000, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def stats(planes_per_band):
+        keys = band_keys(
+            embedding_features(spark, df, 4, planes_per_band), 4
+        ).persist()
+        a = keys.select(F.col("vec_id").alias("ida"), "band", "bucket")
+        b = keys.select(F.col("vec_id").alias("idb"), "band", "bucket")
+        pairs = a.join(b, ["band", "bucket"]).filter(
+            F.col("ida") < F.col("idb")
+        )
+        twins = pairs.filter(F.col("idb") == F.col("ida") + 1_000_000)
+        n_twin = twins.select("ida").distinct().count()
+        n_cand = pairs.select("ida", "idb").distinct().count()
+        keys.unpersist()
+        return n_twin, n_cand
+
+    twin8, cand8 = stats(8)
+    twin16, cand16 = stats(16)
+    assert twin16 / len(base) >= 0.9, f"scale-config recall {twin16 / len(base)}"
+    # non-dup candidate volume must shrink with the bucket count
+    noise8, noise16 = cand8 - twin8, cand16 - twin16
+    assert noise16 < noise8, (noise8, noise16)
+
+
 def test_ann_ivf_planted_twin_recall(spark, tmp_path):
     """Plant a near-identical twin (cosine ≈ 0.9999) for each of the 5
     probe vectors and assert IVF finds it: the twin quantizes to the
