@@ -23,17 +23,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 129 queries are registered (SURVEY §2 Part B, complete), so full
+# 135 queries are registered (SURVEY §2 Part B, complete), so full
 # driver coverage needs rotation across rounds: r01 checked the first
 # 50 in registration order; r02/r03 fronted the six r01-red fixes plus
 # 44 oracle-backed never-checked rows (all green). Round 4 fronts the
 # remaining 35 queries that have never appeared in a CORRECTNESS file,
-# plus re-checks of the two queries whose semantics changed this round
+# re-checks of the two queries whose semantics changed this round
 # (`set_except` and `ns_dedup_embedding` were de-vacuated: thresholds
 # tuned so sf0.01 output is non-empty and the hash check is no longer
-# trivially satisfied by two empty results). Every entry remains
-# present and locally value-equal-gated (tests/test_oracle_parity.py
-# covers all 129) regardless of window position.
+# trivially satisfied by two empty results), and the six operators
+# added this round — 43 rows, all inside one window. Every entry
+# remains present and locally value-equal-gated
+# (tests/test_oracle_parity.py covers all 135) regardless of window
+# position.
 _ROUND4_FRONT = [
     # never driver-checked — B5 windows + gap-fill:
     "win_rank",
@@ -79,6 +81,13 @@ _ROUND4_FRONT = [
     # changed this round (de-vacuated 0-row greens) — re-check:
     "set_except",
     "ns_dedup_embedding",
+    # new this round — first driver check:
+    "win_percent_rank",
+    "ts_resample_ohlc",
+    "ns_dedup_exact_substring",
+    "ns_embedding_filter_join",
+    "ns_lsh_bucket_stats",
+    "ingest_csv_serde",
 ]
 
 

@@ -655,3 +655,64 @@ def ns_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+@query(
+    "ns_dedup_exact_substring",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 39, 1) + 1, 8)) AS i
+      FROM documents WHERE length(text) >= 40
+    ),
+    w AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS win
+      FROM idx
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: doc pairs sharing at least one
+    verbatim 40-char window (stride 8), with the count of shared
+    distinct windows — the fixed-window approximation of
+    suffix-array substring dedup, which catches boilerplate/quoted
+    passages that whole-doc MinHash dilutes away.
+
+    Scale: windows explode per doc (bounded by len/stride, not the
+    corpus), are DISTINCTed per doc, and the pair generation is a
+    keyed self-join on the window value — work is Σ|posting|² over
+    window postings, the inverted-index shape, never all-pairs. At
+    100 TB the join key would be xxhash64(win) (8-byte shuffle
+    payload, re-verify the string on the candidate minority); the
+    raw-string key here keeps the DuckDB oracle bit-identical.
+    The stride misses overlaps shorter than 47 chars that straddle
+    offsets — the standard stride/recall trade of windowed substring
+    dedup."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    wins = (
+        d.filter(F.length("text") >= 40)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - F.lit(39), F.lit(1)),
+                    F.lit(8),
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 40)").alias("win"))
+        .distinct()
+    )
+    a = wins.select(F.col("doc_id").alias("doc_a"), "win")
+    b = wins.select(F.col("doc_id").alias("doc_b"), "win")
+    return (
+        a.join(b, "win")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

@@ -101,6 +101,40 @@ def ingest_parse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_csv_serde",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def ingest_csv_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV serde round-trip through the registered 'csv' parser
+    (`from_csv` under the hood): rows are serialized to CSV lines and
+    parsed back to typed columns — the whole-batch inversion of the
+    reference's per-event CSV deserializer (TextDeserializer.scala:
+    44-68 family). The oracle is the identity projection: the round
+    trip must be lossless (doubles print as shortest-repr strings and
+    parse back bit-exact; JVM codegen end-to-end, no shuffle)."""
+    o = tbl(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    parsed = o.select(
+        parse_column(
+            line,
+            "csv",
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, o_totalprice double",
+        ).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+@query(
     "partition_route",
     f"""
     SELECT event_id, {sql_logdate('CAST(ts AS TIMESTAMP)')} AS logdate,

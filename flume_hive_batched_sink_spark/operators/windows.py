@@ -154,6 +154,85 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(c_acctbal, 2) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_highest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: percent_rank ((rank-1)/(n-1)),
+    cume_dist, and nth_value over the FULL partition frame (the
+    default running frame would make nth_value order-dependent).
+    Both engines compute the two ratios as one double division of
+    identical integers — bit-exact. One shuffle on c_mktsegment."""
+    c = tbl(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_acctbal", 2).over(wfull).alias("second_highest"),
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS bucket,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           LAST(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS n,
+           {sql_dsum("value", "vol")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to 5-minute OHLC bars per event_type — the
+    hypertable/candlestick rollup every metrics store needs. ONE hash
+    aggregate: open/close are `min_by`/`max_by` with a (ts, event_id)
+    struct key (deterministic under ties), high/low/count/volume are
+    plain aggregates — all map-side combinable, one shuffle on
+    (event_type, bucket). No window pass: a sort-based first/last
+    would shuffle the same data twice. Buckets are naive epoch
+    arithmetic (oracle-exact, see registry docstring)."""
+    ev = tbl(spark, sf_dir, "events")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 300).cast("bigint") * 300)
+            .alias("bucket"),
+        )
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.count("*").alias("n"),
+            dsum("value", "vol"),
+        )
+    )
+
+
+@query(
     "ts_gapfill",
     f"""
     WITH daily AS (

@@ -135,11 +135,29 @@ def main() -> None:
         print(f"{name:24s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  "
               f"ratio={ratio:5.1f} (linear≈{k})", flush=True)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.md"), "w") as f:
+    path = os.path.join(root, "SCALING.md")
+    # merge with prior runs: keep one row per query (latest wins), so
+    # partial re-measurements don't clobber the full table or the
+    # hand-written analysis below it
+    merged: dict[str, tuple] = {}
+    trailer = ""
+    if os.path.exists(path):
+        lines = open(path).read().splitlines()
+        for i, ln in enumerate(lines):
+            cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+            if len(cells) == 4 and cells[0] in ops.QUERIES:
+                merged[cells[0]] = tuple(cells[1:])
+            elif merged and ln and not ln.startswith("|"):
+                trailer = "\n".join(lines[i:])
+                break
+    for name, t1, tk, ratio in rows:
+        merged[name] = (f"{t1:.2f}", f"{tk:.2f}", f"{ratio:.1f}")
+    with open(path, "w") as f:
         f.write(
             f"# SCALING — wall-clock at sf0.1 vs a {k}x key-shifted "
             f"blow-up (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])\n\n"
-            "Generated by `python scripts/scale_check.py`. A healthy "
+            "Generated by `python scripts/scale_check.py` (rows merge "
+            "across invocations; latest measurement wins). A healthy "
             f"operator scales ≈ linearly (ratio ≈ {k}); ratios near "
             f"{k * k} mean quadratic work and would not survive 100 TB. "
             "Methodology mirrors bench.py (warmup + best-of-2); the "
@@ -148,8 +166,10 @@ def main() -> None:
             f"| query | 1x sec | {k}x sec | ratio (linear≈{k}) |\n"
             "|---|---|---|---|\n"
         )
-        for name, t1, tk, ratio in rows:
-            f.write(f"| {name} | {t1:.2f} | {tk:.2f} | {ratio:.1f} |\n")
+        for name, cells in merged.items():
+            f.write(f"| {name} | {cells[0]} | {cells[1]} | {cells[2]} |\n")
+        if trailer:
+            f.write("\n" + trailer + "\n")
     print("wrote SCALING.md")
 
 
