@@ -92,6 +92,42 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_weighted_avg",
+    f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             {sql_dsum('l_quantity * l_extendedprice', 'wsum')},
+             {sql_dsum('l_quantity', 'wtot')},
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, wsum, wtot, n, wsum / wtot AS wavg_price
+    FROM g
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted
+    mean every metrics layer needs, kept bit-exact: numerator and
+    denominator are each exact decimal sums cast to double, and both
+    engines then perform the SAME single double division (a naive
+    sum(w*x)/sum(w) in doubles would disagree in low bits across
+    partitionings). One shuffle, map-side combinable."""
+    li = tbl(spark, sf_dir, "lineitem", parallel=True)
+    g = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "wsum"),
+        dsum("l_quantity", "wtot"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "wsum",
+        "wtot",
+        "n",
+        (F.col("wsum") / F.col("wtot")).alias("wavg_price"),
+    )
+
+
+@query(
     "agg_distinct",
     """
     SELECT event_type,

@@ -275,6 +275,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    """
+    SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate,
+           date_diff('day', CAST(asof_orderdate AS DATE), CAST(ts AS DATE))
+             AS staleness_days
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+      JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t
+    WHERE rn = 1 AND asof_orderdate > ts - INTERVAL 30 DAY
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (the feature-store rule:
+    latest order per user at-or-before the event, but only if no
+    older than 30 days — stale features are worse than no features).
+    Since the as-of match is the LATEST order ≤ ts, it is inside the
+    tolerance iff ANY order is, so the bound is a pure post-filter on
+    the carried as-of result — same single-shuffle timeline plan as
+    `join_asof`, plus a staleness column for downstream monitoring."""
+    asof = join_asof(spark, sf_dir)
+    return asof.filter(
+        F.col("asof_orderdate") > F.col("ts") - F.expr("INTERVAL 30 DAY")
+    ).withColumn(
+        "staleness_days",
+        F.datediff(F.col("ts").cast("date"), F.col("asof_orderdate").cast("date"))
+        .cast("bigint"),
+    )
+
+
+@query(
     "join_bucketed",
     """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name

@@ -395,6 +395,18 @@ def test_ann_ivf_produces_ranked_candidates(spark):
         assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines), (q, cosines)
 
 
+def test_driver_front_window_contract():
+    """The driver verifies only the FIRST 50 entries of queries();
+    this round's front list must actually occupy that window (a
+    regression here silently un-verifies operators)."""
+    import __spark_entry__ as e
+
+    q = list(e.queries())
+    assert len(e._ROUND4_FRONT) <= 50
+    assert q[: len(e._ROUND4_FRONT)] == e._ROUND4_FRONT
+    assert len(set(q)) == len(q)
+
+
 def test_lsh_scale_band_config(spark):
     """The at-scale band geometry (16 planes/band → 65k buckets/band,
     see the sizing note at similarity._N_BANDS) must (a) keep planted
