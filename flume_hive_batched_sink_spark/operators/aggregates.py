@@ -145,6 +145,36 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_bitmap_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting with bounded, mergeable state: values
+    map to (bucket, bit) and each (group, bucket) folds into a
+    fixed-size bitmap (`bitmap_construct_agg`), whose set-bit counts
+    sum to the exact distinct count. This is the at-scale exact
+    distinct: state per group is bitmaps (OR-mergeable, map-side
+    combinable, retry-safe), never a set of raw values — where
+    `count(distinct)` must keep/expand distinct tuples through the
+    aggregate, and HLL (`agg_approx_distinct`) trades exactness.
+    Two keyed shuffles, both with partial aggregation."""
+    ev = tbl(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
+    )
+
+
 @query("agg_approx_distinct")  # rows-only: HLL estimate has no exact oracle
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++). Checked by a pytest relative-

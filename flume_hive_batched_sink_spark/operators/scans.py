@@ -257,6 +257,43 @@ def sink_orc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_static_prune",
+    f"""
+    SELECT event_id, event_type,
+           {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate
+    FROM events
+    WHERE {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} =
+          (SELECT MIN({sql_logdate('CAST(ts AS TIMESTAMP)', 86400)})
+           FROM events)
+    """,
+)
+def scan_static_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning — the complement of `scan_dpp_join`:
+    a literal predicate on the partition column prunes directories at
+    PLAN time (`PartitionFilters` in the scan, zero I/O for other
+    partitions; asserted in PLANCHECK.json). The partition value is
+    the user-supplied key of the at-scale pattern ("reprocess day X");
+    here it's the earliest landed day, fetched as ONE scalar — the
+    bounded kind of driver round-trip, not a data collect."""
+    ev = tbl(spark, sf_dir, "events")
+    routed = ev.withColumn("logdate", derive_logdate("ts", 86400))
+    out = os.path.join(SCRATCH, "scan_static_prune")
+    (
+        routed.repartition("logdate")
+        .write.mode("overwrite")
+        .partitionBy("logdate")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    lo = back.agg(F.min("logdate")).first()[0]
+    return back.filter(F.col("logdate") == F.lit(lo)).select(
+        "event_id",
+        "event_type",
+        F.col("logdate").cast("string").alias("logdate"),
+    )
+
+
 _SQL_BOTH_DIALECTS = """
 SELECT n.n_name, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue

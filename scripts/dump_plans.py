@@ -111,6 +111,15 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         next((ln.strip() for ln in p.splitlines()
               if "might_contain" in ln), "NOT FOUND"))
 
+    # scan_static_prune: literal partition predicate prunes at plan
+    # time (runs the write first — the query function lands the table).
+    p = _executed(ops.QUERIES["scan_static_prune"](spark, sf_dir))
+    pf = ""
+    if "PartitionFilters: [" in p:
+        pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0].strip()
+    add("scan_static_prune", "scan carries static PartitionFilters",
+        bool(pf), f"PartitionFilters: [{pf}]")
+
     # sort_limit_topk: top-k without a global sort.
     p = _executed(ops.QUERIES["sort_limit_topk"](spark, sf_dir))
     add("sort_limit_topk", "plans as TakeOrderedAndProject (no global sort)",
