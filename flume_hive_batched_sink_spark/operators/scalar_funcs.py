@@ -290,3 +290,34 @@ def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft("event_id", 3).alias("shl3"),
         F.shiftright("event_id", 2).alias("shr2"),
     )
+
+
+@query(
+    "f_regexp",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+             AS n_vowel_pairs,
+           regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,
+           regexp_replace(text, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(text, '(aa|ee|ll|oo|ss|tt)') AS has_double
+    FROM documents
+    """,
+)
+def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: count / extract / replace-all / boolean
+    match. Patterns stay inside the RE2-compatible subset (no
+    backreferences, no lookaround) so Java's engine and the oracle's
+    RE2 compile them identically; both engines use leftmost
+    non-overlapping match semantics. All row-local codegen'd
+    expressions — zero shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[aeiou]{2}"))
+        .cast("bigint")
+        .alias("n_vowel_pairs"),
+        F.regexp_extract("text", r"(s[a-z]+)", 1).alias("first_s_word"),
+        F.regexp_replace("text", r"[aeiou]", "*").alias("devoweled"),
+        F.col("text").rlike(r"(aa|ee|ll|oo|ss|tt)").alias("has_double"),
+    )
