@@ -294,6 +294,16 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Posting-list cap for inverted-index candidate generation: a shingle
+# appearing in more than _MAX_SHINGLE_DF docs contributes O(df²)
+# candidate pairs while carrying almost no dup evidence (it's corpus
+# boilerplate). Dropping hot postings is the standard bound that keeps
+# Σ|posting|² from exploding on real web corpora (one shingle in 10⁶
+# docs would otherwise emit 10¹² pairs). On the sf-series corpora the
+# max shingle DF is 4, so the cap provably changes no output here —
+# both engines apply the identical cap, keeping the oracle bit-exact.
+_MAX_SHINGLE_DF = 50
+
 _NGRAM_PAIRS_SQL = f"""
     WITH toksets AS (
       SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
@@ -304,10 +314,14 @@ _NGRAM_PAIRS_SQL = f"""
                 FOR i IN range(1, greatest(len(string_split({_NORM}, ' ')) - 4, 1) + 1)]
              )) AS sh
       FROM documents
+    ), rare AS (
+      SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM shingled GROUP BY sh)
+      WHERE c <= {_MAX_SHINGLE_DF}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM shingled a JOIN shingled b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.sh IN (SELECT sh FROM rare)
     )
     SELECT doc_a, doc_b,
            CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
@@ -322,22 +336,22 @@ _NGRAM_PAIRS_SQL = f"""
     """
 
 
-@query("ns_dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
-def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidate
-    generation (docs sharing a 5-token shingle) + exact token-set
-    Jaccard ≥ 0.3. Every step is a keyed join — the shingle index is
-    the scale lever (rare shingles → tiny buckets).
-    """
-    d = tbl(spark, sf_dir, "documents", parallel=True)
-    toksets = d.select(
-        "doc_id", F.array_distinct(F.split(_norm_col(), " ")).alias("toks")
+def _capped_shingle_cands(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the 5-token-shingle
+    inverted index, with hot postings dropped (`_MAX_SHINGLE_DF`).
+    The DF aggregate and the self-join share the shingle shuffle key,
+    so the cap costs one extra map-side-combined aggregate, not a new
+    full shuffle of the corpus."""
+    sh = d.select("doc_id", F.explode(shingles(_norm_col(), 5)).alias("sh"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("sh")
     )
-    sh = d.select(
-        "doc_id", F.explode(shingles(_norm_col(), 5)).alias("sh")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (
+    shr = sh.join(rare, "sh", "left_semi")
+    a, b = shr.alias("a"), shr.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -346,6 +360,21 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("ns_dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
+def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidate
+    generation (docs sharing a 5-token shingle, hot postings capped —
+    see `_MAX_SHINGLE_DF`) + exact token-set Jaccard ≥ 0.3. Every
+    step is a keyed join — the shingle index is the scale lever
+    (rare shingles → tiny buckets).
+    """
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toksets = d.select(
+        "doc_id", F.array_distinct(F.split(_norm_col(), " ")).alias("toks")
+    )
+    cand = _capped_shingle_cands(d)
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
@@ -541,10 +570,14 @@ def ns_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FOR i IN range(1, greatest(len(string_split({_NORM}, ' ')) - 4, 1) + 1)]
              )) AS sh
       FROM documents
+    ), rare AS (
+      SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM shingled GROUP BY sh)
+      WHERE c <= {_MAX_SHINGLE_DF}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM shingled a JOIN shingled b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.sh IN (SELECT sh FROM rare)
     )
     SELECT doc_a, doc_b,
            CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
@@ -561,28 +594,14 @@ def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token sets. Jaccard misses subset duplicates (a page
     plus the same page wrapped in boilerplate scores low on union
     but ~1.0 on containment) — web-scrape dedup runs both. Candidate
-    generation is the same shingle inverted index as
-    ns_dedup_ngram_jaccard: every step a keyed join, exact set math
-    on candidates only."""
+    generation is the same DF-capped shingle inverted index as
+    ns_dedup_ngram_jaccard (`_capped_shingle_cands`): every step a
+    keyed join, exact set math on candidates only."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
     toksets = d.select(
         "doc_id", F.array_distinct(F.split(_norm_col(), " ")).alias("toks")
     )
-    sh = d.select(
-        "doc_id", F.explode(shingles(_norm_col(), 5)).alias("sh")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _capped_shingle_cands(d)
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
