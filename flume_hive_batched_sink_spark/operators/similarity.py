@@ -58,6 +58,25 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot_dec(a, a))
 
 
+def _dot_dbl(a: Column, b: Column, dim: int = 64) -> Column:
+    """Plain double dot product as an UNROLLED fixed-width sum.
+    Unlike the `F.aggregate` HOF fold (CodegenFallback → interpreted
+    per row), a flat GetArrayItem-multiply-add expression stays inside
+    whole-stage codegen; with doubles the generated method is small,
+    so the Janino-compile concern that rules out the unrolled DECIMAL
+    tree (see `_dot_dec`) does not apply. Use for screens and ranking
+    where the value is never output — summation-order low bits differ
+    from the exact fold, so it must not feed oracle-compared columns."""
+    terms = [
+        a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 # DuckDB twin: unnest both lists positionally via a range join.
 # All double→decimal casts route through VARCHAR: Spark's cast rounds
 # the shortest decimal string half-up while DuckDB's direct cast
@@ -406,16 +425,9 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    dbl_dot = F.aggregate(
-        F.zip_with(
-            F.col("emb_a"),
-            F.col("emb_b"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    screen = _dot_dbl(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
-    screen = dbl_dot / (F.col("nrm_a") * F.col("nrm_b"))
     cosine = _dot_dec(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
@@ -544,12 +556,9 @@ def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dot(a: Column, b: Column) -> Column:
-        # double dot for cell assignment (ranking only, never output)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        # unrolled codegen'd double dot for cell assignment (ranking
+        # only, never output — see _dot_dbl)
+        return _dot_dbl(a, b)
 
     # nearest cell per corpus vector (ties → smallest cent_id)
     w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
