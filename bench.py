@@ -46,6 +46,13 @@ HEADLINE = [
     "agg_percentile",
     "ns_dedup_simhash",
     "ns_dedup_embedding",
+    # round 4 additions (the 20-query r02 set above stays frozen —
+    # its subtotal is the comparable number): representative new
+    # operators for bench visibility.
+    "ns_dedup_exact_substring",
+    "ts_resample_ohlc",
+    "agg_bitmap_distinct",
+    "ns_embedding_filter_join",
 ]
 
 
