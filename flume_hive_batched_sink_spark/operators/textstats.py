@@ -933,3 +933,71 @@ def ns_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
         F.concat(host, F.regexp_replace(path, "/+$", "")).alias("canonical"),
     )
+
+
+# ---------- n-gram language-model statistics ----------
+
+
+@query(
+    "ns_bigram_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS bigram_n FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, SUM(bigram_n) AS first_n FROM bc GROUP BY 1)
+    SELECT bc.w1, bc.w2, bc.bigram_n,
+           CAST(uc.first_n AS BIGINT) AS first_n,
+           bc.bigram_n / CAST(uc.first_n AS DOUBLE) AS cond_p
+    FROM bc JOIN uc ON bc.w1 = uc.w1
+    ORDER BY bc.bigram_n DESC, bc.w1, bc.w2
+    LIMIT 50
+    """,
+)
+def ns_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: top-50 adjacent token pairs with
+    conditional probability P(w2|w1) = C(w1,w2) / C(w1,·) — the
+    counting pass behind n-gram language models, corpus-drift
+    monitoring, and collocation-aware tokenizer vocab building.
+
+    Scale: bigrams come from one per-doc `lead` window (shuffle keyed
+    by doc_id, bounded rows per doc), then ONE hash aggregate on the
+    (w1, w2) key — token-frequency skew on hot bigrams is absorbed by
+    map-side partial aggregation (every mapper pre-sums its hot
+    pairs). The conditional denominator reuses the bigram counts
+    (groupBy w1 over the already-tiny aggregate, not the corpus).
+    Counts are exact ints; cond_p is one identical double division in
+    both engines. Top-50 is TakeOrderedAndProject with a full
+    tiebreak."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("pos", "w1"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("bigram_n"))
+    uc = bc.groupBy("w1").agg(F.sum("bigram_n").alias("first_n"))
+    return (
+        bc.join(uc, "w1")
+        .select(
+            "w1",
+            "w2",
+            "bigram_n",
+            F.col("first_n").cast("bigint").alias("first_n"),
+            (F.col("bigram_n") / F.col("first_n").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.desc("bigram_n"), "w1", "w2")
+        .limit(50)
+    )
