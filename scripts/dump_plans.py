@@ -39,6 +39,13 @@ PLAN_QUERIES = [
     "ns_dedup_embedding",
     "ns_dedup_simhash",
     "ns_similarity_ann_lsh",
+    # round 4 additions: one-aggregate OHLC (no window pass), bitmap
+    # exact-distinct (two partial-agg shuffles), inverted-index
+    # substring dedup, and the bigram LM pass (window + one hash agg).
+    "ts_resample_ohlc",
+    "agg_bitmap_distinct",
+    "ns_dedup_exact_substring",
+    "ns_bigram_stats",
 ]
 
 
