@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 141 queries are registered (SURVEY §2 Part B, complete), so full
+# 142 queries are registered (SURVEY §2 Part B, complete), so full
 # driver coverage needs rotation across rounds: r01 checked the first
 # 50 in registration order; r02/r03 fronted the six r01-red fixes plus
 # 44 oracle-backed never-checked rows (all green). Round 4 fronts the
@@ -31,10 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-checks of the two queries whose semantics changed this round
 # (`set_except` and `ns_dedup_embedding` were de-vacuated: thresholds
 # tuned so sf0.01 output is non-empty and the hash check is no longer
-# trivially satisfied by two empty results), and the twelve operators
-# added this round — 49 rows, all inside one window. Every entry
+# trivially satisfied by two empty results), and the thirteen operators
+# added this round — 50 rows, filling the window exactly. Every entry
 # remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 141) regardless of window
+# (tests/test_oracle_parity.py covers all 142) regardless of window
 # position.
 _ROUND4_FRONT = [
     # never driver-checked — B5 windows + gap-fill:
@@ -94,6 +94,7 @@ _ROUND4_FRONT = [
     "agg_bitmap_distinct",
     "f_regexp",
     "ns_bigram_stats",
+    "ns_url_dedup",
 ]
 
 

@@ -1001,3 +1001,70 @@ def ns_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bigram_n"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "ns_url_dedup",
+    """
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             'HTTP://' || upper(source) || '.Example.COM/' || lang || '/'
+               || CAST(doc_id % 10 AS VARCHAR)
+               || '/?utm_campaign=x#top' AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, n_chars,
+             lower(regexp_extract(url, '://([^/?#]+)', 1))
+               || regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
+                                 '/+$', '') AS canonical
+      FROM urls
+    )
+    SELECT canonical,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM canon
+    GROUP BY canonical
+    HAVING COUNT(*) > 1
+    """,
+)
+def ns_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup — the step after `ns_url_canonicalize`
+    in a web-corpus pipeline: group documents by canonical URL (query
+    string / fragment / trailing slash stripped, scheme+host folded),
+    emit each duplicate group with its keeper (min doc_id) and the
+    char volume the dedup reclaims. URLs are synthesized with a
+    coarse path bucket so the fixture actually contains collisions
+    (~2 docs per canonical URL at sf0.01 — non-vacuous output).
+
+    Scale: canonicalization is row-local codegen; the dedup is ONE
+    hash aggregate on the canonical string (at 100 TB you'd key the
+    shuffle on xxhash64(canonical) — same shape as ns_dedup_exact)."""
+    d = tbl(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.upper("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("/?utm_campaign=x#top"),
+    )
+    u = d.select("doc_id", "n_chars", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", "://([^/?#]+)", 1))
+    path = F.regexp_extract("url", "://[^/?#]+([^?#]*)", 1)
+    canon = u.select(
+        "doc_id",
+        "n_chars",
+        F.concat(host, F.regexp_replace(path, "/+$", "")).alias("canonical"),
+    )
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
