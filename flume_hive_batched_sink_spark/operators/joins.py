@@ -449,18 +449,47 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plans are optimized lazily at action time, so the result is
     materialized EAGERLY (localCheckpoint) inside the conf scope —
     returning a lazy plan would silently plan without the bloom
-    filter. The scoped confs are set on a dedicated child session
-    (`spark.newSession()`: shared SparkContext/cached data, isolated
-    SQLConf), so a concurrently-built query on the caller's session
-    can never plan under the altered thresholds."""
-    scoped = spark.newSession()
-    # newSession inherits SparkConf-time settings but not runtime
-    # conf.set ones — carry over the two that affect semantics/shape.
-    for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
-        scoped.conf.set(k, spark.conf.get(k))
-    for k, v in _BLOOM_CONFS.items():
-        scoped.conf.set(k, v)
-    return _bloom_join_frame(scoped, sf_dir).localCheckpoint(eager=True)
+    filter. The scoped confs live on a dedicated child session
+    (`bloom_scoped_session`), so a concurrently-built query on the
+    caller's session can never plan under the altered thresholds."""
+    global _LAST_BLOOM_CHECKPOINT
+    if _LAST_BLOOM_CHECKPOINT is not None:
+        # free the previous invocation's pinned checkpoint blocks —
+        # repeated calls in one long-lived process (driver gate,
+        # drive_oracle sweeps) must not accumulate read-once results
+        try:
+            _LAST_BLOOM_CHECKPOINT.unpersist()
+        except Exception:
+            pass
+    out = _bloom_join_frame(
+        bloom_scoped_session(spark), sf_dir
+    ).localCheckpoint(eager=True)
+    _LAST_BLOOM_CHECKPOINT = out
+    return out
+
+
+_LAST_BLOOM_CHECKPOINT: DataFrame | None = None
+_SCOPED_SESSIONS: dict[int, SparkSession] = {}
+
+
+def bloom_scoped_session(spark: SparkSession) -> SparkSession:
+    """The child session join_bloom_runtime plans under — shared
+    SparkContext/cached data, isolated SQLConf with `_BLOOM_CONFS`
+    applied. Cached per parent session so repeated invocations don't
+    accumulate SessionStates; dump_plans.py uses the SAME helper, so
+    PLANCHECK.json certifies the exact configuration the operator
+    runs (a hand-copied session setup could drift)."""
+    key = id(spark)
+    if key not in _SCOPED_SESSIONS:
+        scoped = spark.newSession()
+        # newSession inherits SparkConf-time settings but not runtime
+        # conf.set ones — carry the two that affect semantics/shape.
+        for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
+            scoped.conf.set(k, spark.conf.get(k))
+        for k, v in _BLOOM_CONFS.items():
+            scoped.conf.set(k, v)
+        _SCOPED_SESSIONS[key] = scoped
+    return _SCOPED_SESSIONS[key]
 
 
 _BLOOM_CONFS = {

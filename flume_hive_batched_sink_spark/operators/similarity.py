@@ -530,7 +530,11 @@ def ns_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ.groupBy("band").agg(
         F.count("*").alias("n_buckets"),
         F.max("c").alias("max_bucket"),
-        F.sum(F.floor(F.col("c") * (F.col("c") - 1) / 2))
+        # integral `div`, NOT `/`: bigint / coerces to double and
+        # loses exactness past 2^53 (c > ~1.3e8 — precisely the
+        # pre-flight regime this operator serves); the oracle's `//`
+        # is exact, so the engines would diverge.
+        F.sum(F.expr("(c * (c - 1)) div 2"))
         .cast("bigint")
         .alias("candidate_pairs"),
     )

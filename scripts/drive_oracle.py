@@ -34,6 +34,11 @@ only = set(sys.argv[2:])
 if "front" in only:
     only = (only - {"front"}) | set(e._ROUND4_FRONT)
 if only:
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently yield a 0-query "BAD: 0"
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     qs = {n: f for n, f in qs.items() if n in only}
 bad = []
 for name in sorted(qs):

@@ -101,18 +101,14 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         else "Bucketed: true MISSING")
 
     # join_bloom_runtime: runtime bloom semi-join filter on the fact
-    # scan (plan built the same way the operator does — child session).
+    # scan — built through the operator's OWN scoped-session helper,
+    # so this certifies the exact configuration the operator runs.
     from flume_hive_batched_sink_spark.operators.joins import (
-        _BLOOM_CONFS,
         _bloom_join_frame,
+        bloom_scoped_session,
     )
 
-    scoped = spark.newSession()
-    for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
-        scoped.conf.set(k, spark.conf.get(k))
-    for k, v in _BLOOM_CONFS.items():
-        scoped.conf.set(k, v)
-    p = _executed(_bloom_join_frame(scoped, sf_dir))
+    p = _executed(_bloom_join_frame(bloom_scoped_session(spark), sf_dir))
     add("join_bloom_runtime", "might_contain(bloom) filters fact scan",
         "might_contain" in p,
         next((ln.strip() for ln in p.splitlines()

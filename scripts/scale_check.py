@@ -138,11 +138,19 @@ def main() -> None:
     path = os.path.join(root, "SCALING.md")
     # merge with prior runs: keep one row per query (latest wins), so
     # partial re-measurements don't clobber the full table or the
-    # hand-written analysis below it
+    # hand-written analysis below it. Rows only merge when the prior
+    # table used the SAME K — otherwise old ratios would be
+    # mislabeled under the new header (a 10x-linear ratio≈10 reads
+    # as quadratic under a K=3 header).
     merged: dict[str, tuple] = {}
     trailer = ""
     if os.path.exists(path):
         lines = open(path).read().splitlines()
+        import re as _re
+
+        m = _re.search(r"a (\d+)x key-shifted", lines[0]) if lines else None
+        if not m or int(m.group(1)) != k:
+            lines = []
         for i, ln in enumerate(lines):
             cells = [c.strip() for c in ln.strip().strip("|").split("|")]
             if len(cells) == 4 and cells[0] in ops.QUERIES:

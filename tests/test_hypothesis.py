@@ -37,18 +37,22 @@ def test_bucket_floor_property(spark, epochs, rnd):
     (TimedUtils.scala:44-47 semantics); logdate is its %Y%m%d%H%M
     rendering in UTC."""
     df = spark.createDataFrame([(e,) for e in epochs], "epoch long")
+    # compare epochs, not collected datetimes: collect() renders
+    # timestamps in the PYTHON process's local timezone, so a
+    # datetime-based check would only pass on TZ=UTC hosts
     rows = (
         df.select(
             "epoch",
-            bucket_ts(F.timestamp_seconds("epoch"), rnd).alias("b"),
+            F.unix_timestamp(
+                bucket_ts(F.timestamp_seconds("epoch"), rnd)
+            ).alias("b_epoch"),
             derive_logdate(F.timestamp_seconds("epoch"), rnd).alias("ld"),
         )
         .collect()
     )
     for r in rows:
         want = r.epoch - r.epoch % rnd
-        got = int(r.b.replace(tzinfo=datetime.timezone.utc).timestamp())
-        assert got == want, (r.epoch, rnd)
+        assert r.b_epoch == want, (r.epoch, rnd)
         want_ld = datetime.datetime.fromtimestamp(
             want, tz=datetime.timezone.utc
         ).strftime("%Y%m%d%H%M")

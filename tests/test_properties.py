@@ -308,20 +308,31 @@ def test_counters_json_report(spark):
 
     from flume_hive_batched_sink_spark.scratch import SCRATCH
 
-    row = QUERIES["stream_observe_counters"](spark, SF_SMALL).collect()[0]
     path = os.path.join(SCRATCH, "counters", "sink_counters.json")
-    total = -1
-    for _ in range(150):  # listener events are delivered async
-        if os.path.exists(path):
-            with open(path) as f:
-                data = json.load(f)
-            total = sum(
-                q["observed"].get("n_events", 0) for q in data.values()
-            )
-            if total >= row.n_events:
-                break
-        time.sleep(0.2)
-    assert total == row.n_events, (total, row.n_events)
+
+    def run_and_wait():
+        row = QUERIES["stream_observe_counters"](spark, SF_SMALL).collect()[0]
+        total = -1
+        for _ in range(150):  # listener events are delivered async
+            if os.path.exists(path):
+                with open(path) as f:
+                    data = json.load(f)
+                total = sum(
+                    q["observed"].get("n_events", 0) for q in data.values()
+                )
+                if total >= row.n_events:
+                    break
+            time.sleep(0.2)
+        return total, row.n_events
+
+    total, want = run_and_wait()
+    if total != want:
+        # under heavy host load Spark's listener bus can DROP progress
+        # events (bounded queue) — the report then undercounts through
+        # no fault of the reporter. One clean re-run distinguishes a
+        # dropped-event fluke from a real accounting bug.
+        total, want = run_and_wait()
+    assert total == want, (total, want)
 
 
 def test_flagship_entry_smoke(spark):
@@ -487,11 +498,14 @@ def test_ann_ivf_planted_twin_recall(spark, tmp_path):
     )
     recall = hits / len(twin_of)
     assert recall >= 0.8, f"planted twin recall {recall}: {top}"
-    # and when found, the twin must be rank 1 with near-1 cosine
+    # whenever the twin IS in the top-3, the exact re-rank must put
+    # it at rank 1 with near-1 cosine (corpus max is ~0.5) — an
+    # unconditional contract, not gated on already being first
     for q, twin_id in twin_of.items():
         ranked = sorted(top.get(q, []), reverse=True)
-        if ranked and ranked[0][1] == twin_id:
-            assert ranked[0][0] > 0.99, ranked[0]
+        if any(n == twin_id for _, n in ranked):
+            assert ranked[0][1] == twin_id, (q, ranked)
+            assert ranked[0][0] > 0.99, (q, ranked[0])
 
 
 def test_approx_percentile_error_bound(spark):
