@@ -86,6 +86,10 @@ def ingest_parse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimited-text round trip through the registered 'delimited'
     parser — the two builtin serde shapes."""
     ev = tbl(spark, sf_dir, "events")
+    # concat_ws DROPS null fields (shifting later ones) where the
+    # oracle's `||` nulls the whole line — equivalent only because
+    # the fixture guarantees non-null event_type/user_id. For nullable
+    # sources, coalesce each field before serializing.
     raw = ev.withColumn(
         "body", F.concat_ws("|", F.col("event_type"), F.col("user_id"))
     )
@@ -352,7 +356,14 @@ def ingest_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL struct) on malformed input — detect corruption on the field
     parsed = mangled.withColumn(
         "parsed", F.from_json("props_dirty", "k int")
-    ).withColumn("is_corrupt", F.col("parsed.k").isNull())
+    ).withColumn(
+        # null-k as the corruption signal matches the oracle's
+        # event_id%10 rule only because every clean fixture row
+        # carries a non-null integer k; a source where 'k' is
+        # legitimately optional needs _corrupt_record instead
+        "is_corrupt",
+        F.col("parsed.k").isNull(),
+    )
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("is_corrupt"), 1).otherwise(0)).alias("n_corrupt"),
@@ -694,7 +705,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_overwrite_dynamic",
     f"""
     WITH routed AS (
-      SELECT *, {sql_logdate('ts', 86400)} AS logdate FROM events
+      SELECT *, {sql_logdate('CAST(ts AS TIMESTAMP)', 86400)} AS logdate
+      FROM events
     ),
     final AS (
       SELECT event_id, value, logdate FROM routed

@@ -107,7 +107,7 @@ def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_quality_score",
-    """
+    f"""
     SELECT doc_id, n_tokens, n_chars,
            CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
            CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
@@ -119,8 +119,7 @@ def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id, n_chars,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_filter(string_split(text, ' '),
-                  x -> x IN ('the', 'of', 'and', 'a', 'to'))) AS BIGINT) AS stop_hits,
+             CAST({_sql_marker_hits('en')} AS BIGINT) AS stop_hits,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
       FROM documents
     ) t
@@ -297,15 +296,21 @@ def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf top-5 terms per source. Linear idf (N/df) keeps the
     ranking weight an exact rational so the oracle hashes identically
     (log-idf differs in libm low bits; swap one line for production).
-    Two aggregations + one broadcast join on term df."""
+
+    ONE tokenize pass: df derives from the tf aggregate (tf has
+    exactly one row per (source, term), so count-rows-per-term ==
+    count-distinct-sources-per-term). The scan + tokenize + explode —
+    the expensive stage at 100 TB — runs once; a second
+    `terms.groupBy` would re-run it because the two aggregates
+    shuffle on different keys (no ReusedExchange). n_sources stays on
+    `documents` (matching the oracle even for a source whose docs
+    tokenize to nothing) — a one-column scan with no explode."""
     d = tbl(spark, sf_dir, "documents")
     terms = d.select(
         "source", F.explode(_TOKENS(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.groupBy("term").agg(
-        F.countDistinct("source").alias("df")
-    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_sources = d.select(
         F.countDistinct("source").cast("double").alias("n_sources")
     )
@@ -779,7 +784,9 @@ _PII_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
              AS clean_len,
            substring(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}',
                   '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'),
-                  greatest(length(raw) - 59, 1), 40) AS tail_snippet
+                  greatest(length(regexp_replace(regexp_replace(raw,
+                  '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>',
+                  'g')) - 39, 1), 40) AS tail_snippet
     FROM aug
     """,
 )
@@ -828,8 +835,11 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).alias("n_email"),
         F.regexp_count(F.col("raw"), F.lit(_PII_IPV4)).alias("n_ip"),
         F.length(clean).alias("clean_len"),
+        # anchored on the REDACTED length: replacements shrink the
+        # text, so a raw-length anchor would slide the audit window
+        # off the tail and could miss the very sentinels it audits
         F.substring(
-            clean, F.greatest(F.length("raw") - 59, F.lit(1)), F.lit(40)
+            clean, F.greatest(F.length(clean) - 39, F.lit(1)), F.lit(40)
         ).alias("tail_snippet"),
     )
 
