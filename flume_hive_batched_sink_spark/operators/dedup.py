@@ -687,11 +687,18 @@ def ns_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS win
       FROM idx
+    ),
+    rare AS (
+      SELECT win FROM (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
+      WHERE c <= {cap}
+    ),
+    wr AS (
+      SELECT doc_id, win FROM w WHERE win IN (SELECT win FROM rare)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    FROM wr a JOIN wr b ON a.win = b.win AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    """,
+    """.replace("{cap}", str(_MAX_SHINGLE_DF)),
 )
 def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication: doc pairs sharing at least one
@@ -703,7 +710,12 @@ def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: windows explode per doc (bounded by len/stride, not the
     corpus), are DISTINCTed per doc, and the pair generation is a
     keyed self-join on the window value — work is Σ|posting|² over
-    window postings, the inverted-index shape, never all-pairs. At
+    window postings, the inverted-index shape, never all-pairs.
+    Hot windows (corpus boilerplate: a copyright footer appearing in
+    10⁶ docs would emit 5·10¹¹ pairs) are dropped via the same
+    `_MAX_SHINGLE_DF` posting cap as the shingle dedups — on the
+    sf-series corpora the max window DF is 4, so the cap is provably
+    output-neutral there; both engines apply it identically. At
     100 TB the join key would be xxhash64(win) (8-byte shuffle
     payload, re-verify the string on the candidate minority); the
     raw-string key here keeps the DuckDB oracle bit-identical.
@@ -727,6 +739,17 @@ def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substring(text, i, 40)").alias("win"))
         .distinct()
     )
+    # Posting cap (mirrors _capped_shingle_cands): drop windows seen in
+    # more than _MAX_SHINGLE_DF docs before the self-join — the DF agg
+    # and the join share the window shuffle key, so the cap costs one
+    # map-side-combined aggregate, not an extra corpus shuffle.
+    rare = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("win")
+    )
+    wins = wins.join(rare, "win", "left_semi")
     a = wins.select(F.col("doc_id").alias("doc_a"), "win")
     b = wins.select(F.col("doc_id").alias("doc_b"), "win")
     return (

@@ -149,13 +149,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: lapsed customers — those with NO order on/after
+    2000-01-01. The date restriction makes the complement non-empty
+    on the synthetic data (every customer has *some* order, so an
+    unrestricted anti join is vacuously empty — it proved nothing):
+    135 rows at sf0.01, 14 at sf0.001. The filter is pushed below the
+    anti join so the build side shrinks before the shuffle."""
     c = tbl(spark, sf_dir, "customer")
     o = tbl(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+    return c.join(recent, c.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -170,20 +179,25 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
     JOIN orders o
       ON o.o_custkey = e.user_id
-     AND o.o_orderdate >  e.ts - INTERVAL 7 DAY
+     AND o.o_orderdate >  e.ts - INTERVAL 9200 DAY
      AND o.o_orderdate <= e.ts
     GROUP BY e.user_id
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded range join: equi key (user) + 7-day time band. The equi
-    component keeps this a hash join with the band as post-filter —
-    never a cartesian product, so it survives 100× the rows."""
+    """Banded range join: equi key (user) + trailing time band. The
+    equi component keeps this a hash join with the band as
+    post-filter — never a cartesian product, so it survives 100× the
+    rows. The band is 9200 days (~25 years) because the synthetic
+    events sit in Jan 2024 while orders span 1995–2001: a narrow band
+    matched NOTHING (vacuous green r1–r4); 9200 days lands mid-range,
+    keeping ~42% of order pairs — selective AND non-empty (40k of 96k
+    pairs / 148 users at sf0.01)."""
     e = tbl(spark, sf_dir, "events")
     o = tbl(spark, sf_dir, "orders")
     cond = (
         (o.o_custkey == e.user_id)
-        & (o.o_orderdate > e.ts - F.expr("INTERVAL 7 DAY"))
+        & (o.o_orderdate > e.ts - F.expr("INTERVAL 9200 DAY"))
         & (o.o_orderdate <= e.ts)
     )
     return (
@@ -290,20 +304,25 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN orders o
         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
     ) t
-    WHERE rn = 1 AND asof_orderdate > ts - INTERVAL 30 DAY
+    WHERE rn = 1 AND asof_orderdate > ts - INTERVAL 8500 DAY
     """,
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a staleness tolerance (the feature-store rule:
-    latest order per user at-or-before the event, but only if no
-    older than 30 days — stale features are worse than no features).
+    latest order per user at-or-before the event, but only if not too
+    stale — stale features are worse than no features).
     Since the as-of match is the LATEST order ≤ ts, it is inside the
     tolerance iff ANY order is, so the bound is a pure post-filter on
     the carried as-of result — same single-shuffle timeline plan as
-    `join_asof`, plus a staleness column for downstream monitoring."""
+    `join_asof`, plus a staleness column for downstream monitoring.
+    Tolerance is 8500 days because the synthetic events (Jan 2024)
+    trail the order history (1995–2001) by ~23 years: the original
+    30-day bound excluded EVERY match (vacuous green in r4). 8500
+    days keeps ~70% of as-of rows (7043 of 9997 at sf0.01) —
+    selective and non-empty."""
     asof = join_asof(spark, sf_dir)
     return asof.filter(
-        F.col("asof_orderdate") > F.col("ts") - F.expr("INTERVAL 30 DAY")
+        F.col("asof_orderdate") > F.col("ts") - F.expr("INTERVAL 8500 DAY")
     ).withColumn(
         "staleness_days",
         F.datediff(F.col("ts").cast("date"), F.col("asof_orderdate").cast("date"))

@@ -58,7 +58,7 @@ def normalize(rows, columns):
     return sorted(c for c in columns), out
 
 
-def compare(spark_df, con, sql):
+def compare(spark_df, con, sql, allow_empty=False):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
@@ -68,6 +68,13 @@ def compare(spark_df, con, sql):
     sc, sr = normalize(s_rows, s_cols)
     dc, dr = normalize(d_rows, d_cols)
     problems = []
+    if not sr and not dr and not allow_empty:
+        # A 0-row match on BOTH engines is a vacuous green: the hash
+        # check trivially passes while proving nothing about the
+        # semantics (this class of bug shipped three times in r1-r4:
+        # join_anti, join_theta_range, join_asof_tolerance). Queries
+        # that are legitimately empty must opt in via allow_empty.
+        problems.append("vacuous: 0 rows on both engines")
     if sc != dc:
         problems.append(f"columns differ: spark={sc} duckdb={dc}")
     if len(sr) != len(dr):
