@@ -336,30 +336,41 @@ _NGRAM_PAIRS_SQL = f"""
     """
 
 
+def _posting_pairs(keyed: DataFrame, key: str, cap: int) -> DataFrame:
+    """(doc_a, doc_b) pairs (doc_a < doc_b, one row per shared key)
+    from an inverted index given as (doc_id, <key>) rows — the
+    single-shuffle posting-list formulation.
+
+    ONE groupBy on the key collects the sorted posting list
+    (map-side-combined), the size filter applies the hot-posting cap
+    (`_MAX_SHINGLE_DF`-style), and pair emission is a map-side
+    higher-order-function explode — no self-join, no semi-join, no
+    second shuffle of the corpus. Scale shape: a boilerplate key in
+    10⁶ docs costs 8 MB of agg buffer (8 B/doc, linear) before the
+    filter drops it, instead of 5·10¹¹ joined pairs (quadratic);
+    pair work is bounded by cap²/2 per key."""
+    posts = (
+        keyed.groupBy(key)
+        .agg(F.array_sort(F.array_distinct(F.collect_list("doc_id"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= cap))
+    )
+    return posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), y -> "
+                "struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+
 def _capped_shingle_cands(d: DataFrame) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from the 5-token-shingle
-    inverted index, with hot postings dropped (`_MAX_SHINGLE_DF`).
-    The DF aggregate and the self-join share the shingle shuffle key,
-    so the cap costs one extra map-side-combined aggregate, not a new
-    full shuffle of the corpus."""
+    inverted index, with hot postings dropped (`_MAX_SHINGLE_DF`) —
+    see `_posting_pairs` for the single-shuffle scale shape."""
     sh = d.select("doc_id", F.explode(shingles(_norm_col(), 5)).alias("sh"))
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("sh")
-    )
-    shr = sh.join(rare, "sh", "left_semi")
-    a, b = shr.alias("a"), shr.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _posting_pairs(sh, "sh", _MAX_SHINGLE_DF).distinct()
 
 
 @query("ns_dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
@@ -737,24 +748,13 @@ def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("i"),
         )
         .select("doc_id", F.expr("substring(text, i, 40)").alias("win"))
-        .distinct()
     )
-    # Posting cap (mirrors _capped_shingle_cands): drop windows seen in
-    # more than _MAX_SHINGLE_DF docs before the self-join — the DF agg
-    # and the join share the window shuffle key, so the cap costs one
-    # map-side-combined aggregate, not an extra corpus shuffle.
-    rare = (
-        wins.groupBy("win")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("win")
-    )
-    wins = wins.join(rare, "win", "left_semi")
-    a = wins.select(F.col("doc_id").alias("doc_a"), "win")
-    b = wins.select(F.col("doc_id").alias("doc_b"), "win")
+    # Posting-list pair generation with the hot-window cap — one
+    # shuffle on the window value, no self-join (see _posting_pairs).
+    # array_distinct inside the agg replaces the per-doc DISTINCT
+    # (duplicate windows within one doc collapse in the posting list).
     return (
-        a.join(b, "win")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _posting_pairs(wins, "win", _MAX_SHINGLE_DF)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
