@@ -23,86 +23,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 142 queries are registered (SURVEY §2 Part B, complete), so full
-# driver coverage needs rotation across rounds: r01 checked the first
-# 50 in registration order; r02/r03 fronted the six r01-red fixes plus
-# 44 oracle-backed never-checked rows (all green). Round 4 fronts the
-# remaining 35 queries that have never appeared in a CORRECTNESS file,
-# re-checks of the two queries whose semantics changed this round
-# (`set_except` and `ns_dedup_embedding` were de-vacuated: thresholds
-# tuned so sf0.01 output is non-empty and the hash check is no longer
-# trivially satisfied by two empty results), and the thirteen operators
-# added this round — 50 rows, filling the window exactly. Every entry
-# remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 142) regardless of window
-# position.
-_ROUND4_FRONT = [
-    # never driver-checked — B5 windows + gap-fill:
-    "win_rank",
-    "win_row_number",
-    "win_lag_lead",
-    "win_running_frame",
-    "win_topk_per_group",
-    "ts_gapfill",
-    # never driver-checked — B1 scans/sinks:
-    "scan_dpp_join",
-    "ingest_jsonl",
-    "sink_compact_small_files",
-    "scan_file_lineage",
-    "sink_sorted_layout",
-    "scan_schema_evolution",
-    "sink_overwrite_dynamic",
-    # never driver-checked — joins/aggs:
-    "join_bloom_runtime",
-    "join_range_bucketed",
-    "agg_count_min",
-    "agg_incremental_merge",
-    "f_bitwise",
-    # never driver-checked — streaming:
-    "stream_stateful_counter",
-    "stream_static_join",
-    "stream_stream_join",
-    # never driver-checked — UDTF:
-    "udtf_python_lateral",
-    # never driver-checked — north-star:
-    "ns_dedup_containment",
-    "ns_dedup_canonical",
-    "ns_url_canonicalize",
-    "ns_similarity_ann_lsh",
-    "ns_similarity_ann_ivf",
-    "ns_embedding_profile",
-    "ns_pii_scrub",
-    "ns_shard_plan",
-    "ns_contamination_ngram",
-    "ns_corpus_report",
-    "ns_quality_gopher",
-    "ns_repetition",
-    "ns_domain_mixture",
-    # changed this round (de-vacuated 0-row greens) — re-check:
-    "set_except",
-    "ns_dedup_embedding",
-    # new this round — first driver check:
-    "win_percent_rank",
-    "ts_resample_ohlc",
-    "ns_dedup_exact_substring",
-    "ns_embedding_filter_join",
-    "ns_lsh_bucket_stats",
-    "ingest_csv_serde",
+# 142 queries are registered (SURVEY §2 Part B, complete); the union
+# of CORRECTNESS_r01–r04 covers all 142 with zero failures. Round 5
+# fronts (a) every query whose code changed this round — the three
+# de-vacuated 0-row greens (join_anti / join_theta_range /
+# join_asof_tolerance: predicates widened so sf0.01 output is
+# non-empty and the hash check verifies real rows), the posting-list
+# candidate-generation rewrite (exact_substring + the four
+# shingle-index consumers), join_multiway's shuffle-free fact scan,
+# and join_bloom_runtime's session-cache rework — then (b) the
+# stalest cohort: queries last driver-checked in r01, whose shared
+# helpers (tbl, catalog, session confs) have kept changing since.
+# Every entry remains present and locally value-equal-gated
+# (tests/test_oracle_parity.py covers all 142, with a vacuity guard)
+# regardless of window position.
+_ROUND5_FRONT = [
+    # changed this round — re-check first:
+    "join_anti",
+    "join_theta_range",
     "join_asof_tolerance",
-    "agg_weighted_avg",
-    "scan_static_prune",
-    "agg_bitmap_distinct",
-    "f_regexp",
-    "ns_bigram_stats",
-    "ns_url_dedup",
+    "ns_dedup_exact_substring",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_containment",
+    "ns_dedup_clusters",
+    "ns_dedup_canonical",
+    "join_multiway",
+    "join_bloom_runtime",
+    # stalest (last checked r01) — B2 filters/projections:
+    "filter_state_name",
+    "filter_in_list",
+    "exists_key",
+    "project_compute",
+    # stalest — B3 joins:
+    "join_inner_equi",
+    "join_broadcast",
+    "join_left_outer",
+    "join_semi",
+    "join_asof",
+    "join_cross",
+    "join_bucketed",
+    "join_skew_salted",
+    # stalest — B4 aggregations:
+    "agg_group_having",
+    "agg_multi",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_minby_leader",
+    "upsert_last_write_wins",
+    "agg_mode",
+    "agg_skew_salted",
+    "agg_histogram",
+    "pivot_counts",
+    # stalest — B5 windows:
+    "win_ntile_dist",
+    "win_first_last",
+    # stalest — B1 scans:
+    "sample_hash",
+    "lateral_explode",
+    # stalest — B7 scalar functions:
+    "f_string",
+    "f_misc",
+    # stalest — B10 north-star:
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_multimodal_cols",
+    "ns_multimodal_pool",
+    "ns_multimodal_framesample",
+    "ns_multimodal_decode",
+    # next-stalest (last checked r03):
+    "flagship_pipeline",
+    "scan_parquet",
 ]
+
+# Stable alias for tooling (scripts/drive_oracle.py `front` filter).
+FRONT = _ROUND5_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND4_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND5_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 

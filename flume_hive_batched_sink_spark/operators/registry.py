@@ -90,10 +90,20 @@ def tbl(
     """Load a testdata table. `parallel=True` marks a scan feeding
     CPU-heavy map-side work (parse/hash/fold per row): it repartitions
     up to the core count when the scan yields fewer splits. The local
-    testdata is one row group per file, so without this every per-row
-    computation serializes onto one task; on a real cluster a 100 TB
-    scan yields thousands of splits and this guard never fires —
-    it is never a down-partitioning."""
+    testdata is ONE row group per file (verified via pyarrow), so
+    without this every per-row computation serializes onto one task —
+    and `spark.sql.files.maxPartitionBytes` tuning is NOT an
+    alternative: byte-range splits of a single row group collapse to
+    one non-empty task, so lowering it buys nothing here. On a real
+    cluster a 100 TB scan yields thousands of splits and this guard
+    never fires — it is never a down-partitioning.
+
+    Decision rule (measured at sf0.1, best-of-2): use parallel=True
+    only when per-row CPU dominates the shuffle cost — decimal-exact
+    folds (agg_multi 1.43 s with vs 1.75 s without; agg_stats 1.21 vs
+    1.95) and text/hash/vector work qualify; cheap probe/count paths
+    do not (join_multiway 1.79 with vs 1.52 without → no repartition).
+    """
     from ..catalog import load_table
 
     df = load_table(spark, sf_dir, name)

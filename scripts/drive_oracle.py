@@ -16,7 +16,14 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as e
 from tests.oracle_harness import compare, duck_connection
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = sys.argv[1:]
+# argv[1] is the sf dir only when it looks like one — a query name (or
+# `front`) in first position must not be silently treated as a
+# directory (`drive_oracle.py front` used to scan a dir named "front").
+if _args and not os.path.isdir(_args[0]) and "/" not in _args[0]:
+    SF = "/root/testdata/sf0.01"
+else:
+    SF = _args.pop(0) if _args else "/root/testdata/sf0.01"
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -30,9 +37,9 @@ spark.sparkContext.setLogLevel("ERROR")
 
 con = duck_connection(SF)
 qs, osql = e.queries(), e.oracle_sql()
-only = set(sys.argv[2:])
+only = set(_args)
 if "front" in only:
-    only = (only - {"front"}) | set(e._ROUND4_FRONT)
+    only = (only - {"front"}) | set(e.FRONT)
 if only:
     unknown = only - set(qs)
     if unknown:

@@ -149,15 +149,25 @@ def main() -> None:
         import re as _re
 
         m = _re.search(r"a (\d+)x key-shifted", lines[0]) if lines else None
-        if not m or int(m.group(1)) != k:
-            lines = []
+        same_k = bool(m and int(m.group(1)) == k)
+        # On a K mismatch only the TABLE ROWS are stale (a 10x ratio
+        # reads as quadratic under a K=3 header) — the hand-written
+        # analysis trailer below the table is preserved either way.
+        seen_table = False
         for i, ln in enumerate(lines):
             cells = [c.strip() for c in ln.strip().strip("|").split("|")]
             if len(cells) == 4 and cells[0] in ops.QUERIES:
-                merged[cells[0]] = tuple(cells[1:])
-            elif merged and ln and not ln.startswith("|"):
+                seen_table = True
+                if same_k:
+                    merged[cells[0]] = tuple(cells[1:])
+            elif seen_table and ln and not ln.startswith("|"):
                 trailer = "\n".join(lines[i:])
                 break
+        if not same_k and lines:
+            print(
+                f"note: prior SCALING.md measured a different K; its table "
+                f"rows were discarded (analysis trailer preserved)"
+            )
     for name, t1, tk, ratio in rows:
         merged[name] = (f"{t1:.2f}", f"{tk:.2f}", f"{ratio:.1f}")
     with open(path, "w") as f:

@@ -413,8 +413,8 @@ def test_driver_front_window_contract():
     import __spark_entry__ as e
 
     q = list(e.queries())
-    assert len(e._ROUND4_FRONT) <= 50
-    assert q[: len(e._ROUND4_FRONT)] == e._ROUND4_FRONT
+    assert len(e.FRONT) <= 50
+    assert q[: len(e.FRONT)] == e.FRONT
     assert len(set(q)) == len(q)
 
 
