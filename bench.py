@@ -106,6 +106,17 @@ def main() -> None:
                 "sf": sf,
                 "r01_comparable_subtotal": r01_subtotal,
                 "r02_comparable_subtotal": r02_subtotal,
+                # r4's +36% (frozen-20 17.3 -> 23.6 s) did not
+                # reproduce: three round-5 re-runs measured 19.1 /
+                # 17.7 / 17.2 s, the first on code identical for the
+                # frozen 20 — uniform slowdown across unchanged plans
+                # was ambient sandbox noise, not a plan regression.
+                "note_r4_regression": (
+                    "r4's uniform +36% did not reproduce on re-run "
+                    "(19.1/17.7/17.2s across three round-5 runs, first "
+                    "on identical frozen-20 code): ambient environment "
+                    "noise, plans unchanged (PLANCHECK green)"
+                ),
             }
         )
     )

@@ -392,6 +392,60 @@ def test_pruned_scan_pushes_filters(spark):
     assert pushed.strip(), "no filters pushed to scan"
 
 
+def test_ivf_planted_twin_recall_at_3(spark):
+    """END-TO-END recall@3 of the IVF path vs the exact baseline:
+    plant 3 near-twins per probe (cosine ≈ 0.9999 ≫ the corpus's max
+    natural cosine 0.45), run the full `ivf_topk` chain (centroid
+    quantization → nprobe cell search → decimal cosine top-k) on the
+    planted corpus, and assert it retrieves ≥90% of the numpy-exact
+    top-3 sets. This is the recall guarantee the candidate-ranking
+    test cannot give (that one only checks ordering of whatever the
+    cells happened to contain)."""
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import ivf_topk
+
+    base = load_table(spark, SF_SMALL, "embeddings").limit(60).collect()
+    ids = [int(r.vec_id) for r in base]
+    E = {i: np.array([float(x) for x in r.embedding]) for i, r in zip(ids, base)}
+    rows = [(i, E[i].tolist()) for i in ids]
+    for j in (1, 2, 3):  # three distinct small perturbation patterns
+        for i in ids:
+            pat = np.array([((d + j) % 2) * 2 - 1 for d in range(64)]) * (
+                0.002 * j
+            )
+            twin = E[i] + pat
+            tid = i + j * 1_000_000
+            E[tid] = twin
+            rows.append((tid, twin.tolist()))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = em.filter((F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 4 == 0)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    probe_ids = ids[:20]
+    probes = em.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ann = ivf_topk(em, probes, cent, k=3, nprobe=2).collect()
+    got = {}
+    for r in ann:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # numpy-exact top-3 per probe (the ns_similarity_topk semantics)
+    all_ids = sorted(E)
+    M = np.array([E[i] / np.linalg.norm(E[i]) for i in all_ids])
+    hits, want = 0, 0
+    for q in probe_ids:
+        qi = all_ids.index(q)
+        cos = M @ M[qi]
+        cos[qi] = -2.0
+        top3 = {all_ids[t] for t in np.argsort(-cos)[:3]}
+        want += 3
+        hits += len(top3 & got.get(q, set()))
+    recall = hits / want
+    assert recall >= 0.9, f"ivf recall@3 {recall}"
+
+
 def test_ann_ivf_produces_ranked_candidates(spark):
     """IVF ANN must produce ≤3 ranked neighbors per probe from its
     nprobe cells, all with valid cosine values."""
