@@ -23,21 +23,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 142 queries are registered (SURVEY §2 Part B, complete); the union
-# of CORRECTNESS_r01–r04 covers all 142 with zero failures. Round 5
-# fronts (a) every query whose code changed this round — the three
-# de-vacuated 0-row greens (join_anti / join_theta_range /
+# 148 queries are registered (SURVEY §2 Part B, which matches the
+# registry exactly in both directions); the union of
+# CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
+# Round 5 fronts (a) every query whose code changed this round — the
+# three de-vacuated 0-row greens (join_anti / join_theta_range /
 # join_asof_tolerance: predicates widened so sf0.01 output is
 # non-empty and the hash check verifies real rows), the posting-list
 # candidate-generation rewrite (exact_substring + the four
 # shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — then (b) the
+# and join_bloom_runtime's session-cache rework — (b) the six
+# operators ADDED this round (never driver-checked) — then (c) the
 # stalest cohort: queries last driver-checked in r01, whose shared
 # helpers (tbl, catalog, session confs) have kept changing since.
 # Every entry remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 142, with a vacuity guard)
+# (tests/test_oracle_parity.py covers all 148, with a vacuity guard)
 # regardless of window position.
 _ROUND5_FRONT = [
+    # new this round — first driver check:
+    "win_streaks",
+    "join_null_safe",
+    "ns_sample_reservoir",
+    "ns_token_commonness",
+    "ns_pack_ffd",
+    "ns_embedding_quantize",
     # changed this round — re-check first:
     "join_anti",
     "join_theta_range",
@@ -77,15 +86,9 @@ _ROUND5_FRONT = [
     "agg_skew_salted",
     "agg_histogram",
     "pivot_counts",
-    # stalest — B5 windows:
-    "win_ntile_dist",
-    "win_first_last",
     # stalest — B1 scans:
     "sample_hash",
     "lateral_explode",
-    # stalest — B7 scalar functions:
-    "f_string",
-    "f_misc",
     # stalest — B10 north-star:
     "ns_dedup_exact",
     "ns_dedup_minhash",
@@ -94,10 +97,12 @@ _ROUND5_FRONT = [
     "ns_multimodal_pool",
     "ns_multimodal_framesample",
     "ns_multimodal_decode",
-    # next-stalest (last checked r03):
-    "flagship_pipeline",
-    "scan_parquet",
 ]
+# Displaced to positions 51+ by this round's six new operators (the
+# window holds exactly 50): win_ntile_dist, win_first_last, f_string,
+# f_misc (r01-stale but their modules have fresher r03/r04 checks of
+# shared helpers), flagship_pipeline, scan_parquet (r03). All remain
+# locally value-equal-gated every round.
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
 FRONT = _ROUND5_FRONT

@@ -601,3 +601,57 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_items"), dsum("l_quantity", "qty_sum"))
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    SELECT c.k AS nation_key,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(c.c_custkey) AS BIGINT) AS min_cust,
+           CAST(MIN(s.s_suppkey) AS BIGINT) AS min_supp
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                      ELSE c_nationkey END AS k
+          FROM customer) c
+    JOIN (SELECT s_suppkey,
+                 CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                      ELSE s_nationkey END AS k
+          FROM supplier) s
+      ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`IS NOT DISTINCT FROM` / `<=>`): the CDC
+    merge-key join where key columns may legitimately be NULL and two
+    NULLs must MATCH (a plain equi join silently drops every NULL-key
+    row — the classic upsert bug). Nulls are synthesized by nulling
+    one fifth of nation keys on both sides.
+
+    Scale: Spark plans EqualNullSafe keys as an ordinary hash join —
+    the null key hashes like any other value, which makes it the one
+    guaranteed-hot bucket when NULL rates are high; AQE's skew-join
+    split handles it, or pre-split NULLs into a union branch when the
+    NULL fraction is known to be large."""
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("ck"),
+    )
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("sk"),
+    )
+    return (
+        c.join(s, c.ck.eqNullSafe(s.sk))
+        .groupBy(F.col("ck").alias("nation_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("c_custkey").cast("bigint").alias("min_cust"),
+            F.min("s_suppkey").cast("bigint").alias("min_supp"),
+        )
+    )

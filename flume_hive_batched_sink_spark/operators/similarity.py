@@ -677,3 +677,75 @@ def ns_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@query(
+    "ns_embedding_quantize",
+    """
+    WITH ex AS (
+      SELECT vec_id, i.i - 1 AS dim, CAST(e.embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    st AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+    ),
+    q AS (
+      SELECT ex.vec_id, ex.dim, ex.x, st.mn,
+             (st.mx - st.mn) / 255 AS step,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE CAST(floor((ex.x - st.mn)
+                                  / ((st.mx - st.mn) / 255) + 0.5) AS BIGINT)
+             END AS qv
+      FROM ex JOIN st ON ex.dim = st.dim
+    )
+    SELECT vec_id,
+           list(qv ORDER BY dim) AS qvec,
+           MAX(abs(x - (mn + qv * step))) AS max_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style affine quantization of the embedding corpus: per-dim
+    min/max → 256 levels → quantized vector + max reconstruction
+    error per vector. The 4× storage cut (and 4× shuffle-payload cut
+    for every downstream similarity join) is the standard first move
+    when an embedding corpus reaches the 100 TB regime.
+
+    Bit-exact across engines: min/max are exact; step, the scaled
+    offset, floor(+0.5), and the reconstruction error are the same
+    IEEE double operations on both sides (no decimal needed — no
+    summation reordering anywhere). Scale shape: the per-dim stats
+    are ONE 64-row hash agg over the posexplode; the quantize pass is
+    a broadcast join of those 64 rows — a single corpus scan, no
+    corpus shuffle; the rebuild agg is keyed by vec_id."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    st = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / F.lit(255)
+    j = ex.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        "x",
+        "mn",
+        step.alias("step"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor((F.col("x") - F.col("mn")) / step + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .alias("qv"),
+    )
+    return (
+        j.withColumn("err", F.abs(F.col("x") - (F.col("mn") + F.col("qv") * F.col("step"))))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "qv"))),
+                lambda s: s.qv,
+            ).alias("qvec"),
+            F.max("err").alias("max_err"),
+        )
+    )

@@ -1078,3 +1078,173 @@ def ns_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------- deterministic fixed-k sampling ----------
+
+_RESERVOIR_K = 50
+
+
+@query(
+    "ns_sample_reservoir",
+    f"""
+    SELECT event_id, event_type, sample_rank FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS sample_rank
+      FROM events
+      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '3'
+    ) t
+    WHERE sample_rank <= {_RESERVOIR_K}
+    """,
+)
+def ns_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-stratum sample — the reproducible
+    replacement for reservoir sampling: rank rows by md5(key) within
+    each stratum and keep the first k. Identical output across
+    engines, partitionings, and retries (true reservoir sampling is
+    order-dependent, so a retry or a different split produces a
+    different sample — unacceptable for training-data lineage).
+
+    Scale shape: the md5-prefix pre-filter ('0'-'3' keeps ~25% here;
+    at 100 TB tune it to a few multiples of k/|stratum|) is a pure
+    row-local scan filter that kills most of the corpus BEFORE the
+    per-stratum shuffle, so the window sort handles survivors only.
+    The filter and the rank use the same hash, so the pre-filter is
+    provably rank-preserving: survivors are exactly the md5-smallest
+    rows of each stratum."""
+    e = tbl(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = W.partitionBy("event_type").orderBy(h, F.col("event_id"))
+    return (
+        e.filter(F.substring(h, 1, 1) <= "3")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _RESERVOIR_K)
+        .select("event_id", "event_type", "sample_rank")
+    )
+
+
+# ---------- vocabulary commonness scoring ----------
+
+
+@query(
+    "ns_token_commonness",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+    FROM tok t JOIN dfreq d ON t.tok = d.tok
+    GROUP BY t.doc_id
+    """,
+)
+def ns_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-commonness score per document: mean corpus document
+    frequency of the doc's distinct tokens, plus its hapax count
+    (tokens unique to this doc). Low mean_df / high hapax flags
+    novel-vocabulary documents (OCR noise, code, non-target language)
+    — a standard quality signal next to `ns_quality_score`.
+
+    All arithmetic is integer counts; mean_df is ONE double division
+    of two exact ints, bit-identical across engines. Scale shape: the
+    DF table is a single hash agg over the token explode; the join
+    back is keyed on token — hot tokens ('the') make big postings but
+    each posting row is (doc_id, df) — O(corpus tokens) work total,
+    never quadratic, and the final agg is keyed by doc_id (map-side
+    combinable)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_TOKENS(F.col("text")))).alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
+            F.sum((F.col("df") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        )
+    )
+
+
+# ---------- first-fit-decreasing sequence packing ----------
+
+_FFD_SHARDS = 8
+
+
+@query("ns_pack_ffd")  # rows-only: FFD is inherently sequential per shard
+def ns_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing: within each (source,
+    shard), sort docs by token count descending and place each into
+    the first bin with room (budget `_PACK_BIN_TOKENS`); oversize
+    docs get their own bin. Within a packing group FFD is
+    near-optimal (≤ 11/9·OPT + 1 for fitting items — unlike the
+    offset-bin rule of `ns_pack_sequences`, which lets docs straddle
+    bin boundaries instead of packing) at the cost of a sequential
+    pass — which is why
+    the corpus is pre-split into `_FFD_SHARDS` hash shards per
+    source: each shard packs independently inside one
+    `applyInPandas` group, bounding group size and keeping the
+    operator embarrassingly parallel at 100 TB (shard count scales
+    with the corpus; packing quality loss from sharding is
+    negligible when shards hold ≫ bins).
+
+    Deterministic: sort is (n_tokens DESC, doc_id ASC), shard is
+    md5-derived — identical output across partitionings/retries.
+    Output is per-bin: validity properties (budget respected, every
+    doc packed exactly once, per-group bin count ≤ 2·OPT + oversize)
+    are asserted in tests/test_properties.py::test_ffd_packing."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "source",
+        "doc_id",
+        F.size(_TOKENS(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+         .cast("bigint") % _FFD_SHARDS).alias("shard"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # capacity left per bin
+        bin_ids = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            placed = None
+            for b, cap in enumerate(remaining):
+                if cap >= t:
+                    placed = b
+                    remaining[b] = cap - t
+                    break
+            if placed is None:
+                placed = len(remaining)
+                # oversize docs occupy a dedicated full bin
+                remaining.append(max(_PACK_BIN_TOKENS - t, 0))
+            bin_ids.append(placed)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        return pdf[["source", "shard", "bin_id", "doc_id", "n_tokens"]]
+
+    packed = tok.groupBy("source", "shard").applyInPandas(
+        pack,
+        "source string, shard bigint, bin_id bigint, doc_id bigint, "
+        "n_tokens bigint",
+    )
+    return packed.groupBy("source", "shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

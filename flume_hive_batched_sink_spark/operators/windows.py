@@ -293,3 +293,54 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_sum", ignorenulls=True).over(fill).alias("filled_sum"),
         )
     )
+
+
+@query(
+    "win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dn
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, dn,
+             dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+               AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user (the retention metric every activity pipeline computes).
+    Day numbers are ints (days since a fixed epoch — identical
+    integer arithmetic in both engines); the island anchor is
+    `day - row_number()`, constant within a run of consecutive days.
+    Scale shape: the distinct, the window, and both aggregates are
+    ALL keyed by user_id, so the whole chain shares one shuffle —
+    Spark plans a single Exchange and keeps the rest partition-local."""
+    e = tbl(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dn"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("dn")
+    isl = days.withColumn("anchor", F.col("dn") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )

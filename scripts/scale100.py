@@ -1,0 +1,97 @@
+"""One-off 100× decade check (sf0.1 × 100 ≈ sf10-equivalent).
+
+Extends SCALING.md's 10× table one more decade for the heaviest
+operators, and answers the specific at-scale question the 10× sweep
+left open: does the PARAMETERIZED 16-plane LSH band geometry keep
+embedding-dedup candidate volume sub-quadratic when the corpus grows
+100×? (The oracle-baked 8-plane test geometry is quadratic by design
+at this size — that is why the geometry is a parameter.)
+
+Reuses scale_check's corpus construction (same key-shift / alphabet-
+rotation rules, same warmup + best-of-2 timing). Results are pasted
+into SCALING.md's trailer by hand — this run is a measurement, not a
+table regeneration (the table stays K=10).
+
+Usage: python scripts/scale100.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flume_hive_batched_sink_spark import operators as ops
+from flume_hive_batched_sink_spark.catalog import load_table
+from flume_hive_batched_sink_spark.session import get_spark
+from scripts.scale_check import BASE_SF, build_scaled, timed
+
+K = 100
+
+DEFAULT_QUERIES = [
+    "agg_multi",
+    "agg_percentile",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_exact_substring",
+]
+
+
+def lsh_candidate_workload(spark, sf_dir: str) -> None:
+    """Σ c·(c−1)/2 over (band, bucket) occupancy — the exact candidate
+    -pair workload the banded embedding dedup would generate — under
+    the default 8-plane and the at-scale 16-plane geometries."""
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        band_keys,
+        embedding_features,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    for planes in (8, 16):
+        keys = band_keys(
+            embedding_features(spark, em, n_bands=4, planes_per_band=planes),
+            n_bands=4,
+        )
+        occ = keys.groupBy("band", "bucket").agg(F.count("*").alias("c"))
+        stats = occ.agg(
+            F.sum(F.expr("(c * (c - 1)) div 2")).alias("pairs"),
+            F.max("c").alias("max_bucket"),
+            F.count("*").alias("n_buckets"),
+        ).collect()[0]
+        print(
+            f"LSH {planes:2d}-plane: n={n} candidate_pairs={stats.pairs} "
+            f"max_bucket={stats.max_bucket} n_buckets={stats.n_buckets} "
+            f"(quadratic would be ~{4 * n * (n - 1) // 2})",
+            flush=True,
+        )
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="scale100")
+    print(f"building {K}x dataset …", flush=True)
+    t0 = time.time()
+    scaled_dir = build_scaled(spark, K)
+    print(f"built in {time.time() - t0:.0f}s", flush=True)
+    for name in names:
+        t1 = timed(spark, name, BASE_SF)
+        spark.catalog.clearCache()
+        tk = timed(spark, name, scaled_dir)
+        spark.catalog.clearCache()
+        ratio = tk / t1 if t1 > 0 else float("nan")
+        print(
+            f"{name:26s} 1x={t1:6.2f}s  {K}x={tk:8.2f}s  "
+            f"ratio={ratio:6.1f} (linear≈{K})",
+            flush=True,
+        )
+    lsh_candidate_workload(spark, scaled_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -652,3 +652,36 @@ def test_sorted_layout_rowgroup_stats(spark):
         back._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "event_id" in plan
+
+
+def test_ffd_packing(spark):
+    """ns_pack_ffd validity + efficiency: every bin respects the
+    512-token budget unless it holds a single oversize doc; the doc
+    and token totals match the corpus (every doc packed exactly
+    once); and WITHIN each (source, shard) packing group FFD uses at
+    most 2·⌈group_tokens/budget⌉ + oversize bins (FFD's guarantee is
+    11/9·OPT+1 on fitting items; 2·OPT is the generous test bound).
+    Efficiency is asserted per group because that is the unit FFD
+    optimizes — sharding deliberately trades a little cross-shard
+    packing efficiency for parallelism."""
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _PACK_BIN_TOKENS,
+    )
+
+    bins = QUERIES["ns_pack_ffd"](spark, SF_SMALL).collect()
+    groups: dict[tuple, list] = {}
+    for b in bins:
+        assert b.n_docs >= 1
+        if b.n_docs > 1:
+            assert b.bin_tokens <= _PACK_BIN_TOKENS, b
+        groups.setdefault((b.source, b.shard), []).append(b)
+    corpus = QUERIES["ns_pack_sequences"](spark, SF_SMALL).collect()
+    assert sum(b.n_docs for b in bins) == sum(r.n_docs for r in corpus)
+    assert sum(b.bin_tokens for b in bins) == sum(r.bin_tokens for r in corpus)
+    for key, gbins in groups.items():
+        g_tokens = sum(b.bin_tokens for b in gbins)
+        oversize = sum(
+            1 for b in gbins if b.n_docs == 1 and b.bin_tokens > _PACK_BIN_TOKENS
+        )
+        lower = -(-g_tokens // _PACK_BIN_TOKENS)  # ceil
+        assert len(gbins) <= 2 * lower + oversize, (key, len(gbins), lower)
