@@ -53,6 +53,12 @@ HEADLINE = [
     "ts_resample_ohlc",
     "agg_bitmap_distinct",
     "ns_embedding_filter_join",
+    # round 5 additions (first 24 = the frozen r04 set, subtotal kept
+    # auditable below): this round's representative new operators.
+    "win_streaks",
+    "ns_token_commonness",
+    "ns_embedding_quantize",
+    "ns_pack_ffd",
 ]
 
 
@@ -88,14 +94,14 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    # The r01 headline set is the first 15 entries; its subtotal is the
-    # round-over-round comparable number (the full set grows as fixed /
-    # rebuilt queries are promoted into the bench for visibility).
-    # The 20-query set has been frozen since r02, so `value` doubles as
-    # the r02-comparable subtotal; the explicit key keeps that
-    # auditable if the set ever grows again.
+    # `value` is the total over the CURRENT headline set (28 queries
+    # as of r5) and is NOT round-over-round comparable once the set
+    # grows. The comparable numbers are the frozen-prefix subtotals:
+    # first 15 = the r01 set, first 20 = frozen since r02, first 24 =
+    # frozen since r04.
     r01_subtotal = round(sum(timings[n] for n in HEADLINE[:15]), 3)
     r02_subtotal = round(sum(timings[n] for n in HEADLINE[:20]), 3)
+    r04_subtotal = round(sum(timings[n] for n in HEADLINE[:24]), 3)
     print(
         json.dumps(
             {
@@ -106,6 +112,7 @@ def main() -> None:
                 "sf": sf,
                 "r01_comparable_subtotal": r01_subtotal,
                 "r02_comparable_subtotal": r02_subtotal,
+                "r04_comparable_subtotal": r04_subtotal,
                 # r4's +36% (frozen-20 17.3 -> 23.6 s) did not
                 # reproduce: three round-5 re-runs measured 19.1 /
                 # 17.7 / 17.2 s, the first on code identical for the

@@ -1095,7 +1095,7 @@ _RESERVOIR_K = 50
                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
              ) AS sample_rank
       FROM events
-      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '3'
+      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7'
     ) t
     WHERE sample_rank <= {_RESERVOIR_K}
     """,
@@ -1108,18 +1108,22 @@ def ns_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent, so a retry or a different split produces a
     different sample — unacceptable for training-data lineage).
 
-    Scale shape: the md5-prefix pre-filter ('0'-'3' keeps ~25% here;
-    at 100 TB tune it to a few multiples of k/|stratum|) is a pure
-    row-local scan filter that kills most of the corpus BEFORE the
-    per-stratum shuffle, so the window sort handles survivors only.
-    The filter and the rank use the same hash, so the pre-filter is
-    provably rank-preserving: survivors are exactly the md5-smallest
-    rows of each stratum."""
+    Scale shape: the md5-prefix pre-filter ('0'-'7' keeps ~50%) is a
+    pure row-local scan filter that kills part of the corpus BEFORE
+    the per-stratum shuffle, so the window sort handles survivors
+    only. The filter and the rank use the same hash, so it is
+    rank-preserving PROVIDED every stratum keeps ≥ k survivors —
+    undersizing it silently truncates the sample, so the prefix must
+    be chosen with slack: here the smallest stratum keeps 89 rows at
+    sf0.001 (k=50, measured; asserted in
+    tests/test_properties.py::test_reservoir_sample_full); at 100 TB
+    size it so expected survivors ≈ several × k, where a Chernoff
+    bound makes shortfall astronomically unlikely."""
     e = tbl(spark, sf_dir, "events")
     h = F.md5(F.col("event_id").cast("string"))
     w = W.partitionBy("event_type").orderBy(h, F.col("event_id"))
     return (
-        e.filter(F.substring(h, 1, 1) <= "3")
+        e.filter(F.substring(h, 1, 1) <= "7")
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= _RESERVOIR_K)
         .select("event_id", "event_type", "sample_rank")

@@ -17,13 +17,25 @@ import __spark_entry__ as e
 from tests.oracle_harness import compare, duck_connection
 
 _args = sys.argv[1:]
-# argv[1] is the sf dir only when it looks like one — a query name (or
-# `front`) in first position must not be silently treated as a
-# directory (`drive_oracle.py front` used to scan a dir named "front").
-if _args and not os.path.isdir(_args[0]) and "/" not in _args[0]:
-    SF = "/root/testdata/sf0.01"
+# Classify argv[1] by REGISTRY membership first, path shape second: a
+# query name or `front` is a name filter even if a same-named
+# directory happens to exist in cwd; otherwise it must be an existing
+# directory (or contain '/'), and anything else is an explicit error
+# rather than a silent misroute.
+_DEFAULT_SF = "/root/testdata/sf0.01"
+if not _args:
+    SF = _DEFAULT_SF
+elif _args[0] == "front" or _args[0] in e.queries():
+    SF = _DEFAULT_SF
+elif "/" in _args[0] or os.path.isdir(_args[0]):
+    SF = _args.pop(0)
 else:
-    SF = _args.pop(0) if _args else "/root/testdata/sf0.01"
+    print(
+        f"argv[1] {_args[0]!r} is neither a registered query name, "
+        f"'front', nor an existing sf directory",
+        file=sys.stderr,
+    )
+    sys.exit(2)
 
 spark = (
     SparkSession.builder.master("local[8]")

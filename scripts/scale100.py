@@ -8,7 +8,13 @@ embedding-dedup candidate volume sub-quadratic when the corpus grows
 at this size — that is why the geometry is a parameter.)
 
 Reuses scale_check's corpus construction (same key-shift / alphabet-
-rotation rules, same warmup + best-of-2 timing). Results are pasted
+rotation rules, same warmup + best-of-2 timing). NOTE: the alphabet
+rotation wraps at period 26, so K=100 plants TRUE duplicate clusters
+(copies i and i+26 of a doc are identical — ~144 true pairs per
+original doc). That is deliberate signal, not noise: it exercises
+the dedup operators' pair-verification path at scale, and their
+100× cost must be read as linear-in-true-dups (see the 100× section
+of SCALING.md), not as corpus-quadratic blowup. Results are pasted
 into SCALING.md's trailer by hand — this run is a measurement, not a
 table regeneration (the table stays K=10).
 
@@ -25,7 +31,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from flume_hive_batched_sink_spark import operators as ops
 from flume_hive_batched_sink_spark.catalog import load_table
 from flume_hive_batched_sink_spark.session import get_spark
 from scripts.scale_check import BASE_SF, build_scaled, timed

@@ -685,3 +685,28 @@ def test_ffd_packing(spark):
         )
         lower = -(-g_tokens // _PACK_BIN_TOKENS)  # ceil
         assert len(gbins) <= 2 * lower + oversize, (key, len(gbins), lower)
+
+
+def test_reservoir_sample_full(spark):
+    """ns_sample_reservoir must return EXACTLY k rows per stratum
+    (every stratum here is larger than k): an undersized md5-prefix
+    pre-filter would silently truncate the sample while staying
+    oracle-green, because both engines apply the identical filter."""
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _RESERVOIR_K,
+    )
+
+    rows = QUERIES["ns_sample_reservoir"](spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per[r.event_type] = per.get(r.event_type, 0) + 1
+    strata = {
+        r.event_type
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(per) == strata
+    for st, n in per.items():
+        assert n == _RESERVOIR_K, (st, n)
