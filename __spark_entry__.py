@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 148 queries are registered (SURVEY §2 Part B, which matches the
+# 152 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
 # CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
 # Round 5 fronts (a) every query whose code changed this round — the
@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # non-empty and the hash check verifies real rows), the posting-list
 # candidate-generation rewrite (exact_substring + the four
 # shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — (b) the six
+# and join_bloom_runtime's session-cache rework — (b) the ten
 # operators ADDED this round (never driver-checked) — then (c) the
 # stalest cohort: queries last driver-checked in r01, whose shared
 # helpers (tbl, catalog, session confs) have kept changing since.
 # Every entry remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 148, with a vacuity guard)
+# (tests/test_oracle_parity.py covers all 152, with a vacuity guard)
 # regardless of window position.
 _ROUND5_FRONT = [
     # new this round — first driver check:
@@ -47,6 +47,10 @@ _ROUND5_FRONT = [
     "ns_token_commonness",
     "ns_pack_ffd",
     "ns_embedding_quantize",
+    "agg_hll_sketch_merge",
+    "ns_dedup_cluster_stats",
+    "ns_doc_chunk",
+    "ns_quality_scriptmix",
     # changed this round — re-check first:
     "join_anti",
     "join_theta_range",
@@ -69,7 +73,6 @@ _ROUND5_FRONT = [
     "join_left_outer",
     "join_semi",
     "join_asof",
-    "join_cross",
     "join_bucketed",
     "join_skew_salted",
     # stalest — B4 aggregations:
@@ -78,11 +81,8 @@ _ROUND5_FRONT = [
     "agg_distinct",
     "agg_approx_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_minby_leader",
     "upsert_last_write_wins",
-    "agg_mode",
     "agg_skew_salted",
     "agg_histogram",
     "pivot_counts",
@@ -98,11 +98,13 @@ _ROUND5_FRONT = [
     "ns_multimodal_framesample",
     "ns_multimodal_decode",
 ]
-# Displaced to positions 51+ by this round's six new operators (the
+# Displaced to positions 51+ by this round's ten new operators (the
 # window holds exactly 50): win_ntile_dist, win_first_last, f_string,
-# f_misc (r01-stale but their modules have fresher r03/r04 checks of
-# shared helpers), flagship_pipeline, scan_parquet (r03). All remain
-# locally value-equal-gated every round.
+# f_misc, agg_cube, agg_grouping_sets, agg_mode, join_cross
+# (r01-stale but family-covered — their modules and sibling rows have
+# fresher r03/r04 checks of the shared helpers), flagship_pipeline,
+# scan_parquet (r03). All remain locally value-equal-gated every
+# round.
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
 FRONT = _ROUND5_FRONT

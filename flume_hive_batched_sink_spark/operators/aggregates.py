@@ -511,3 +511,33 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_okey",
         "max_okey",
     )
+
+
+@query("agg_hll_sketch_merge")  # rows-only: sketch internals engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-sketch distinct counting — the incremental/at-scale
+    shape of `agg_approx_distinct`: stage 1 builds a DataSketches HLL
+    sketch per (event_type, shard) — in production each shard's
+    sketch is PERSISTED with its partition, so late-arriving data
+    only rebuilds its own shard — stage 2 merges shard sketches with
+    `hll_union_agg` and estimates. Sketch state is bytes, mergeable,
+    and retry-safe; the second stage shuffles |groups|·|shards| tiny
+    binary blobs, never data rows. Estimate accuracy vs the exact
+    count is asserted in tests/test_properties.py::test_hll_sketch_
+    merge_accuracy (rows-only here: sketch binaries are
+    engine-specific, so no DuckDB twin exists)."""
+    e = tbl(spark, sf_dir, "events")
+    shard_sketches = (
+        e.withColumn("shard", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    )
+    return (
+        shard_sketches.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.count("*").cast("bigint").alias("n_sketches"),
+        )
+    )

@@ -758,3 +758,52 @@ def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+@query(
+    "ns_dedup_cluster_stats",
+    f"""
+    WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+    bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE t(x, y) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
+      )
+      SELECT * FROM t
+    ),
+    labels AS (
+      SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+      FROM reach GROUP BY x
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def ns_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup connected components —
+    the dedup-report number every corpus pipeline publishes (how much
+    is duplicated, and in how large clumps: a few giant clusters
+    means template/boilerplate contamination, many pairs means true
+    near-dups). Composes `ns_dedup_clusters`; the two extra
+    aggregates are over the LABEL table (≪ corpus), so the cost is
+    the component computation it already shares."""
+    labels = ns_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )

@@ -1252,3 +1252,127 @@ def ns_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------- long-document chunking ----------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+
+
+@query(
+    "ns_doc_chunk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n, i.i AS chunk_id,
+             1 + i.i * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) AS start_tok
+      FROM tok,
+           (SELECT unnest(range(0, 1000)) AS i) i
+      WHERE i.i * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) < n
+        AND (i.i = 0 OR i.i * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP})
+                        + {_CHUNK_OVERLAP} < n)
+    )
+    SELECT c.doc_id, c.chunk_id,
+           CAST(least(c.n - c.start_tok + 1, {_CHUNK_TOKENS}) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(
+             t.toks[c.start_tok : c.start_tok + {_CHUNK_TOKENS} - 1], ' ')
+             AS chunk_text
+    FROM chunks c JOIN tok t ON c.doc_id = t.doc_id
+    """,
+)
+def ns_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking with overlap — the context-window prep
+    step: split each doc into {64}-token chunks with a {16}-token
+    overlap (stride 48), keeping a trailing chunk only when it adds
+    tokens beyond the previous chunk's overlap. Pure row-local work:
+    tokenize once, explode the chunk index, slice the token array —
+    no shuffle at all (the explode multiplies rows ~n/48× map-side,
+    exactly how a 100 TB chunking pass should behave). Chunk ids and
+    boundaries are deterministic functions of the token count, so
+    the output is retry/partitioning-independent."""
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "doc_id",
+        _TOKENS(F.col("text")).alias("toks"),
+        F.size(_TOKENS(F.col("text"))).alias("n"),
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.col("n") - F.lit(_CHUNK_OVERLAP)) / F.lit(stride)),
+        F.lit(1),
+    )
+    ex = tok.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).withColumn("start_tok", F.lit(1) + F.col("chunk_id") * stride)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(
+            F.col("n") - F.col("start_tok") + 1, F.lit(_CHUNK_TOKENS)
+        )
+        .cast("bigint")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok"), _CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+    )
+
+
+# ---------- script/charset mix quality signal ----------
+
+
+@query(
+    "ns_quality_scriptmix",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(regexp_replace(text, '[^[:ascii:]]', '', 'g'))
+                AS BIGINT) AS n_non_ascii,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                AS BIGINT) AS n_upper,
+           CAST(length(text)
+                - length(regexp_replace(text, '[^[:ascii:]]', '', 'g'))
+                AS DOUBLE) / length(text) AS non_ascii_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def ns_quality_scriptmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset/script mix per document: non-ASCII, digit, and
+    uppercase counts plus the non-ASCII ratio — the cheap first-pass
+    filter for mixed-script garbage (mojibake, OCR noise, wrong-
+    language contamination) before the heavier `ns_lang_id` pass.
+    Pure row-local regex counting (RE2-safe character classes, no
+    backtracking), pushed into the scan projection: a 100 TB sweep is
+    one pass, no shuffle. The ratio is one double division of two
+    exact ints — bit-identical across engines."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    n = F.length("text")
+    ascii_only = F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_chars"),
+            (n - ascii_only).cast("bigint").alias("n_non_ascii"),
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            .cast("bigint")
+            .alias("n_digits"),
+            F.length(F.regexp_replace("text", "[^A-Z]", ""))
+            .cast("bigint")
+            .alias("n_upper"),
+            ((n - ascii_only).cast("double") / n).alias("non_ascii_ratio"),
+        )
+    )

@@ -46,6 +46,10 @@ PLAN_QUERIES = [
     "agg_bitmap_distinct",
     "ns_dedup_exact_substring",
     "ns_bigram_stats",
+    # round 5 additions: single-Exchange gaps-and-islands, join-free
+    # posting-list pair generation, broadcast quantization pass.
+    "win_streaks",
+    "ns_embedding_quantize",
 ]
 
 
@@ -135,6 +139,34 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
     n_bcast = p.count("BroadcastExchange")
     add("join_multiway", "dimension tables broadcast (>=2 BroadcastExchange)",
         n_bcast >= 2, f"{n_bcast} BroadcastExchange nodes")
+
+    # ns_dedup_exact_substring: posting-list pair generation — NO join
+    # operator anywhere (the old shape self-joined the inverted index;
+    # the rewrite emits pairs map-side from collected posting lists).
+    p = _executed(ops.QUERIES["ns_dedup_exact_substring"](spark, sf_dir))
+    joins = [ln.strip() for ln in p.splitlines()
+             if "Join" in ln.split("(")[0]]
+    add("ns_dedup_exact_substring",
+        "no join operator (posting-list pair generation)",
+        not joins, "no Join nodes" if not joins else joins[0])
+
+    # win_streaks: the whole distinct→window→agg→agg chain shares ONE
+    # Exchange (repartition(user_id) satisfies every downstream
+    # clustered-distribution requirement).
+    p = _executed(ops.QUERIES["win_streaks"](spark, sf_dir))
+    n_ex = p.count("Exchange hashpartitioning")
+    add("win_streaks", "single Exchange for the whole chain",
+        n_ex == 1, f"{n_ex} hash Exchange nodes")
+
+    # ns_embedding_quantize: the corpus is never shuffle-joined — the
+    # 64-row dim stats broadcast back onto the posexplode.
+    p = _executed(ops.QUERIES["ns_embedding_quantize"](spark, sf_dir))
+    add("ns_embedding_quantize",
+        "dim stats broadcast; corpus never shuffle-joined",
+        "BroadcastExchange" in p and "SortMergeJoin" not in p
+        and "ShuffledHashJoin" not in p,
+        f"BroadcastExchange={'BroadcastExchange' in p}, "
+        f"SMJ={'SortMergeJoin' in p}, SHJ={'ShuffledHashJoin' in p}")
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).

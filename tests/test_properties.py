@@ -710,3 +710,24 @@ def test_reservoir_sample_full(spark):
     assert set(per) == strata
     for st, n in per.items():
         assert n == _RESERVOIR_K, (st, n)
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """The merged-shard HLL estimate must match the exact per-type
+    distinct count within the sketch's error envelope (lgK=14 →
+    rsd ≈ 0.81%; the bound below is generous because the test strata
+    are small)."""
+    est = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_hll_sketch_merge"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(3, 0.05 * e), (t, est[t], e)
