@@ -95,3 +95,99 @@ def test_partition_spec_roundtrip(spark, specs):
             assert getattr(r, f"v_{k}") == v, (r.spec, k)
         for k in set(["logdate", "loghour", "region", "k", "part_a"]) - set(d):
             assert getattr(r, f"v_{k}") == "", (r.spec, k)
+
+
+_DOC_IDS = st.integers(min_value=0, max_value=30)
+_KEYS_SMALL = st.integers(min_value=0, max_value=8)
+
+
+@given(
+    postings=st.lists(
+        st.tuples(_DOC_IDS, _KEYS_SMALL), min_size=1, max_size=120
+    ),
+    cap=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_posting_pairs_matches_naive_join(spark, postings, cap):
+    """`dedup._posting_pairs` (single-shuffle posting-list pair
+    generation) must emit EXACTLY the multiset of (doc_a, doc_b,
+    shared-key) rows a naive capped self-join produces, for ANY
+    inverted index and ANY cap — the algebraic contract the
+    exact-substring and shingle dedups rely on."""
+    from collections import Counter
+
+    from flume_hive_batched_sink_spark.operators.dedup import _posting_pairs
+
+    df = spark.createDataFrame(
+        [(d, f"k{k}") for d, k in postings], "doc_id long, key string"
+    )
+    got = Counter(
+        (r.doc_a, r.doc_b)
+        for r in _posting_pairs(df, "key", cap).collect()
+    )
+    # independent Python reference: per key, distinct docs, cap by DF,
+    # emit each sorted pair once per shared key
+    by_key: dict[str, set] = {}
+    for d, k in postings:
+        by_key.setdefault(f"k{k}", set()).add(d)
+    want: Counter = Counter()
+    for docs in by_key.values():
+        if 2 <= len(docs) <= cap:
+            ds = sorted(docs)
+            for i, a in enumerate(ds):
+                for b in ds[i + 1:]:
+                    want[(a, b)] += 1
+    assert got == want
+
+
+_DAYS = st.integers(min_value=0, max_value=40)
+
+
+@given(
+    activity=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), _DAYS),
+        min_size=1,
+        max_size=150,
+    )
+)
+@settings(**SETTINGS)
+def test_streaks_match_python_reference(spark, activity):
+    """win_streaks' gaps-and-islands algebra vs an independent Python
+    computation of (n_active_days, longest_streak, n_streaks), for
+    arbitrary (user, day) activity multisets."""
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [(u, d) for u, d in activity], "user_id long, dn long"
+    )
+    days = df.repartition("user_id").distinct()
+    w = W.partitionBy("user_id").orderBy("dn")
+    isl = days.withColumn("anchor", F.col("dn") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    got = {
+        r.user_id: (r.n_active, r.longest, r.n_streaks)
+        for r in streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active"),
+            F.max("len").alias("longest"),
+            F.count("*").alias("n_streaks"),
+        )
+        .collect()
+    }
+    by_user: dict[int, set] = {}
+    for u, d in activity:
+        by_user.setdefault(u, set()).add(d)
+    for u, ds in by_user.items():
+        runs = []
+        cur = 0
+        prev = None
+        for d in sorted(ds):
+            if prev is not None and d == prev + 1:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = 1
+            prev = d
+        runs.append(cur)
+        assert got[u] == (len(ds), max(runs), len(runs)), (u, sorted(ds))
