@@ -399,9 +399,13 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ns_dedup_clusters",
-    f"""
+# Shared connected-component labeling over the verified near-dup pair
+# graph: recursive reachability + min-label cluster ids, ending in a
+# `labels(doc_id, cluster_id)` CTE. ONE definition consumed by the
+# three cluster-consuming oracles (clusters / canonical /
+# cluster_stats) — their Spark sides all share ns_dedup_clusters, so
+# their oracles must share this labeling rule too.
+_CLUSTER_LABELS_SQL = f"""
     WITH pairs AS ({_NGRAM_PAIRS_SQL}),
     bidir AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -415,10 +419,17 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
       )
       SELECT * FROM t
+    ),
+    labels AS (
+      SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+      FROM reach GROUP BY x
     )
-    SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
-    FROM reach GROUP BY x
-    """,
+"""
+
+
+@query(
+    "ns_dedup_clusters",
+    _CLUSTER_LABELS_SQL + "SELECT doc_id, cluster_id FROM labels",
 )
 def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified
@@ -628,25 +639,8 @@ def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_dedup_canonical",
-    f"""
-    WITH pairs AS ({_NGRAM_PAIRS_SQL}),
-    bidir AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach AS (
-      WITH RECURSIVE t(x, y) AS (
-        SELECT a, b FROM bidir
-        UNION
-        SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
-      )
-      SELECT * FROM t
-    ),
-    clusters AS (
-      SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
-      FROM reach GROUP BY x
-    )
+    _CLUSTER_LABELS_SQL
+    + """
     SELECT d.doc_id,
            COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
            d.n_chars,
@@ -654,7 +648,7 @@ def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY COALESCE(c.cluster_id, d.doc_id)
                ORDER BY d.n_chars DESC, d.doc_id) = 1
              THEN 1 ELSE 0 END AS INT) AS keep
-    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    FROM documents d LEFT JOIN labels c USING (doc_id)
     """,
 )
 def ns_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,26 +756,9 @@ def ns_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_dedup_cluster_stats",
-    f"""
-    WITH pairs AS ({_NGRAM_PAIRS_SQL}),
-    bidir AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach AS (
-      WITH RECURSIVE t(x, y) AS (
-        SELECT a, b FROM bidir
-        UNION
-        SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
-      )
-      SELECT * FROM t
-    ),
-    labels AS (
-      SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
-      FROM reach GROUP BY x
-    ),
-    sizes AS (
+    _CLUSTER_LABELS_SQL
+    + """
+    , sizes AS (
       SELECT cluster_id, COUNT(*) AS cluster_size
       FROM labels GROUP BY cluster_id
     )

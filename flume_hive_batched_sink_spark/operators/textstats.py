@@ -1269,13 +1269,21 @@ _CHUNK_OVERLAP = 16
       FROM documents
     ),
     chunks AS (
-      SELECT doc_id, n, i.i AS chunk_id,
-             1 + i.i * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) AS start_tok
-      FROM tok,
-           (SELECT unnest(range(0, 1000)) AS i) i
-      WHERE i.i * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) < n
-        AND (i.i = 0 OR i.i * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP})
-                        + {_CHUNK_OVERLAP} < n)
+      -- per-row range mirrors the Spark n_chunks formula EXACTLY
+      -- (no fixed cap: a fixed range(0, K) would silently diverge
+      -- from the uncapped Spark side past K chunks per doc)
+      SELECT doc_id, n,
+             unnest(range(0, greatest(
+               CAST(ceil((n - {_CHUNK_OVERLAP}) * 1.0
+                         / ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}))
+                    AS BIGINT), 1))) AS chunk_id
+      FROM tok
+    ),
+    placed AS (
+      SELECT doc_id, n, chunk_id,
+             1 + chunk_id * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP})
+               AS start_tok
+      FROM chunks
     )
     SELECT c.doc_id, c.chunk_id,
            CAST(least(c.n - c.start_tok + 1, {_CHUNK_TOKENS}) AS BIGINT)
@@ -1283,7 +1291,7 @@ _CHUNK_OVERLAP = 16
            array_to_string(
              t.toks[c.start_tok : c.start_tok + {_CHUNK_TOKENS} - 1], ' ')
              AS chunk_text
-    FROM chunks c JOIN tok t ON c.doc_id = t.doc_id
+    FROM placed c JOIN tok t ON c.doc_id = t.doc_id
     """,
 )
 def ns_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -335,7 +335,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on (user_id, dn) for the distinct and AGAIN on
     user_id for the window (measured: 2 Exchanges → 1)."""
     e = tbl(spark, sf_dir, "events")
-    days = (
+    return streaks_from_activity(
         e.select(
             "user_id",
             F.datediff(
@@ -344,9 +344,15 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("dn"),
         )
-        .repartition("user_id")
-        .distinct()
     )
+
+
+def streaks_from_activity(activity: DataFrame) -> DataFrame:
+    """The streak chain proper over (user_id, dn) activity rows —
+    factored out so the hypothesis contract
+    (tests/test_hypothesis.py::test_streaks_match_python_reference)
+    exercises THIS code, not a copy."""
+    days = activity.repartition("user_id").distinct()
     w = W.partitionBy("user_id").orderBy("dn")
     isl = days.withColumn("anchor", F.col("dn") - F.row_number().over(w))
     streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))

@@ -154,9 +154,13 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
     # Exchange (repartition(user_id) satisfies every downstream
     # clustered-distribution requirement).
     p = _executed(ops.QUERIES["win_streaks"](spark, sf_dir))
-    n_ex = p.count("Exchange hashpartitioning")
+    # count EVERY Exchange (hash, round-robin, range, broadcast) —
+    # counting only hashpartitioning would let e.g. a stray
+    # round-robin repartition slip in without falsifying the claim
+    n_ex = sum("Exchange" in ln.lstrip("+- :*").split("(")[0]
+               for ln in p.splitlines())
     add("win_streaks", "single Exchange for the whole chain",
-        n_ex == 1, f"{n_ex} hash Exchange nodes")
+        n_ex == 1, f"{n_ex} Exchange nodes (any partitioning)")
 
     # ns_embedding_quantize: the corpus is never shuffle-joined — the
     # 64-row dim stats broadcast back onto the posexplode.

@@ -154,25 +154,18 @@ _DAYS = st.integers(min_value=0, max_value=40)
 def test_streaks_match_python_reference(spark, activity):
     """win_streaks' gaps-and-islands algebra vs an independent Python
     computation of (n_active_days, longest_streak, n_streaks), for
-    arbitrary (user, day) activity multisets."""
-    from pyspark.sql.window import Window as W
+    arbitrary (user, day) activity multisets — exercising the
+    PRODUCTION chain (windows.streaks_from_activity), not a copy."""
+    from flume_hive_batched_sink_spark.operators.windows import (
+        streaks_from_activity,
+    )
 
     df = spark.createDataFrame(
         [(u, d) for u, d in activity], "user_id long, dn long"
     )
-    days = df.repartition("user_id").distinct()
-    w = W.partitionBy("user_id").orderBy("dn")
-    isl = days.withColumn("anchor", F.col("dn") - F.row_number().over(w))
-    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
     got = {
-        r.user_id: (r.n_active, r.longest, r.n_streaks)
-        for r in streaks.groupBy("user_id")
-        .agg(
-            F.sum("len").alias("n_active"),
-            F.max("len").alias("longest"),
-            F.count("*").alias("n_streaks"),
-        )
-        .collect()
+        r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks)
+        for r in streaks_from_activity(df).collect()
     }
     by_user: dict[int, set] = {}
     for u, d in activity:
