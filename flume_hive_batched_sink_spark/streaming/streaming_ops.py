@@ -506,3 +506,70 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_stream(spark, staged_v, schema, xform, "stream_stream_join")
+
+
+@query(
+    "stream_restart_recovery",
+    """
+    SELECT event_type, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-restart exactly-once: run the landing stream until
+    it drains the currently-visible input and TERMINATES, reveal the
+    rest of the input, then RESTART the query from the same
+    checkpoint. The read-back per-type counts must equal the batch
+    counts over all events — which is only true if the restarted
+    query neither re-lands the already-committed micro-batch
+    (duplicate) nor skips the new files (loss). This is the
+    reference's at-least-once replay hazard (rollback re-queues
+    events, HiveBatchedSink.scala:302-357) resolved the Spark way:
+    source offsets + sink commit log in the checkpoint make the
+    restart idempotent, so the ORACLE CHECK ITSELF is the
+    exactly-once proof. Deterministic: phase boundaries are file
+    visibility, never wall-clock."""
+    import shutil as _sh
+
+    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
+    staged, schema = stage_chunks("restart_all", chunks)
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    phased = os.path.join(SCRATCH, "stream_stage", "restart_phased")
+    out_dir = os.path.join(SCRATCH, "restart_landed")
+    ckpt = os.path.join(SCRATCH, "checkpoints", "restart_recovery")
+    for d in (phased, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    os.makedirs(phased, exist_ok=True)
+
+    def run_to_drain() -> None:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(phased)
+        )
+        q = (
+            src.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: only the first staged file is visible; the query lands
+    # it, commits, and terminates (AvailableNow drains what exists)
+    _sh.copy2(os.path.join(staged, files[0]), os.path.join(phased, files[0]))
+    run_to_drain()
+    # phase 2: reveal the remaining files and restart from the SAME
+    # checkpoint — committed offsets skip phase 1's file
+    for f in files[1:]:
+        _sh.copy2(os.path.join(staged, f), os.path.join(phased, f))
+    run_to_drain()
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(F.count("*").alias("n_rows"))
