@@ -1384,3 +1384,97 @@ def ns_quality_scriptmix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n - ascii_only).cast("double") / n).alias("non_ascii_ratio"),
         )
     )
+
+
+# ---------- weighted deterministic sampling + mixture rebalance ----------
+
+
+@query(
+    "ns_sample_weighted",
+    """
+    SELECT doc_id, source, n_tokens, keep_rate FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             least(1.0, greatest(0.1,
+               len(string_split(text, ' ')) / 150.0)) AS keep_rate,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents
+    ) t
+    WHERE u < keep_rate
+    """,
+)
+def ns_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling: each doc keeps with
+    probability proportional to its length (keep_rate =
+    clamp(n_tokens/150, 0.1, 1)) — the quality/importance-weighted
+    downsampling step of a data pipeline, made REPRODUCIBLE by
+    deriving the uniform draw from md5(doc_id) (first 8 hex chars /
+    2³²) instead of RNG: identical keep set across engines,
+    partitionings, and retries. Pure row-local scan filter — zero
+    shuffle at any scale; both engines compute the same IEEE doubles
+    from the same integers, so the oracle is bit-exact."""
+    d = tbl(spark, sf_dir, "documents")
+    n_tokens = F.size(_TOKENS(F.col("text"))).cast("bigint")
+    rate = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.1), n_tokens / F.lit(150.0))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            rate.alias("keep_rate"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select("doc_id", "source", "n_tokens", "keep_rate")
+    )
+
+
+@query(
+    "ns_mix_plan",
+    """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tmax AS (
+      SELECT MIN(n / 0.2) AS t_total FROM counts
+    )
+    SELECT c.lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           0.2 AS target_share,
+           0.2 * t.t_total / c.n AS sample_rate,
+           CAST(floor(0.2 * t.t_total / c.n * c.n + 0.5) AS BIGINT)
+             AS planned_docs
+    FROM counts c CROSS JOIN tmax t
+    """,
+)
+def ns_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalance plan: given target language shares
+    (uniform here), compute per-language DOWN-sampling rates that hit
+    the target exactly while keeping as much data as possible — the
+    binding stratum (smallest n/target) keeps rate 1.0, everything
+    else downsamples to match. This is the planning step ahead of
+    `ns_sample_stratified`: its thresholds come from these rates.
+    Cost: one hash agg over the corpus + a broadcast of the 1-row
+    max-total aggregate; all rates are the same IEEE divisions of the
+    same exact ints in both engines."""
+    d = tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tmax = counts.agg(F.min(F.col("n") / F.lit(0.2)).alias("t_total"))
+    rate = F.lit(0.2) * F.col("t_total") / F.col("n")
+    return counts.crossJoin(F.broadcast(tmax)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.lit(0.2).alias("target_share"),
+        rate.alias("sample_rate"),
+        F.floor(rate * F.col("n") + F.lit(0.5))
+        .cast("bigint")
+        .alias("planned_docs"),
+    )
