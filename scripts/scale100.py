@@ -77,13 +77,82 @@ def lsh_candidate_workload(spark, sf_dir: str) -> None:
         )
 
 
+def embedding_dedup_16plane(spark, sf_dir: str) -> None:
+    """Run the FULL ns_dedup_embedding chain (banded candidates →
+    double screen → exact decimal cosine) under the 16-plane scale
+    geometry — the end-to-end proof that the parameterized band
+    config carries the operator through the 100× corpus, not just
+    the candidate-count pre-flight."""
+    from pyspark.sql import functions as F
+
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _DEDUP_TAU,
+        _dot_dbl,
+        _dot_dec,
+        band_keys,
+        embedding_features,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").repartition(32)
+    t0 = time.perf_counter()
+    feats = embedding_features(
+        spark, em, n_bands=4, planes_per_band=16
+    ).persist()
+    keys = band_keys(feats, n_bands=4)
+    pairs = (
+        keys.join(
+            keys.select(F.col("vec_id").alias("vec_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    a = feats.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = feats.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    screen = _dot_dbl(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    cosine = _dot_dec(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    out = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(screen >= F.lit(_DEDUP_TAU) - F.lit(1e-9))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= _DEDUP_TAU)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    n = out.count()
+    t = time.perf_counter() - t0
+    feats.unpersist()
+    print(
+        f"embedding dedup @16-plane: {n} pairs in {t:.1f}s "
+        f"(n={em.count()} vectors)",
+        flush=True,
+    )
+
+
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
+    run_embed16 = "embed16" in names
+    names = [n for n in names if n != "embed16"]
     spark = get_spark(app_name="scale100")
     print(f"building {K}x dataset …", flush=True)
     t0 = time.time()
     scaled_dir = build_scaled(spark, K)
     print(f"built in {time.time() - t0:.0f}s", flush=True)
+    if run_embed16:
+        embedding_dedup_16plane(spark, scaled_dir)
     for name in names:
         t1 = timed(spark, name, BASE_SF)
         spark.catalog.clearCache()
