@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 155 queries are registered (SURVEY §2 Part B, which matches the
+# 156 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
 # CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
 # Round 5 fronts (a) every query whose code changed this round — the
@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # non-empty and the hash check verifies real rows), the posting-list
 # candidate-generation rewrite (exact_substring + the four
 # shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — (b) the thirteen
+# and join_bloom_runtime's session-cache rework — (b) the fourteen
 # operators ADDED this round (never driver-checked) — then (c) the
 # stalest cohort: queries last driver-checked in r01, whose shared
 # helpers (tbl, catalog, session confs) have kept changing since.
 # Every entry remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 155, with a vacuity guard)
+# (tests/test_oracle_parity.py covers all 156, with a vacuity guard)
 # regardless of window position.
 _ROUND5_FRONT = [
     # new this round — first driver check:
@@ -54,6 +54,7 @@ _ROUND5_FRONT = [
     "stream_restart_recovery",
     "ns_sample_weighted",
     "ns_mix_plan",
+    "udtf_arrow_map",
     # changed this round — re-check first:
     "join_anti",
     "join_theta_range",
@@ -82,7 +83,6 @@ _ROUND5_FRONT = [
     "agg_group_having",
     "agg_multi",
     "agg_distinct",
-    "agg_approx_distinct",
     "agg_rollup",
     "agg_minby_leader",
     "upsert_last_write_wins",
@@ -98,9 +98,9 @@ _ROUND5_FRONT = [
     "ns_multimodal_framesample",
     "ns_multimodal_decode",
 ]
-# Displaced to positions 51+ by this round's thirteen new operators (the
+# Displaced to positions 51+ by this round's fourteen new operators (the
 # window holds exactly 50): win_ntile_dist, win_first_last, f_string,
-# f_misc, agg_cube, agg_grouping_sets, agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts
+# f_misc, agg_cube, agg_grouping_sets, agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts, agg_approx_distinct
 # (r01-stale but family-covered — their modules and sibling rows have
 # fresher r03/r04 checks of the shared helpers), flagship_pipeline,
 # scan_parquet (r03). All remain locally value-equal-gated every

@@ -230,3 +230,47 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_in i, LATERAL chunk_docs(i.text) c
         """
     )
+
+
+@query(
+    "udtf_arrow_map",
+    """
+    SELECT event_id,
+           (event_id * 31 + user_id) % 1000000007 AS route_key,
+           CAST(length(props) AS BIGINT) AS props_len
+    FROM events
+    """,
+)
+def udtf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow`: the zero-copy batch path below even pandas —
+    the transform touches pyarrow Arrays directly (no Series
+    conversion, no index, no copy), which is the right lane for
+    byte/hash-level per-row work on very wide batches. The body
+    sticks to exact int64 arithmetic (an affine route key mod a
+    prime, a UTF-8 length) so the DuckDB oracle matches
+    bit-for-bit — demonstrating that even the lowest-level Python
+    extension point can stay oracle-verified. pyarrow lacks a
+    modulo kernel, so mod is divide/multiply/subtract (exact in
+    int64 — C-style truncating division on positives)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "user_id", "props")
+
+    def route(batches):
+        m = pa.scalar(1_000_000_007, pa.int64())
+        for batch in batches:
+            eid = pc.cast(batch.column(0), pa.int64())
+            uid = pc.cast(batch.column(1), pa.int64())
+            affine = pc.add(pc.multiply(eid, pa.scalar(31, pa.int64())), uid)
+            key = pc.subtract(
+                affine, pc.multiply(pc.divide(affine, m), m)
+            )
+            plen = pc.cast(pc.utf8_length(batch.column(2)), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [eid, key, plen], ["event_id", "route_key", "props_len"]
+            )
+
+    return ev.mapInArrow(
+        route, "event_id long, route_key long, props_len long"
+    )
