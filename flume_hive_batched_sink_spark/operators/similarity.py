@@ -402,8 +402,26 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 2.7 s → ~1.7 s at sf0.1, and the dominant term at 10×
     where candidates are ~19 M)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    feats = embedding_features(spark, em).persist()
-    keys = band_keys(feats)
+    return dedup_embedding_chain(spark, em)
+
+
+def dedup_embedding_chain(
+    spark: SparkSession,
+    em: DataFrame,
+    n_bands: int = _N_BANDS,
+    planes_per_band: int = _PLANES_PER_BAND,
+) -> DataFrame:
+    """The full embedding-dedup chain (banded candidates → double
+    screen → exact decimal cosine) with the band geometry as
+    parameters — ONE definition shared by the registered operator
+    (oracle-baked defaults) and the at-scale measurements
+    (scripts/scale100.py embed16 runs THIS code under the 16-plane
+    geometry, so the SCALING.md evidence measures the shipped
+    algorithm, not a copy)."""
+    feats = embedding_features(
+        spark, em, n_bands=n_bands, planes_per_band=planes_per_band
+    ).persist()
+    keys = band_keys(feats, n_bands=n_bands)
     pairs = (
         keys.join(
             keys.select(

@@ -532,8 +532,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     visibility, never wall-clock."""
     import shutil as _sh
 
-    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
-    staged, schema = stage_chunks("restart_all", chunks)
+    staged, schema = _staged_events(spark, sf_dir, "restart_all")
     files = sorted(
         f for f in os.listdir(staged) if f.endswith(".parquet")
     )

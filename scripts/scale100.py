@@ -78,63 +78,21 @@ def lsh_candidate_workload(spark, sf_dir: str) -> None:
 
 
 def embedding_dedup_16plane(spark, sf_dir: str) -> None:
-    """Run the FULL ns_dedup_embedding chain (banded candidates →
-    double screen → exact decimal cosine) under the 16-plane scale
+    """Run the FULL ns_dedup_embedding chain under the 16-plane scale
     geometry — the end-to-end proof that the parameterized band
     config carries the operator through the 100× corpus, not just
-    the candidate-count pre-flight."""
-    from pyspark.sql import functions as F
-
+    the candidate-count pre-flight. Calls the operator's OWN
+    `dedup_embedding_chain` (one definition — this measures the
+    shipped algorithm, never a drifting copy)."""
     from flume_hive_batched_sink_spark.operators.similarity import (
-        _DEDUP_TAU,
-        _dot_dbl,
-        _dot_dec,
-        band_keys,
-        embedding_features,
+        dedup_embedding_chain,
     )
 
     em = load_table(spark, sf_dir, "embeddings").repartition(32)
     t0 = time.perf_counter()
-    feats = embedding_features(
-        spark, em, n_bands=4, planes_per_band=16
-    ).persist()
-    keys = band_keys(feats, n_bands=4)
-    pairs = (
-        keys.join(
-            keys.select(F.col("vec_id").alias("vec_b"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("vec_id") < F.col("vec_b"))
-        .select(F.col("vec_id").alias("vec_a"), "vec_b")
-        .distinct()
-    )
-    a = feats.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = feats.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    screen = _dot_dbl(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    cosine = _dot_dec(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    out = (
-        pairs.join(a, "vec_a")
-        .join(b, "vec_b")
-        .filter(screen >= F.lit(_DEDUP_TAU) - F.lit(1e-9))
-        .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= _DEDUP_TAU)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    out = dedup_embedding_chain(spark, em, n_bands=4, planes_per_band=16)
     n = out.count()
     t = time.perf_counter() - t0
-    feats.unpersist()
     print(
         f"embedding dedup @16-plane: {n} pairs in {t:.1f}s "
         f"(n={em.count()} vectors)",
@@ -164,7 +122,11 @@ def main() -> None:
             f"ratio={ratio:6.1f} (linear≈{K})",
             flush=True,
         )
-    lsh_candidate_workload(spark, scaled_dir)
+    # the pre-flight count only accompanies the default sweep — an
+    # embed16-only invocation already ran the end-to-end chain and
+    # should not pay two more full feature passes for an unasked count
+    if names:
+        lsh_candidate_workload(spark, scaled_dir)
 
 
 if __name__ == "__main__":
