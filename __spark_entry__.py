@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 156 queries are registered (SURVEY §2 Part B, which matches the
+# 157 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
 # CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
 # Round 5 fronts (a) every query whose code changed this round — the
@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # non-empty and the hash check verifies real rows), the posting-list
 # candidate-generation rewrite (exact_substring + the four
 # shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — (b) the fourteen
+# and join_bloom_runtime's session-cache rework — (b) the fifteen
 # operators ADDED this round (never driver-checked) — then (c) the
 # stalest cohort: queries last driver-checked in r01, whose shared
 # helpers (tbl, catalog, session confs) have kept changing since.
 # Every entry remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 156, with a vacuity guard)
+# (tests/test_oracle_parity.py covers all 157, with a vacuity guard)
 # regardless of window position.
 _ROUND5_FRONT = [
     # new this round — first driver check:
@@ -55,6 +55,7 @@ _ROUND5_FRONT = [
     "ns_sample_weighted",
     "ns_mix_plan",
     "udtf_arrow_map",
+    "ns_dedup_incremental",
     # changed this round — re-check first:
     "join_anti",
     "join_theta_range",
@@ -95,12 +96,11 @@ _ROUND5_FRONT = [
     "ns_dedup_simhash",
     "ns_multimodal_cols",
     "ns_multimodal_pool",
-    "ns_multimodal_framesample",
     "ns_multimodal_decode",
 ]
-# Displaced to positions 51+ by this round's fourteen new operators (the
+# Displaced to positions 51+ by this round's fifteen new operators (the
 # window holds exactly 50): win_ntile_dist, win_first_last, f_string,
-# f_misc, agg_cube, agg_grouping_sets, agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts, agg_approx_distinct
+# f_misc, agg_cube, agg_grouping_sets, agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts, agg_approx_distinct, ns_multimodal_framesample
 # (r01-stale but family-covered — their modules and sibling rows have
 # fresher r03/r04 checks of the shared helpers), flagship_pipeline,
 # scan_parquet (r03). All remain locally value-equal-gated every

@@ -784,3 +784,80 @@ def ns_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "ns_dedup_incremental",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             array_to_string(string_split({_NORM}, ' ')[1:3], ' ') AS ckey
+      FROM documents
+    ),
+    base AS (
+      SELECT ckey, MIN(doc_id) AS keeper
+      FROM h WHERE doc_id % 2 != 0 GROUP BY ckey
+    ),
+    delta AS (SELECT doc_id, ckey FROM h WHERE doc_id % 2 = 0),
+    dmin AS (SELECT ckey, MIN(doc_id) AS m FROM delta GROUP BY ckey)
+    SELECT d.doc_id,
+           CASE WHEN b.keeper IS NOT NULL THEN 'dup_of_base'
+                WHEN d.doc_id > dm.m THEN 'dup_in_delta'
+                ELSE 'keep' END AS status,
+           CASE WHEN b.keeper IS NOT NULL THEN CAST(b.keeper AS BIGINT)
+                WHEN d.doc_id > dm.m THEN CAST(dm.m AS BIGINT)
+           END AS keeper_doc_id
+    FROM delta d
+    LEFT JOIN base b USING (ckey)
+    JOIN dmin dm USING (ckey)
+    """,
+)
+def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest reality at 100 TB: the
+    DELTA batch is deduped against the persisted corpus INDEX (one
+    (canonical_key, keeper) row per known key), never by re-deduping
+    the whole corpus. Every delta doc gets a verdict: dup_of_base
+    (key already in the index → drop, keeper recorded), dup_in_delta
+    (first occurrence within the batch wins), or keep (new key →
+    would be appended to the index).
+
+    The synthetic split is doc_id parity (even = delta) and the
+    canonical key is the 3-token normalized prefix — a stand-in with
+    real collisions on this corpus (the full-text sha256 of
+    `ns_dedup_exact` has zero duplicates here, which would leave the
+    dup paths vacuously untested; in production the key is that hash
+    or the canonical URL). The MECHANISM is what scales: the index
+    side is (key, keeper) only — bytes per known document — the
+    delta joins against it by key (bucketed by key prefix at 100 TB,
+    AQE-broadcast when the delta is small), and intra-delta dedup is
+    one min-aggregate over the batch. Cost is O(|delta| + index
+    probe), never O(|corpus|)."""
+    d = tbl(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(_norm_col(), " "), 1, 3), " ").alias(
+            "ckey"
+        ),
+    )
+    base = (
+        h.filter(F.col("doc_id") % 2 != 0)
+        .groupBy("ckey")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    delta = h.filter(F.col("doc_id") % 2 == 0)
+    dmin = delta.groupBy("ckey").agg(F.min("doc_id").alias("m"))
+    return (
+        delta.join(base, "ckey", "left")
+        .join(dmin, "ckey")
+        .select(
+            "doc_id",
+            F.when(F.col("keeper").isNotNull(), F.lit("dup_of_base"))
+            .when(F.col("doc_id") > F.col("m"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            F.when(F.col("keeper").isNotNull(), F.col("keeper"))
+            .when(F.col("doc_id") > F.col("m"), F.col("m"))
+            .cast("bigint")
+            .alias("keeper_doc_id"),
+        )
+    )
