@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 157 queries are registered (SURVEY §2 Part B, which matches the
+# 165 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
 # CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
 # Round 5 fronts (a) every query whose code changed this round — the
@@ -41,6 +41,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of window position.
 _ROUND5_FRONT = [
     # new this round — first driver check:
+    "ts_window_funnel",
+    "ts_retention_cohort",
+    "unpivot_melt",
+    "ns_vocab_coverage",
+    "ts_anomaly_mad",
+    "join_scd2",
+    "ns_filter_attrition",
+    "ns_tokenize_encode",
     "win_streaks",
     "join_null_safe",
     "ns_sample_reservoir",
@@ -84,25 +92,22 @@ _ROUND5_FRONT = [
     "agg_group_having",
     "agg_multi",
     "agg_distinct",
-    "agg_rollup",
-    "agg_minby_leader",
     "upsert_last_write_wins",
-    "agg_skew_salted",
     # stalest — B1 scans:
     "lateral_explode",
     # stalest — B10 north-star:
     "ns_dedup_exact",
-    "ns_dedup_minhash",
-    "ns_dedup_simhash",
-    "ns_multimodal_cols",
-    "ns_multimodal_pool",
-    "ns_multimodal_decode",
 ]
-# Displaced to positions 51+ by this round's fifteen new operators (the
-# window holds exactly 50): win_ntile_dist, win_first_last, f_string,
-# f_misc, agg_cube, agg_grouping_sets, agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts, agg_approx_distinct, ns_multimodal_framesample
-# (r01-stale but family-covered — their modules and sibling rows have
-# fresher r03/r04 checks of the shared helpers), flagship_pipeline,
+# Displaced to positions 51+ by this round's twenty-three new
+# operators (the window holds exactly 50): win_ntile_dist,
+# win_first_last, f_string, f_misc, agg_cube, agg_grouping_sets,
+# agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts,
+# agg_approx_distinct, ns_multimodal_framesample, ns_dedup_simhash,
+# ns_multimodal_cols, ns_multimodal_pool, ns_multimodal_decode,
+# agg_rollup, agg_minby_leader, agg_skew_salted, ns_dedup_minhash
+# (r01/r03-stale but family-covered — their modules and sibling rows
+# have fresher r03/r04 checks of the shared helpers, and the
+# rows-only sketch/LSH ops carry property tests), flagship_pipeline,
 # scan_parquet (r03). All remain locally value-equal-gated every
 # round.
 

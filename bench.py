@@ -59,6 +59,14 @@ HEADLINE = [
     "ns_token_commonness",
     "ns_embedding_quantize",
     "ns_pack_ffd",
+    # round 5 late additions (the 28-query set above stays frozen —
+    # first 15/20/24 subtotals remain the comparable numbers):
+    "ts_window_funnel",
+    "ts_retention_cohort",
+    "ns_vocab_coverage",
+    "ts_anomaly_mad",
+    "ns_tokenize_encode",
+    "ns_filter_attrition",
 ]
 
 

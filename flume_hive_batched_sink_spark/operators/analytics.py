@@ -515,3 +515,150 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(
         "o_orderstatus", bucket.alias("bucket")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "unpivot_melt",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide -> long), the inverse of `pivot_counts`:
+    a 3-measure aggregate per returnflag melted into (key, measure,
+    value) rows — the reshape every metrics store performs before a
+    generic long-format sink. Spark's native `DataFrame.unpivot`
+    (SQL UNPIVOT) expands columns row-locally inside the same stage —
+    no shuffle beyond the feeding aggregate, and the expansion factor
+    is the fixed measure count, so the operator is scale-neutral; the
+    oracle states the same reshape as UNION ALL of one SELECT per
+    measure. Measures use the exact-decimal sum convention (registry
+    docstring) so melted doubles are bit-identical."""
+    li = tbl(spark, sf_dir, "lineitem", parallel=True)
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS med
+      FROM ranked
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT r.event_id, r.event_type, r.value, m.med,
+             abs(r.value - m.med) AS d
+      FROM events r JOIN med m ON r.event_type = m.event_type
+    ),
+    dranked AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS mad
+      FROM dranked
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.value, v.med, a.mad,
+           (v.value - v.med) / a.mad AS score
+    FROM dev v JOIN mad a ON v.event_type = a.event_type
+    WHERE v.d > 6 * a.mad
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: events whose value deviates from the
+    per-type median by more than 6x the median absolute deviation
+    (MAD) — the outlier screen monitoring pipelines run over metric
+    streams (the reference's counters, TimedUtils.scala:44-68, feed
+    exactly this kind of drift check downstream).
+
+    The median is computed by EXPLICIT rank arithmetic — row_number
+    to the middle one/two rows, exact-decimal mean of them — not the
+    engines' quantile functions, whose interpolation can differ in
+    the last double bit on even-cardinality groups; both engines here
+    evaluate the identical formula (ties broken on event_id). Scale
+    shape: two window+aggregate passes and two joins, ALL keyed on
+    event_type; the per-type medians/MADs are tiny aggregates that
+    AQE broadcasts back onto the event stream. At 100 TB the same
+    plan holds with approx_percentile replacing the exact rank pass
+    (the swap is one expression; the screen logic is unchanged)."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    wtype = W.partitionBy("event_type")
+
+    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number()
+            .over(wtype.orderBy(col, "event_id"))
+            .alias("rn"),
+            F.count("*").over(wtype).alias("n"),
+        )
+        mid = r.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(
+            (
+                F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias(out)
+        )
+
+    med = _median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _median(dev.select("event_type", "d", "event_id"), "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > 6 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            ((F.col("value") - F.col("med")) / F.col("mad")).alias("score"),
+        )
+    )

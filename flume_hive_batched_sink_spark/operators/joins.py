@@ -655,3 +655,81 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s_suppkey").cast("bigint").alias("min_supp"),
         )
     )
+
+
+@query(
+    "join_scd2",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, v.v AS version,
+             CAST(DATE '1995-01-01' AS TIMESTAMP)
+               + to_days(CAST(v.v * 900 AS INTEGER)) AS valid_from,
+             CAST(DATE '1995-01-01' AS TIMESTAMP)
+               + to_days(CAST((v.v + 1) * 900 AS INTEGER)) AS valid_to
+      FROM customer, (SELECT unnest(range(0, 3)) AS v) v
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(d.version AS BIGINT) AS version,
+           d.valid_from,
+           concat(d.c_mktsegment, '_v', d.version) AS segment_version
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+     AND CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to
+    """,
+)
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time join: each order is matched to the
+    dimension VERSION whose validity window contains the order date —
+    the slowly-changing-dimension lookup every warehouse fact load
+    performs. The versioned dimension is synthesized deterministically
+    (3 versions per customer, 900-day disjoint windows from
+    1995-01-01), so every order resolves to exactly one version.
+
+    Scale shape: the join is EQUI on the customer key — the validity
+    window is a residual range predicate evaluated inside the hash
+    join, never a BNLJ — and an SCD2 dimension (few versions per key)
+    stays small relative to the fact, so it is broadcast here and
+    would be at 100 TB; facts never shuffle. This is the keyed
+    complement of `join_range_bucketed` (which handles the NO-equi-key
+    interval case by discretizing)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("version"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "version",
+        F.date_add(
+            F.lit("1995-01-01").cast("date"), F.col("version") * 900
+        )
+        .cast("timestamp")
+        .alias("valid_from"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("version") + 1) * 900,
+        )
+        .cast("timestamp")
+        .alias("valid_to"),
+    )
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("version").cast("bigint").alias("version"),
+            "valid_from",
+            F.concat(
+                F.col("c_mktsegment"), F.lit("_v"), F.col("version")
+            ).alias("segment_version"),
+        )
+    )

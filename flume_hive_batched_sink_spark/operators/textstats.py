@@ -1478,3 +1478,234 @@ def ns_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("planned_docs"),
     )
+
+
+_VOCAB_K = 200
+
+
+@query(
+    "ns_vocab_coverage",
+    f"""
+    WITH freq AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    tot AS (SELECT SUM(freq) AS total FROM freq),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM freq
+    )
+    SELECT r.rank, r.token, CAST(r.freq AS BIGINT) AS freq,
+           CAST(SUM(r.freq) OVER (ORDER BY r.rank) AS DOUBLE)
+             / CAST(t.total AS DOUBLE) AS cum_coverage
+    FROM ranked r, tot t
+    WHERE r.rank <= {_VOCAB_K}
+    """,
+)
+def ns_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the top-K corpus tokens by
+    frequency with the cumulative fraction of all token occurrences a
+    vocabulary truncated at each rank would cover — the first question
+    of tokenizer training (how big must V be for 95% coverage?).
+
+    Scale shape: the token-frequency aggregate is the only O(corpus)
+    stage (map-side partial combine absorbs Zipf head skew — 'the'
+    pre-aggregates within every task before the shuffle); top-K is
+    TakeOrderedAndProject (K rows to one reducer, never a global
+    sort); the cumulative window then runs over exactly K rows. The
+    corpus-total token count rides a broadcast 1-row aggregate, and
+    coverage is ONE double division of two exactly-summed integers
+    per row (deterministic across engines; ties inside the top-K
+    order break on the token string). At 100 TB only the first
+    aggregate grows; its output is |vocab|, not |corpus|."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    freq = (
+        d.select(F.explode(_TOKENS(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), "token").limit(_VOCAB_K)
+    w = (
+        W.orderBy(F.desc("freq"), "token")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total = freq.agg(F.sum("freq").cast("double").alias("total"))
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("freq"), "token")),
+        )
+        .withColumn("cum", F.sum("freq").over(w).cast("double"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "token",
+            F.col("freq").cast("bigint").alias("freq"),
+            (F.col("cum") / F.col("total")).alias("cum_coverage"),
+        )
+    )
+
+
+@query(
+    "ns_filter_attrition",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mwl,
+             array_to_string(
+               string_split(lower(trim(text)), ' ')[1:3], ' ') AS ckey
+      FROM documents
+    ),
+    keep AS (SELECT ckey, MIN(doc_id) AS keeper FROM t GROUP BY ckey),
+    verdict AS (
+      SELECT t.doc_id, t.n_chars,
+             CASE WHEN t.n_tok < 30 THEN 'r1_too_short'
+                  WHEN t.mwl < 4.3 OR t.mwl > 4.7 THEN 'r2_word_shape'
+                  WHEN t.doc_id > k.keeper THEN 'r3_duplicate'
+                  ELSE 'kept' END AS rule
+      FROM t JOIN keep k ON t.ckey = k.ckey
+    )
+    SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM verdict GROUP BY rule
+    """,
+)
+def ns_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-pipeline attrition report: every doc gets exactly ONE
+    verdict — the FIRST rule that kills it (length gate, then
+    word-shape gate, then exact-prefix dedup), or 'kept' — and the
+    report is docs/chars per verdict. This first-kill attribution is
+    the number every corpus pipeline publishes (how much each filter
+    costs) and the one that prevents double-counting a doc killed by
+    two rules.
+
+    Scale shape: the two row-local gates are scan-side expressions
+    (no shuffle, evaluated in the same stage as the read); only the
+    dedup rule shuffles — one (ckey) min-aggregate joined back, the
+    same index shape as ns_dedup_incremental — and the final report
+    aggregate is as many rows as rules. Rule order is the cheap-first
+    order you want at 100 TB: row-local gates kill ~half the corpus
+    before anything is shuffled for dedup."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast(
+                "double"
+            )
+            / F.size(F.split(F.col("text"), " "))
+        ).alias("mwl"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 3),
+            " ",
+        ).alias("ckey"),
+    )
+    keep = t.groupBy("ckey").agg(F.min("doc_id").alias("keeper"))
+    verdict = t.join(keep, "ckey").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_tok") < 30, F.lit("r1_too_short"))
+        .when(
+            (F.col("mwl") < 4.3) | (F.col("mwl") > 4.7),
+            F.lit("r2_word_shape"),
+        )
+        .when(F.col("doc_id") > F.col("keeper"), F.lit("r3_duplicate"))
+        .otherwise(F.lit("kept"))
+        .alias("rule"),
+    )
+    return verdict.groupBy("rule").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+_ENC_VOCAB = 100
+_ENC_PREFIX = 16
+
+
+@query(
+    "ns_tokenize_encode",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i.i AS pos, string_split(text, ' ')[i.i] AS tok,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents, (SELECT unnest(range(1, 2001)) AS i) i
+      WHERE i.i <= len(string_split(text, ' '))
+    ),
+    freq AS (SELECT tok AS token, COUNT(*) AS freq FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT token, id FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS id
+        FROM freq
+      ) WHERE id <= {_ENC_VOCAB}
+    ),
+    enc AS (
+      SELECT t.doc_id, t.pos, t.n_tokens,
+             COALESCE(v.id, 0) AS id
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.token
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE id = 0) AS BIGINT) AS n_oov,
+           array_agg(id ORDER BY pos)
+             FILTER (WHERE pos <= {_ENC_PREFIX}) AS prefix_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def ns_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode pass: map every token to its id in a top-100
+    frequency vocabulary (0 = OOV), per doc returning total/OOV token
+    counts and the first-16 id sequence — the text→ids step that
+    feeds sequence packing (`ns_pack_sequences`) in a training
+    pipeline.
+
+    Scale shape: the vocabulary is built with one map-side-combined
+    frequency aggregate + TakeOrdered top-K and then BROADCAST — the
+    encode join never shuffles the corpus (dictionary-encode is a
+    broadcast hash join against a K-row table at any corpus size).
+    Per-doc reassembly groups by doc_id once; the id sequence is
+    rebuilt ordered by token position via array_sort over (pos, id)
+    structs, so the output is partitioning-independent."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    vocab = (
+        freq.orderBy(F.desc("freq"), "tok")
+        .limit(_ENC_VOCAB)
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.desc("freq"), "tok"))
+            .cast("bigint")
+            .alias("id"),
+        )
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").withColumn(
+        "id", F.coalesce(F.col("id"), F.lit(0).cast("bigint"))
+    )
+    return enc.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("id") == 0, 1)).cast("bigint").alias("n_oov"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("pos") <= _ENC_PREFIX,
+                        F.struct("pos", "id"),
+                    )
+                )
+            ),
+            lambda s: s.getField("id"),
+        ).alias("prefix_ids"),
+    )

@@ -361,3 +361,164 @@ def streaks_from_activity(activity: DataFrame) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "ts_window_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t1
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    s12 AS (
+      SELECT s1.user_id, s1.t1, s2.t2
+      FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM ev e JOIN s12 ON e.user_id = s12.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s12.t2 AND e.ts <= s12.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_level
+    FROM u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def ts_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (the product-analytics windowFunnel):
+    per user, the earliest strictly-ordered view -> click -> purchase
+    chain where every later step lands within 7 days of the first
+    step. Output: per-user step timestamps + funnel level 0-3.
+
+    The reference's counter pipeline (TimedUtils.scala:70-112) counts
+    per-category volumes; the funnel is the sequenced version of that
+    question and has no single Spark primitive, so it is composed as
+    k-1 keyed min-aggregate + join rounds (k = 3 steps). Scale shape:
+    the scan is filtered to step events (pushed predicate), every
+    aggregate and join is keyed on user_id, and each aggregated side
+    is at most one row per user, so AQE broadcasts the step frames as
+    they shrink; nothing is ever ordered globally and no per-user
+    event array is materialized (the collect_list alternative would
+    put a whole user's history in one row). Step-k latency columns
+    stay NULL-propagating so level is derivable without a second
+    pass."""
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    s1 = (
+        steps.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr("INTERVAL 7 DAYS")
+    s2 = (
+        steps.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s12 = s1.join(s2, "user_id")
+    s3 = (
+        steps.filter(F.col("event_type") == "purchase")
+        .join(s12, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .when(F.col("t1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("funnel_level"),
+        )
+    )
+
+
+@query(
+    "ts_retention_cohort",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dn
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(dn) AS cohort_dn FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_dn, d.dn - f.cohort_dn AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM days d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY f.cohort_dn, d.dn - f.cohort_dn
+    """,
+)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first-active day,
+    counted per (cohort day, day offset) — the retention matrix every
+    activity warehouse derives from its event stream (the per-logdate
+    bookkeeping of HiveSinkDetailDao.scala:44-49 keyed by first-seen
+    instead of event date). Day numbers are integers since a fixed
+    epoch (identical arithmetic in both engines, same convention as
+    win_streaks).
+
+    Scale shape: one repartition("user_id") up front makes the
+    (user_id, dn) distinct, the per-user min, and the activity<->
+    firsts join all consume the SAME Exchange (partitioning keys are
+    a subset of every downstream key set); the firsts side is one row
+    per user so AQE broadcasts it. The final (cohort_dn, offset)
+    aggregate is the only second shuffle, and its cardinality is
+    O(active_days^2 / 2) — bounded by the calendar, not the data."""
+    e = tbl(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("dn"),
+        )
+        .repartition("user_id")
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("dn").alias("cohort_dn"))
+    return (
+        days.join(firsts, "user_id")
+        .groupBy(
+            "cohort_dn",
+            (F.col("dn") - F.col("cohort_dn")).alias("offset_days"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

@@ -50,6 +50,16 @@ PLAN_QUERIES = [
     # posting-list pair generation, broadcast quantization pass.
     "win_streaks",
     "ns_embedding_quantize",
+    # round 5 late additions: funnel/retention event analytics,
+    # native unpivot, vocab coverage top-K, MAD outlier screen,
+    # SCD2 point-in-time join, encode pass.
+    "ts_window_funnel",
+    "ts_retention_cohort",
+    "unpivot_melt",
+    "ns_vocab_coverage",
+    "ts_anomaly_mad",
+    "join_scd2",
+    "ns_tokenize_encode",
 ]
 
 
@@ -171,6 +181,41 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         and "ShuffledHashJoin" not in p,
         f"BroadcastExchange={'BroadcastExchange' in p}, "
         f"SMJ={'SortMergeJoin' in p}, SHJ={'ShuffledHashJoin' in p}")
+
+    # ns_vocab_coverage: top-K must be TakeOrderedAndProject (K rows
+    # to one reducer), never a global Sort of the vocabulary.
+    p = _executed(ops.QUERIES["ns_vocab_coverage"](spark, sf_dir))
+    add("ns_vocab_coverage",
+        "top-K is TakeOrderedAndProject (no global sort of the vocab)",
+        "TakeOrderedAndProject" in p,
+        f"TakeOrderedAndProject={'TakeOrderedAndProject' in p}")
+
+    # unpivot_melt: the melt is a row-local Expand above the feeding
+    # aggregate — no join, no shuffle introduced by the reshape.
+    p = _executed(ops.QUERIES["unpivot_melt"](spark, sf_dir))
+    add("unpivot_melt",
+        "unpivot plans as row-local Expand (no join/extra shuffle)",
+        "Expand" in p and "Join" not in p,
+        f"Expand={'Expand' in p}, Join={'Join' in p}")
+
+    # join_scd2: the versioned dim must broadcast with the validity
+    # window as a residual predicate inside the hash join — never a
+    # BroadcastNestedLoopJoin, never a fact shuffle.
+    p = _executed(ops.QUERIES["join_scd2"](spark, sf_dir))
+    add("join_scd2",
+        "dim broadcast hash join, range residual (no BNLJ)",
+        "BroadcastHashJoin" in p
+        and "BroadcastNestedLoopJoin" not in p,
+        f"BHJ={'BroadcastHashJoin' in p}, "
+        f"BNLJ={'BroadcastNestedLoopJoin' in p}")
+
+    # ns_tokenize_encode: the encode join against the K-row vocab
+    # must broadcast — the corpus is never shuffled to be encoded.
+    p = _executed(ops.QUERIES["ns_tokenize_encode"](spark, sf_dir))
+    add("ns_tokenize_encode",
+        "vocab encode join is broadcast (corpus not shuffle-joined)",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        f"BHJ={'BroadcastHashJoin' in p}, SMJ={'SortMergeJoin' in p}")
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).
