@@ -541,3 +541,51 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_sketches"),
         )
     )
+
+
+@query(
+    "agg_audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: |users(A) ∩ users(B)| for every
+    unordered event-type pair — the segment-intersection count
+    behind campaign/cohort overlap reports. Computed exactly by
+    self-joining the DISTINCT (user, type) set on user and counting
+    per pair (A < B keeps each pair once).
+
+    Scale shape: one repartition("user_id") feeds the distinct AND
+    both sides of the self-join (co-partitioned, no second shuffle
+    of the big side); per-user fan-out is bounded by the type
+    universe (k types → ≤ k(k-1)/2 pair rows per user), so the join
+    can't blow up the way a value-keyed self-join can. The pair-count
+    aggregate output is k², calendar-small. At extreme k this is the
+    op to swap for theta-sketch intersections; the exact form is the
+    oracle-checkable baseline."""
+    e = tbl(spark, sf_dir, "events")
+    ut = (
+        e.select("user_id", "event_type")
+        .repartition("user_id")
+        .distinct()
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )

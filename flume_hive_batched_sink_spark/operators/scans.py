@@ -769,3 +769,73 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "scan_profile_stats",
+    """
+    WITH w AS (
+      SELECT COUNT(*) AS n_rows,
+             """
+    + ",\n             ".join(
+        f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+        f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}, "
+        f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    + """
+      FROM lineitem
+    )
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS col_name, CAST(n_rows AS BIGINT) AS n_rows, "
+        f"CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct, "
+        f"mn_{c} AS min_val, mx_{c} AS max_val FROM w"
+        for c in _PROFILE_COLS
+    ),
+)
+def scan_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (the ANALYZE TABLE / data-quality
+    profile): per numeric column, row/null/distinct counts and
+    min/max, emitted long-format (one row per column) so the profile
+    of a 400-column table is a 400-row table, not a 1600-column row.
+
+    Scale shape: ONE scan computes every aggregate (Catalyst fuses
+    the 17 aggregates into a single partial+final hash-agg pass —
+    expand for the distincts, but still one pass over the data); the
+    wide 1-row result is melted row-locally by exploding an array of
+    per-column structs, so adding columns adds aggregates, never
+    scans. At 100 TB the exact COUNT(DISTINCT) (an Expand that
+    re-shuffles per distinct column) is the piece to swap for
+    approx_count_distinct — noted here because the profile is the
+    one place exactness rarely matters."""
+    li = tbl(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}"))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")

@@ -1709,3 +1709,50 @@ def ns_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.getField("id"),
         ).alias("prefix_ids"),
     )
+
+
+_BLOCKLIST = ["slow", "merge", "vector", "stream", "window"]
+
+
+@query(
+    "ns_blocklist_filter",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)})))
+             AS BIGINT) AS n_hits,
+           list_sort(list_distinct(list_filter(string_split(text, ' '),
+                    t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)}))))
+             AS hit_terms,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)}))) >= 3
+                THEN 'blocked' ELSE 'clean' END AS verdict
+    FROM documents
+    """,
+)
+def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screen (the content-moderation / unwanted-domain
+    term filter): per doc, occurrences of blocklisted terms, the
+    distinct terms that matched (sorted), and a blocked/clean verdict
+    at >= 3 hits. The list here is a 5-term stand-in; a production
+    list is thousands of terms and rides the same expressions.
+
+    Scale shape: ZERO shuffle — the whole screen is row-local
+    higher-order array functions (filter/array_distinct/sort) that
+    run inside the scan projection with whole-stage codegen; a large
+    real blocklist broadcasts once as an array literal/column and the
+    per-row cost is bounded by doc length, not list size, once
+    list membership is a hash probe (Spark compiles IN-lists to
+    switch/hash lookups)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = F.split(F.col("text"), " ")
+    bl = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = F.filter(toks, lambda t: F.array_contains(bl, t))
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_hits"),
+        F.array_sort(F.array_distinct(hits)).alias("hit_terms"),
+        F.when(F.size(hits) >= 3, F.lit("blocked"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )

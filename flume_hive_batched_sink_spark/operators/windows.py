@@ -522,3 +522,128 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "ts_cumulative_uniques",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dn
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(dn) AS first_dn FROM days GROUP BY user_id
+    ),
+    active AS (
+      SELECT dn, CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM days GROUP BY dn
+    ),
+    news AS (
+      SELECT first_dn AS dn, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_dn
+    )
+    SELECT a.dn, COALESCE(n.new_users, 0) AS new_users,
+           a.active_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                  OVER (ORDER BY a.dn) AS BIGINT) AS cum_uniques
+    FROM active a LEFT JOIN news n ON a.dn = n.dn
+    """,
+)
+def ts_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-uniques growth curve: per day, the active user
+    count, the NEW user count (first-ever-seen that day), and the
+    running total of distinct users to date — the growth metric that
+    naively needs count(distinct) over an ever-growing prefix and is
+    here decomposed into first-seen attribution + a running sum
+    (each user counted exactly once, on their first day).
+
+    Scale shape: the user_id repartition is shared by the
+    (user_id, dn) distinct and the per-user min (same single-Exchange
+    chain as ts_retention_cohort); the per-day rollups are calendar-
+    bounded aggregates, and the only unpartitioned window runs over
+    one row per DAY — O(calendar), not O(users) — so the global
+    ordering is trivially small at any corpus size."""
+    e = tbl(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("dn"),
+        )
+        .repartition("user_id")
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("dn").alias("first_dn"))
+    active = days.groupBy("dn").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )
+    news = firsts.groupBy(F.col("first_dn").alias("dn")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = W.orderBy("dn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        active.join(news, "dn", "left")
+        .withColumn(
+            "new_users", F.coalesce(F.col("new_users"), F.lit(0)).cast("bigint")
+        )
+        .select(
+            "dn",
+            "new_users",
+            "active_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cum_uniques"),
+        )
+    )
+
+
+@query(
+    "ts_seasonality_profile",
+    """
+    WITH e AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 7
+               AS dow,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod
+      FROM events
+    ),
+    cell AS (
+      SELECT dow, hod, COUNT(*) AS n_events FROM e GROUP BY dow, hod
+    ),
+    tot AS (SELECT SUM(n_events) AS total FROM cell)
+    SELECT c.dow, c.hod, CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(c.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM cell c, tot t
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-seasonality heatmap: event volume and share per
+    (day-of-week, hour-of-day) cell — the load profile used to pick
+    maintenance windows and to seed the time-bucket routing the
+    reference performs (A3/A4's %Y%m%d%H%M escapes). Day-of-week is
+    integer day-number arithmetic modulo 7 from a fixed Monday epoch
+    (2024-01-01), NOT an engine dayname() — locale- and
+    week-origin-proof across engines.
+
+    Scale shape: one map-side-combined hash aggregate onto at most
+    168 cells, a broadcast 1-row total, and one exact-integer double
+    division per cell; the aggregate output is calendar-bounded so
+    the plan is identical at any corpus size."""
+    e = tbl(spark, sf_dir, "events")
+    cells = e.select(
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("bigint")
+            % 7
+        ).alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).groupBy("dow", "hod").agg(F.count("*").alias("n_events"))
+    total = cells.agg(F.sum("n_events").cast("double").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hod",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+    )

@@ -60,6 +60,9 @@ PLAN_QUERIES = [
     "ts_anomaly_mad",
     "join_scd2",
     "ns_tokenize_encode",
+    "scan_profile_stats",
+    "ns_blocklist_filter",
+    "ts_cumulative_uniques",
 ]
 
 
@@ -216,6 +219,24 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "vocab encode join is broadcast (corpus not shuffle-joined)",
         "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
         f"BHJ={'BroadcastHashJoin' in p}, SMJ={'SortMergeJoin' in p}")
+
+    # scan_profile_stats: the 17-aggregate profile must read the
+    # table ONCE — melting per-column stats adds aggregates, never
+    # scans.
+    p = _executed(ops.QUERIES["scan_profile_stats"](spark, sf_dir))
+    n_scans = p.count("Scan parquet")
+    add("scan_profile_stats",
+        "one table scan feeds all per-column aggregates",
+        n_scans == 1, f"{n_scans} parquet scans in executed plan")
+
+    # ns_blocklist_filter: the screen is row-local — no join, no
+    # hash-partition Exchange (the only allowed Exchange is the
+    # local-parallelism round-robin repartition).
+    p = _executed(ops.QUERIES["ns_blocklist_filter"](spark, sf_dir))
+    add("ns_blocklist_filter",
+        "row-local screen: no join, no hashpartitioning Exchange",
+        "Join" not in p and "hashpartitioning" not in p,
+        f"Join={'Join' in p}, hashpart={'hashpartitioning' in p}")
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).
