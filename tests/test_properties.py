@@ -731,3 +731,148 @@ def test_hll_sketch_merge_accuracy(spark):
     assert set(est) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) <= max(3, 0.05 * e), (t, est[t], e)
+
+
+def test_funnel_matches_python_reference(spark):
+    """ts_window_funnel vs an independent per-user Python fold: the
+    earliest strictly-ordered view->click->purchase chain within 7
+    days of the first view, replayed event-by-event in plain Python
+    over the same sf0.001 data."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    got = {
+        r.user_id: (r.funnel_level, r.t1, r.t2, r.t3)
+        for r in QUERIES["ts_window_funnel"](spark, SF_SMALL).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    for uid, evs in by_user.items():
+        evs.sort()
+        t1 = min((t for t, k in evs if k == "view"), default=None)
+        t2 = t3 = None
+        if t1 is not None:
+            lim = t1 + datetime.timedelta(days=7)
+            t2 = min(
+                (t for t, k in evs if k == "click" and t1 < t <= lim),
+                default=None,
+            )
+            if t2 is not None:
+                t3 = min(
+                    (
+                        t
+                        for t, k in evs
+                        if k == "purchase" and t2 < t <= lim
+                    ),
+                    default=None,
+                )
+        level = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        assert got[uid] == (level, t1, t2, t3), uid
+    assert set(got) == set(by_user)
+
+
+def test_retention_and_uniques_identities(spark):
+    """Conservation laws binding three event-analytics operators to
+    each other and to ground truth: new_users sums to the distinct
+    user count, the cumulative-uniques curve ends there too, offset-0
+    retention equals the cohort's new-user count, and every cohort
+    cell is bounded by its cohort size."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_users = ev.select("user_id").distinct().count()
+
+    cu = QUERIES["ts_cumulative_uniques"](spark, SF_SMALL).collect()
+    assert sum(r.new_users for r in cu) == n_users
+    assert max(cu, key=lambda r: r.dn).cum_uniques == n_users
+    running = 0
+    for r in sorted(cu, key=lambda r: r.dn):
+        running += r.new_users
+        assert r.cum_uniques == running
+        assert r.active_users >= r.new_users
+
+    rc = QUERIES["ts_retention_cohort"](spark, SF_SMALL).collect()
+    cohort_size = {
+        r.cohort_dn: r.n_users for r in rc if r.offset_days == 0
+    }
+    assert sum(cohort_size.values()) == n_users
+    for r in rc:
+        assert r.offset_days >= 0
+        assert r.n_users <= cohort_size[r.cohort_dn]
+    new_by_day = {r.dn: r.new_users for r in cu}
+    for dn, size in cohort_size.items():
+        assert new_by_day[dn] == size
+
+
+def test_audience_overlap_bounds(spark):
+    """|A∩B| is symmetric-complete (every unordered pair once) and
+    bounded by min(|A|, |B|) computed independently."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    sizes = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["agg_audience_overlap"](spark, SF_SMALL).collect()
+    seen = set()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        assert 0 < r.n_both <= min(sizes[r.type_a], sizes[r.type_b])
+
+
+def test_attrition_partitions_corpus(spark):
+    """First-kill attrition is a PARTITION of the corpus: every doc
+    counted exactly once, chars conserved."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    total = d.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    rows = QUERIES["ns_filter_attrition"](spark, SF_SMALL).collect()
+    assert sum(r.n_docs for r in rows) == total.n
+    assert sum(r.n_chars for r in rows) == total.c
+    assert len({r.rule for r in rows}) == len(rows)
+
+
+def test_tokenize_encode_roundtrip(spark):
+    """Encode invariants: OOV never exceeds total tokens, the prefix
+    ids match a re-derived vocabulary lookup for a sample of docs,
+    and id 0 appears exactly where the token is out-of-vocab."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    enc = {
+        r.doc_id: r
+        for r in QUERIES["ns_tokenize_encode"](spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    # independent vocab rebuild
+    from collections import Counter
+
+    freq = Counter()
+    for d in docs:
+        freq.update(d.text.split(" "))
+    vocab = {
+        t: i + 1
+        for i, (t, _) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        )
+    }
+    for d in docs:
+        r = enc[d.doc_id]
+        toks = d.text.split(" ")
+        assert r.n_tokens == len(toks)
+        assert 0 <= r.n_oov <= r.n_tokens
+        want = [vocab.get(t, 0) for t in toks[:16]]
+        assert list(r.prefix_ids) == want, d.doc_id
+        assert r.n_oov == sum(1 for t in toks if t not in vocab)
