@@ -589,3 +589,68 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_both"))
     )
+
+
+_EQD_PCTS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "agg_histogram_equidepth",
+    f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+    ),
+    b AS (
+      SELECT {", ".join(f"quantile_cont(v, {p}) AS b{i}"
+                        for i, p in enumerate(_EQD_PCTS, 1))}
+      FROM v
+    )
+    SELECT CAST({" + ".join(f"CAST(v.v > b.b{i} AS INTEGER)"
+                            for i in range(1, 10))} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(v.v) AS BIGINT) AS lo,
+           CAST(MAX(v.v) AS BIGINT) AS hi
+    FROM v, b
+    GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets of floored order price) —
+    the complement of `agg_histogram`'s fixed-width buckets and the
+    shape optimizers/monitors actually want (every bucket ≈ same row
+    count regardless of skew). Two-phase at-scale pattern: compute
+    the 9 boundary quantiles ONCE (bigint inputs ⇒ exact interpolated
+    doubles, same pos = 1+(n-1)p in both engines), broadcast the
+    1-row boundary set, then bucket-assign row-locally (value > bᵢ
+    fold) and hash-aggregate. The corpus is never sorted globally —
+    at 100 TB the exact quantile pass swaps for approx_percentile
+    and everything else is unchanged."""
+    o = tbl(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("v")
+    )
+    bounds = v.agg(
+        F.percentile(
+            F.col("v"), F.array(*[F.lit(p) for p in _EQD_PCTS])
+        ).alias("bs")
+    )
+    return (
+        v.crossJoin(F.broadcast(bounds))
+        .select(
+            "v",
+            F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("v") > b, 1).otherwise(0),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("v").cast("bigint").alias("lo"),
+            F.max("v").cast("bigint").alias("hi"),
+        )
+    )

@@ -559,6 +559,42 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact per-event_type median by explicit rank arithmetic (the
+    formula both engines evaluate identically — see ts_anomaly_mad).
+    Factored out so the streaming anomaly screen scores against THIS
+    model code, not a copy."""
+    wtype = W.partitionBy("event_type")
+    r = df.select(
+        "event_type",
+        col,
+        F.row_number().over(wtype.orderBy(col, "event_id")).alias("rn"),
+        F.count("*").over(wtype).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        (
+            F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias(out)
+    )
+
+
+def mad_model(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(deviations, per-type MAD) pair for a (event_id, event_type,
+    value) frame: median -> absolute deviation -> median of that."""
+    med = rank_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = rank_median(dev.select("event_type", "d", "event_id"), "d", "mad")
+    return dev, mad
+
+
+
 @query(
     "ts_anomaly_mad",
     """
@@ -623,33 +659,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    wtype = W.partitionBy("event_type")
-
-    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
-        r = df.select(
-            "event_type",
-            col,
-            F.row_number()
-            .over(wtype.orderBy(col, "event_id"))
-            .alias("rn"),
-            F.count("*").over(wtype).alias("n"),
-        )
-        mid = r.filter(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-        )
-        return mid.groupBy("event_type").agg(
-            (
-                F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
-                / F.count("*")
-            ).alias(out)
-        )
-
-    med = _median(ev, "value", "med")
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "d", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = _median(dev.select("event_type", "d", "event_id"), "d", "mad")
+    dev, mad = mad_model(ev)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("d") > 6 * F.col("mad"))

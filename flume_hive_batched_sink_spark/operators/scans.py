@@ -839,3 +839,57 @@ def scan_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+_EXPORT_SHARDS = 8
+
+
+@query(
+    "sink_jsonl_export",
+    f"""
+    SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_EXPORT_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data delivery: export the documents table as
+    sharded JSONL (one directory per md5-hash shard — the
+    re-run-stable assignment of `ns_shard_plan`), then READ THE
+    EXPORT BACK and audit per-shard doc/char volumes and id ranges.
+    The oracle computes the same audit from the source table, so the
+    check proves the export is lossless — every doc present exactly
+    once with its text length intact, no matter how the write was
+    parallelized.
+
+    Scale shape: shard = row-local md5 (no skew — hash-uniform), one
+    repartition(shard) gives one writer task per shard (no
+    small-file explosion), and JSONL (spark.write.json) streams
+    line-per-doc — the format downstream tokenizer jobs ingest. At
+    100 TB the shard count is the only knob that changes."""
+    d = tbl(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EXPORT_SHARDS
+    ).alias("shard")
+    out = os.path.join(SCRATCH, "sink_jsonl_export")
+    (
+        d.select("doc_id", "text", "lang", "source", "n_chars", shard)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out)
+    )
+    back = spark.read.json(out)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

@@ -572,3 +572,108 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+
+
+_ALERT_SPLIT = "2024-01-11"
+
+
+@query(
+    "stream_anomaly_alert",
+    f"""
+    WITH hist AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{_ALERT_SPLIT}'
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS med
+      FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    ),
+    hdev AS (
+      SELECT h.event_id, h.event_type,
+             abs(h.value - m.med) AS d
+      FROM hist h JOIN med m ON h.event_type = m.event_type
+    ),
+    dranked AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hdev
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS mad
+      FROM dranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT l.event_id, l.event_type, l.value, m.med, a.mad,
+           (l.value - m.med) / a.mad AS score
+    FROM events l
+    JOIN med m ON l.event_type = m.event_type
+    JOIN mad a ON l.event_type = a.event_type
+    WHERE CAST(l.ts AS TIMESTAMP) >= TIMESTAMP '{_ALERT_SPLIT}'
+      AND abs(l.value - m.med) > 6 * a.mad
+    """,
+)
+def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerting: the live event stream is scored
+    row-locally against a BATCH-built robust model (per-type
+    median/MAD over the history before 2024-01-11, the first staged
+    chunk boundary) and rows beyond 6×MAD are emitted as alerts —
+    the batch-model / stream-score split every monitoring pipeline
+    runs (the reference's counters, TimedUtils.scala:44-68, are the
+    degenerate count-only form of this screen).
+
+    The model is `operators.analytics.rank_median`/`mad_model` — the
+    SAME audited code as the batch `ts_anomaly_mad`, not a copy.
+    Scale shape: the screen is STATELESS — a broadcast join against
+    a per-type 5-row model plus a row-local filter, so there is no
+    state store at all and alert latency is one micro-batch; the
+    model refresh is a batch job on its own cadence. The oracle
+    re-derives the identical model over the history split and scores
+    the post-split rows."""
+    from ..operators.analytics import mad_model, rank_median
+
+    staged, schema = _staged_events(spark, sf_dir, "alert")
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(_ALERT_SPLIT).cast("timestamp"))
+        .select("event_id", "event_type", "value")
+    )
+    med = rank_median(hist, "value", "med")
+    _, mad = mad_model(hist)
+    model = med.join(mad, "event_type")
+
+    def xform(src: DataFrame) -> DataFrame:
+        return (
+            src.filter(
+                F.col("ts") >= F.lit(_ALERT_SPLIT).cast("timestamp")
+            )
+            .join(F.broadcast(model), "event_type")
+            .filter(
+                F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad")
+            )
+            .select(
+                "event_id",
+                "event_type",
+                "value",
+                "med",
+                "mad",
+                (
+                    (F.col("value") - F.col("med")) / F.col("mad")
+                ).alias("score"),
+            )
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_anomaly_alert")
