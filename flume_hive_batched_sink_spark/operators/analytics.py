@@ -583,15 +583,20 @@ def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
     )
 
 
-def mad_model(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(deviations, per-type MAD) pair for a (event_id, event_type,
-    value) frame: median -> absolute deviation -> median of that."""
+def mad_model(
+    ev: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(median, deviations, MAD) triple for a (event_id, event_type,
+    value) frame: median -> absolute deviation -> median of that.
+    One rank pass per statistic — callers needing med must take it
+    from here, not re-derive it (a second rank_median(ev) would
+    window-scan the input twice)."""
     med = rank_median(ev, "value", "med")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
     )
     mad = rank_median(dev.select("event_type", "d", "event_id"), "d", "mad")
-    return dev, mad
+    return med, dev, mad
 
 
 
@@ -659,7 +664,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    dev, mad = mad_model(ev)
+    _med, dev, mad = mad_model(ev)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("d") > 6 * F.col("mad"))

@@ -1635,7 +1635,9 @@ _ENC_PREFIX = 16
     WITH toks AS (
       SELECT doc_id, i.i AS pos, string_split(text, ' ')[i.i] AS tok,
              len(string_split(text, ' ')) AS n_tokens
-      FROM documents, (SELECT unnest(range(1, 2001)) AS i) i
+      FROM documents,
+           (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' ')))
+                                    FROM documents) + 1)) AS i) i
       WHERE i.i <= len(string_split(text, ' '))
     ),
     freq AS (SELECT tok AS token, COUNT(*) AS freq FROM toks GROUP BY tok),

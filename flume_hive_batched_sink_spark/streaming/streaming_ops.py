@@ -574,7 +574,10 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count("*").alias("n_rows"))
 
 
-_ALERT_SPLIT = "2024-01-11"
+# The model/score boundary IS the first staged chunk boundary — tied
+# to _CHUNK_BOUNDS so retuning the shared chunking keeps the
+# batch-model/stream-score split aligned with a micro-batch edge.
+_ALERT_SPLIT = _CHUNK_BOUNDS[0]
 
 
 @query(
@@ -643,7 +646,7 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     model refresh is a batch job on its own cadence. The oracle
     re-derives the identical model over the history split and scores
     the post-split rows."""
-    from ..operators.analytics import mad_model, rank_median
+    from ..operators.analytics import mad_model
 
     staged, schema = _staged_events(spark, sf_dir, "alert")
     hist = (
@@ -651,8 +654,7 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") < F.lit(_ALERT_SPLIT).cast("timestamp"))
         .select("event_id", "event_type", "value")
     )
-    med = rank_median(hist, "value", "med")
-    _, mad = mad_model(hist)
+    med, _dev, mad = mad_model(hist)
     model = med.join(mad, "event_type")
 
     def xform(src: DataFrame) -> DataFrame:
