@@ -654,3 +654,41 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("bigint").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_bool_family",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT)
+             AS n_big,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 400) AS any_huge,
+           CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+             AS n_even_user,
+           bool_and(user_id < 1000) AS all_small_uid
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate family: conditional counts (count_if /
+    FILTER) and universal/existential predicates (bool_and/every,
+    bool_or/any) per group — the assertion layer of data-quality
+    checks ("every value positive", "any outlier present") that in
+    the reference lived as per-batch counter classifications
+    (HiveBatchedSink.scala:331-333). All five aggregates fuse into
+    ONE map-side-combined hash aggregate (booleans fold as
+    AND/OR — mergeable, constant state), so the data-quality sweep
+    costs one shuffle of k-type partials regardless of corpus
+    size."""
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).cast("bigint").alias("n_big"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_huge"),
+        F.count_if(F.col("user_id") % 2 == 0)
+        .cast("bigint")
+        .alias("n_even_user"),
+        F.bool_and(F.col("user_id") < 1000).alias("all_small_uid"),
+    )

@@ -733,3 +733,97 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("segment_version"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           next_event_id, next_event_ts, wait_days
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+             e.event_id AS next_event_id,
+             e.ts AS next_event_ts,
+             CAST(CAST(e.ts AS DATE)
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT) AS wait_days,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      FROM orders o
+      JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events) e
+        ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+    ) t
+    WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the lead-direction twin of `join_asof`:
+    each order is matched to the EARLIEST event of the same user
+    at-or-after the order date (ties on ts broken by min event_id),
+    answering "how long until the next contact after a purchase".
+    Orders whose user never appears again are dropped (inner as-of).
+
+    Same scale architecture as the backward join: both sides union
+    into one keyed timeline, and the next event is carried BACKWARD
+    with first(..., ignorenulls) over (currentRow,
+    unboundedFollowing) — one shuffle on the user key, cost
+    O(n log n) per key, no orders×events fan-out (the oracle's
+    join+row_number form is the semantics, not the plan). At equal
+    timestamps orders sort before events so the match is inclusive.
+    """
+    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+
+    orders_side = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(None).cast("struct<event_id:bigint,ts:timestamp>").alias("ev"),
+    )
+    events_side = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        F.struct(
+            F.col("event_id").alias("event_id"), F.col("ts").alias("ts")
+        ).alias("ev"),
+    )
+    timeline = orders_side.unionByName(events_side)
+    # t asc; at equal t orders (is_event=0) precede events so the
+    # order sees the same-instant event; equal-ts events carry the
+    # lowest event_id first → first() picks it.
+    w = (
+        W.partitionBy("k")
+        .orderBy(
+            "t", "is_event", F.col("ev.event_id").asc_nulls_last()
+        )
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = timeline.withColumn(
+        "nxt", F.first("ev", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_event") == 0)
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("k").alias("o_custkey"),
+            F.col("ord_date").alias("o_orderdate"),
+            F.col("nxt.event_id").alias("next_event_id"),
+            F.col("nxt.ts").alias("next_event_ts"),
+            F.datediff(
+                F.col("nxt.ts").cast("date"),
+                F.col("ord_date").cast("date"),
+            )
+            .cast("bigint")
+            .alias("wait_days"),
+        )
+    )

@@ -679,3 +679,64 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_stream(spark, staged, schema, xform, "stream_anomaly_alert")
+
+
+@query(
+    "stream_windowed_topk",
+    f"""
+    SELECT win_start, rank, event_id, value FROM (
+      SELECT {_SQL_BUCKET5} AS win_start, event_id, value,
+             CAST(row_number() OVER (
+               PARTITION BY {_SQL_BUCKET5}
+               ORDER BY value DESC, event_id) AS BIGINT) AS rank
+      FROM events
+    ) t
+    WHERE rank <= 3
+      AND win_start + INTERVAL 5 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: the 3 highest-value events of
+    every finalized 5-minute window (ties to the lower event_id) —
+    the leaderboard/worst-offenders feed every monitoring stream
+    publishes. Ranking inside a streaming aggregate is not directly
+    expressible (no windows over windowed aggs in append mode), so
+    the aggregate collects the window's (value, event_id) pairs and
+    a STATELESS post-aggregate projection sorts, slices and explodes
+    the top 3 — emission still gated by the watermark, same contract
+    as stream_tumbling_5min.
+
+    Scale note: state per window is its event list; that is the
+    honest cost of exact top-k on a stream. The bounded-state
+    production variant keeps a k-element partial top-k per
+    (window, shard) in applyInPandasWithState (the
+    stream_stateful_counter machinery) and merges shards in the
+    projection — plan shape unchanged, state O(k·shards)."""
+    staged, schema = _staged_events(spark, sf_dir, "wtopk")
+
+    def xform(src: DataFrame) -> DataFrame:
+        agged = (
+            src.withWatermark("ts", _DELAY)
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("value")).alias("neg_value"),
+                        F.col("event_id").alias("event_id"),
+                        F.col("value").alias("value"),
+                    )
+                ).alias("rows")
+            )
+        )
+        top = F.slice(F.array_sort("rows"), 1, 3)
+        return agged.select(
+            F.col("window.start").alias("win_start"),
+            F.posexplode(top).alias("pos", "r"),
+        ).select(
+            "win_start",
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.value").alias("value"),
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_windowed_topk")

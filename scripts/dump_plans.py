@@ -63,6 +63,8 @@ PLAN_QUERIES = [
     "scan_profile_stats",
     "ns_blocklist_filter",
     "ts_cumulative_uniques",
+    "join_asof_forward",
+    "agg_histogram_equidepth",
 ]
 
 
@@ -237,6 +239,25 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "row-local screen: no join, no hashpartitioning Exchange",
         "Join" not in p and "hashpartitioning" not in p,
         f"Join={'Join' in p}, hashpart={'hashpartitioning' in p}")
+
+    # join_asof_forward: the timeline union must be ONE window pass —
+    # no join operator anywhere (the oracle's join+row_number is the
+    # semantics, not the plan) and a single hash-partition Exchange.
+    p = _executed(ops.QUERIES["join_asof_forward"](spark, sf_dir))
+    n_hash = p.count("hashpartitioning")
+    add("join_asof_forward",
+        "union-timeline plan: no Join operator, one keyed Exchange",
+        "Join" not in p and n_hash == 1,
+        f"Join={'Join' in p}, hashpartitioning count={n_hash}")
+
+    # agg_histogram_equidepth: boundaries broadcast back onto the
+    # scan — the corpus is never sorted globally or shuffle-joined.
+    p = _executed(ops.QUERIES["agg_histogram_equidepth"](spark, sf_dir))
+    add("agg_histogram_equidepth",
+        "boundary set broadcast; no global Sort of the corpus",
+        "BroadcastExchange" in p and "SortMergeJoin" not in p,
+        f"BroadcastExchange={'BroadcastExchange' in p}, "
+        f"SMJ={'SortMergeJoin' in p}")
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).
