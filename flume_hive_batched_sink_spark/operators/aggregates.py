@@ -692,3 +692,36 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_even_user"),
         F.bool_and(F.col("user_id") < 1000).alias("all_small_uid"),
     )
+
+
+@query(
+    "agg_listagg",
+    """
+    SELECT user_id % 10 AS cohort,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types_csv,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG / string_agg): the distinct event
+    types of each cohort as ONE deterministic comma-joined string —
+    the denormalized label column report/export layers want. Both
+    engines build it as sort(distinct(collect)) then join, so the
+    result is order-independent (a bare string_agg concatenates in
+    arrival order — nondeterministic under parallel scan, which is
+    why the deterministic form is spelled out).
+
+    Scale: the aggregate state is the DISTINCT type set, bounded by
+    the label universe (not the row count) — safe where an unbounded
+    collect_list would be the ObjectHashAggregate cliff; one
+    map-side-combined shuffle."""
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types_csv"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )

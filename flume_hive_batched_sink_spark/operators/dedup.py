@@ -861,3 +861,56 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keeper_doc_id"),
         )
     )
+
+
+@query(
+    "ns_dedup_soft_weights",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             array_to_string(string_split({_NORM}, ' ')[1:3], ' ') AS ckey
+      FROM documents
+    ),
+    g AS (
+      SELECT ckey, MIN(doc_id) AS keeper,
+             CAST(COUNT(*) AS BIGINT) AS weight,
+             CAST(SUM(n_chars) AS BIGINT) AS group_chars
+      FROM h GROUP BY ckey
+    )
+    SELECT h.doc_id, g.weight, g.group_chars
+    FROM h JOIN g ON h.ckey = g.ckey AND h.doc_id = g.keeper
+    """,
+)
+def ns_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (document reweighting): instead of dropping
+    duplicates, keep ONE representative per duplicate group carrying
+    weight = group size — the training-data technique that preserves
+    the natural frequency signal (a doc seen 40x on the web is
+    upweighted 40x at loss time) while paying storage/compute for one
+    copy. Group key is the 3-token normalized prefix (the collision-
+    bearing stand-in used across the dedup family; production uses
+    the exact-hash or canonical-URL key).
+
+    Scale shape: ONE (ckey) hash aggregate produces keeper + weight +
+    reclaimed volume, and the keeper join back is on the same key —
+    the whole operator rides a single shuffle (same index shape as
+    ns_dedup_incremental, which consumes these weights on the next
+    ingest)."""
+    d = tbl(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        F.array_join(F.slice(F.split(_norm_col(), " "), 1, 3), " ").alias(
+            "ckey"
+        ),
+    )
+    g = h.groupBy("ckey").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").cast("bigint").alias("weight"),
+        F.sum("n_chars").cast("bigint").alias("group_chars"),
+    )
+    return (
+        h.join(g, "ckey")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "weight", "group_chars")
+    )

@@ -19,6 +19,8 @@ the low bits (numpy pairwise vs sequential summation).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -274,3 +276,49 @@ def udtf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInArrow(
         route, "event_id long, route_key long, props_len long"
     )
+
+
+def make_tier_classifier():
+    """SCALAR_ITER pandas UDF — the inference-serving shape: the
+    'model' (here a threshold table; in production a tokenizer or
+    ONNX session) is loaded ONCE per executor task, then reused
+    across every Arrow batch the iterator yields. A plain SCALAR UDF
+    would re-enter Python per batch with no amortization seam; this
+    is the extension point where per-task model-load cost is paid
+    once against millions of rows."""
+
+    @F.pandas_udf("string")
+    def tier_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = {"hot": 300.0, "warm": 100.0}  # loaded once per task
+        for v in batches:
+            yield pd.Series(
+                pd.cut(
+                    v,
+                    bins=[float("-inf"), model["warm"], model["hot"],
+                          float("inf")],
+                    labels=["cold", "warm", "hot"],
+                ).astype(str)
+            )
+
+    return tier_of
+
+
+@query(
+    "udf_scalar_iter",
+    """
+    SELECT event_id, value,
+           CASE WHEN value > 300.0 THEN 'hot'
+                WHEN value > 100.0 THEN 'warm'
+                ELSE 'cold' END AS tier
+    FROM events
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF (SCALAR_ITER): value-tier
+    classification against a per-task-loaded model table (see
+    make_tier_classifier). The oracle states the semantics as a CASE
+    expression; the Spark path proves the Arrow iterator machinery
+    yields identical labels batch-by-batch."""
+    ev = tbl(spark, sf_dir, "events", parallel=True)
+    tier_of = make_tier_classifier()
+    return ev.select("event_id", "value", tier_of("value").alias("tier"))
