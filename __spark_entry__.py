@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 179 queries are registered (SURVEY §2 Part B, which matches the
+# 180 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
 # CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
 # Round 5 fronts (a) every query whose code changed this round — the
@@ -63,6 +63,7 @@ _ROUND5_FRONT = [
     "agg_listagg",
     "ns_dedup_soft_weights",
     "udf_scalar_iter",
+    "scan_agg_pushdown",
     "win_streaks",
     "join_null_safe",
     "ns_sample_reservoir",
@@ -89,16 +90,15 @@ _ROUND5_FRONT = [
     "ns_dedup_canonical",
     "join_multiway",
     "join_bloom_runtime",
-    # stalest (last checked r01) — B2 filters/projections:
-    "filter_state_name",
-    # stalest — B3 joins:
+    # stalest (last checked r01) — B3 joins:
     "join_inner_equi",
     "join_asof",
 ]
-# Displaced to positions 51+ by this round's thirty-seven new
-# operators (the window holds exactly 50): filter_in_list,
-# exists_key, project_compute (B2 one-expression filters whose
-# shared helpers are exercised by the retained filter_state_name),
+# Displaced to positions 51+ by this round's thirty-eight new
+# operators (the window holds exactly 50): filter_state_name,
+# filter_in_list, exists_key, project_compute (B2 one-expression
+# filters — every plan primitive they use is exercised by fresher
+# rows in the window),
 # join_broadcast, join_left_outer, join_semi, join_bucketed,
 # join_skew_salted (single-primitive joins family-covered by the
 # retained join_inner_equi/join_asof rows; bucketed is additionally

@@ -893,3 +893,68 @@ def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# Keyed weakly by the parent session (same pattern/rationale as
+# joins._SCOPED_SESSIONS): entries die with the parent.
+import weakref
+
+_V2_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+_V2_CONFS = {
+    # DSv2 parquet path (v1 has no aggregate pushdown) + the
+    # footer-stats aggregate pushdown itself.
+    "spark.sql.sources.useV1SourceList": "",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def v2_scan_session(spark: SparkSession) -> SparkSession:
+    """Child session for DSv2 footer-aggregate scans — shared
+    SparkContext, isolated SQLConf. dump_plans.py asserts
+    PushedAggregation under this SAME helper, so PLANCHECK certifies
+    the configuration the operator actually runs."""
+    if spark not in _V2_SESSIONS:
+        scoped = spark.newSession()
+        for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
+            scoped.conf.set(k, spark.conf.get(k))
+        for k, v in _V2_CONFS.items():
+            scoped.conf.set(k, v)
+        _V2_SESSIONS[spark] = scoped
+    return _V2_SESSIONS[spark]
+
+
+@query(
+    "scan_agg_pushdown",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics aggregate pushdown: COUNT/MIN/MAX answered
+    from parquet row-group metadata — the scan's `PushedAggregation`
+    reads FOOTERS, not data pages (plan-asserted in PLANCHECK.json).
+    At 100 TB this is the difference between a metadata walk
+    (O(files)) and a full-table scan for the table-stats queries
+    every catalog/monitor issues constantly. Runs under a scoped DSv2
+    session (v1 parquet has no aggregate pushdown); the exact
+    fallback — any predicate or non-min/max aggregate disables the
+    pushdown — is the normal full scan, so correctness never depends
+    on the fast path."""
+    import os as _os
+
+    scoped = v2_scan_session(spark)
+    path = _os.path.join(sf_dir, "lineitem.parquet")
+    li = scoped.read.parquet(path)
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_key"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"),
+        F.min("l_partkey").cast("bigint").alias("min_part"),
+        F.max("l_partkey").cast("bigint").alias("max_part"),
+    )

@@ -65,6 +65,7 @@ PLAN_QUERIES = [
     "ts_cumulative_uniques",
     "join_asof_forward",
     "agg_histogram_equidepth",
+    "scan_agg_pushdown",
 ]
 
 
@@ -258,6 +259,15 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "BroadcastExchange" in p and "SortMergeJoin" not in p,
         f"BroadcastExchange={'BroadcastExchange' in p}, "
         f"SMJ={'SortMergeJoin' in p}")
+
+    # scan_agg_pushdown: COUNT/MIN/MAX must be answered from parquet
+    # footers — the DSv2 scan carries PushedAggregation.
+    p = _executed(ops.QUERIES["scan_agg_pushdown"](spark, sf_dir))
+    add("scan_agg_pushdown",
+        "scan carries PushedAggregation (footer stats, no data pages)",
+        "PushedAggregation" in p,
+        next((ln.strip()[:200] for ln in p.splitlines()
+              if "PushedAggregation" in ln), "absent"))
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).
