@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # non-empty and the hash check verifies real rows), the posting-list
 # candidate-generation rewrite (exact_substring + the four
 # shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — (b) the thirty-one
-# operators ADDED this round (never driver-checked) — then (c) the
-# stalest cohort: queries last driver-checked in
+# and join_bloom_runtime's session-cache rework — (b) the
+# thirty-eight operators ADDED this round (never driver-checked) —
+# then (c) the stalest cohort: queries last driver-checked in
 # r01, whose shared helpers (tbl, catalog, session confs) have kept
 # changing since. Every entry remains present and locally
-# value-equal-gated (tests/test_oracle_parity.py covers all 173,
+# value-equal-gated (tests/test_oracle_parity.py covers all 180,
 # with a vacuity guard) regardless of window position.
 _ROUND5_FRONT = [
     # new this round — first driver check:

@@ -719,9 +719,17 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list would be the ObjectHashAggregate cliff; one
     map-side-combined shuffle."""
     e = tbl(spark, sf_dir, "events")
-    return e.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
-        F.array_join(
-            F.array_sort(F.collect_set("event_type")), ","
-        ).alias("types_csv"),
-        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    # ONE distinct-set state per group: n_types is the size of the
+    # same collected set (a separate countDistinct would trigger the
+    # distinct-aggregate rewrite and keep a duplicate set state).
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("_types")
+        )
+        .select(
+            "cohort",
+            F.array_join(F.col("_types"), ",").alias("types_csv"),
+            F.size("_types").cast("bigint").alias("n_types"),
+        )
     )

@@ -30,9 +30,19 @@ from .registry import query, tbl
 
 _NORM = "lower(trim(text))"
 
+# The collision-bearing canonical group key shared by the whole dedup
+# family (incremental / soft-weights / filter-attrition): 3-token
+# normalized prefix. ONE definition per engine — production swaps in
+# an exact-hash or canonical-URL key by changing these two lines.
+_CKEY = f"array_to_string(string_split({_NORM}, ' ')[1:3], ' ')"
+
 
 def _norm_col() -> Column:
     return F.lower(F.trim(F.col("text")))
+
+
+def _ckey_col() -> Column:
+    return F.array_join(F.slice(F.split(_norm_col(), " "), 1, 3), " ")
 
 
 @query(
@@ -791,7 +801,7 @@ def ns_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT doc_id,
-             array_to_string(string_split({_NORM}, ' ')[1:3], ' ') AS ckey
+             {_CKEY} AS ckey
       FROM documents
     ),
     base AS (
@@ -835,9 +845,7 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     h = d.select(
         "doc_id",
-        F.array_join(F.slice(F.split(_norm_col(), " "), 1, 3), " ").alias(
-            "ckey"
-        ),
+        _ckey_col().alias("ckey"),
     )
     base = (
         h.filter(F.col("doc_id") % 2 != 0)
@@ -868,7 +876,7 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT doc_id, n_chars,
-             array_to_string(string_split({_NORM}, ' ')[1:3], ' ') AS ckey
+             {_CKEY} AS ckey
       FROM documents
     ),
     g AS (
@@ -900,9 +908,7 @@ def ns_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = d.select(
         "doc_id",
         "n_chars",
-        F.array_join(F.slice(F.split(_norm_col(), " "), 1, 3), " ").alias(
-            "ckey"
-        ),
+        _ckey_col().alias("ckey"),
     )
     g = h.groupBy("ckey").agg(
         F.min("doc_id").alias("keeper"),

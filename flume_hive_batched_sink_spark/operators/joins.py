@@ -18,13 +18,12 @@ Strategy notes (the part the judge grades at 100 TB):
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import dsum, query, sql_dsum, tbl
+from .registry import dsum, query, scoped_session, sql_dsum, tbl
 
 
 @query(
@@ -487,32 +486,12 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-# Keyed weakly by the parent session object: entries die with the
-# parent, so a stopped-and-collected SparkSession can never alias a
-# new one into a cached scoped session bound to a dead SparkContext
-# (id()-keyed caching had exactly that reuse hazard).
-_SCOPED_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
 def bloom_scoped_session(spark: SparkSession) -> SparkSession:
-    """The child session join_bloom_runtime plans under — shared
-    SparkContext/cached data, isolated SQLConf with `_BLOOM_CONFS`
-    applied. Cached per parent session so repeated invocations don't
-    accumulate SessionStates; dump_plans.py uses the SAME helper, so
-    PLANCHECK.json certifies the exact configuration the operator
-    runs (a hand-copied session setup could drift)."""
-    if spark not in _SCOPED_SESSIONS:
-        scoped = spark.newSession()
-        # newSession inherits SparkConf-time settings but not runtime
-        # conf.set ones — carry the two that affect semantics/shape.
-        for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
-            scoped.conf.set(k, spark.conf.get(k))
-        for k, v in _BLOOM_CONFS.items():
-            scoped.conf.set(k, v)
-        _SCOPED_SESSIONS[spark] = scoped
-    return _SCOPED_SESSIONS[spark]
+    """The child session join_bloom_runtime plans under: the shared
+    registry.scoped_session cache with `_BLOOM_CONFS` applied.
+    dump_plans.py uses the SAME helper, so PLANCHECK.json certifies
+    the exact configuration the operator runs."""
+    return scoped_session(spark, _BLOOM_CONFS)
 
 
 _BLOOM_CONFS = {
@@ -796,7 +775,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("event_id"), F.col("ts").alias("ts")
         ).alias("ev"),
     )
-    timeline = orders_side.unionByName(events_side)
+    # NULL keys: the window would group them into one partition and
+    # match them to each other, where the oracle's equi-join drops
+    # them (NULL = NULL is not true) — filter to match inner-join
+    # semantics (no NULL keys exist in the fixtures; this pins the
+    # contract).
+    timeline = orders_side.unionByName(events_side).filter(
+        F.col("k").isNotNull()
+    )
     # t asc; at equal t orders (is_event=0) precede events so the
     # order sees the same-instant event; equal-ts events carry the
     # lowest event_id first → first() picks it.

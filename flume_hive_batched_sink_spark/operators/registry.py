@@ -23,6 +23,7 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -112,3 +113,36 @@ def tbl(
         if df.rdd.getNumPartitions() < want:
             df = df.repartition(want)
     return df
+
+
+# --- scoped child sessions (shared SparkContext, isolated SQLConf) ---
+
+_SCOPED_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def scoped_session(
+    spark: SparkSession, confs: dict[str, str]
+) -> SparkSession:
+    """Child session with `confs` applied — shared SparkContext and
+    cached data, isolated SQLConf. Cached weakly per (parent session,
+    conf set): entries die with the parent (id()-keyed caching could
+    alias a fresh session onto a dead SparkContext), and repeated
+    invocations don't accumulate SessionStates. `newSession` inherits
+    SparkConf-time settings but NOT runtime `conf.set` ones — the two
+    that affect semantics/shape are carried over explicitly. Shared
+    by join_bloom_runtime and scan_agg_pushdown (and dump_plans.py
+    asserts plans under the SAME helper, so PLANCHECK certifies the
+    configuration the operators actually run)."""
+    per = _SCOPED_SESSIONS.setdefault(spark, {})
+    key = tuple(sorted(confs.items()))
+    if key not in per:
+        scoped = spark.newSession()
+        for k in (
+            "spark.sql.session.timeZone",
+            "spark.sql.shuffle.partitions",
+        ):
+            scoped.conf.set(k, spark.conf.get(k))
+        for k, v in confs.items():
+            scoped.conf.set(k, v)
+        per[key] = scoped
+    return per[key]

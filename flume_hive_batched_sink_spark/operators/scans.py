@@ -30,7 +30,7 @@ from ..functions.partition import (
 )
 from ..sources.parse import parse_column
 from .pipeline import sql_logdate
-from .registry import query, tbl
+from .registry import query, scoped_session, tbl
 
 from ..scratch import SCRATCH
 
@@ -895,12 +895,6 @@ def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Keyed weakly by the parent session (same pattern/rationale as
-# joins._SCOPED_SESSIONS): entries die with the parent.
-import weakref
-
-_V2_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
 _V2_CONFS = {
     # DSv2 parquet path (v1 has no aggregate pushdown) + the
     # footer-stats aggregate pushdown itself.
@@ -910,18 +904,11 @@ _V2_CONFS = {
 
 
 def v2_scan_session(spark: SparkSession) -> SparkSession:
-    """Child session for DSv2 footer-aggregate scans — shared
-    SparkContext, isolated SQLConf. dump_plans.py asserts
-    PushedAggregation under this SAME helper, so PLANCHECK certifies
-    the configuration the operator actually runs."""
-    if spark not in _V2_SESSIONS:
-        scoped = spark.newSession()
-        for k in ("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"):
-            scoped.conf.set(k, spark.conf.get(k))
-        for k, v in _V2_CONFS.items():
-            scoped.conf.set(k, v)
-        _V2_SESSIONS[spark] = scoped
-    return _V2_SESSIONS[spark]
+    """Child session for DSv2 footer-aggregate scans: the shared
+    registry.scoped_session cache with `_V2_CONFS` applied.
+    dump_plans.py asserts PushedAggregation under this SAME helper,
+    so PLANCHECK certifies the configuration the operator runs."""
+    return scoped_session(spark, _V2_CONFS)
 
 
 @query(
@@ -946,10 +933,8 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback — any predicate or non-min/max aggregate disables the
     pushdown — is the normal full scan, so correctness never depends
     on the fast path."""
-    import os as _os
-
     scoped = v2_scan_session(spark)
-    path = _os.path.join(sf_dir, "lineitem.parquet")
+    path = os.path.join(sf_dir, "lineitem.parquet")
     li = scoped.read.parquet(path)
     return li.agg(
         F.count("*").cast("bigint").alias("n_rows"),

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .dedup import _CKEY as _DEDUP_CKEY
+from .dedup import _ckey_col as _dedup_ckey_col
 from .registry import query, tbl
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
@@ -1550,14 +1552,13 @@ def ns_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_filter_attrition",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, n_chars,
              len(string_split(text, ' ')) AS n_tok,
              CAST(len(replace(text, ' ', '')) AS DOUBLE)
                / len(string_split(text, ' ')) AS mwl,
-             array_to_string(
-               string_split(lower(trim(text)), ' ')[1:3], ' ') AS ckey
+             {_DEDUP_CKEY} AS ckey
       FROM documents
     ),
     keep AS (SELECT ckey, MIN(doc_id) AS keeper FROM t GROUP BY ckey),
@@ -1601,10 +1602,7 @@ def ns_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.size(F.split(F.col("text"), " "))
         ).alias("mwl"),
-        F.array_join(
-            F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 3),
-            " ",
-        ).alias("ckey"),
+        _dedup_ckey_col().alias("ckey"),
     )
     keep = t.groupBy("ckey").agg(F.min("doc_id").alias("keeper"))
     verdict = t.join(keep, "ckey").select(

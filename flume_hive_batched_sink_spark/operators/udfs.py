@@ -291,14 +291,15 @@ def make_tier_classifier():
     def tier_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         model = {"hot": 300.0, "warm": 100.0}  # loaded once per task
         for v in batches:
-            yield pd.Series(
-                pd.cut(
-                    v,
-                    bins=[float("-inf"), model["warm"], model["hot"],
-                          float("inf")],
-                    labels=["cold", "warm", "hot"],
-                ).astype(str)
-            )
+            tiers = pd.cut(
+                v,
+                bins=[float("-inf"), model["warm"], model["hot"],
+                      float("inf")],
+                labels=["cold", "warm", "hot"],
+            ).astype(str)
+            # NULL/NaN values: pd.cut yields NaN -> 'nan'; the oracle
+            # CASE falls through every > comparison to ELSE 'cold'.
+            yield pd.Series(tiers).mask(v.isna(), "cold")
 
     return tier_of
 

@@ -720,10 +720,12 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "5 minutes"))
             .agg(
                 F.collect_list(
+                    # (neg_value, event_id) only — value is derivable
+                    # as -neg_value in the projection (bit-lossless),
+                    # so the buffered state row stays 2 fields wide.
                     F.struct(
                         (-F.col("value")).alias("neg_value"),
                         F.col("event_id").alias("event_id"),
-                        F.col("value").alias("value"),
                     )
                 ).alias("rows")
             )
@@ -736,7 +738,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start",
             (F.col("pos") + 1).cast("bigint").alias("rank"),
             F.col("r.event_id").alias("event_id"),
-            F.col("r.value").alias("value"),
+            (-F.col("r.neg_value")).alias("value"),
         )
 
     return run_stream(spark, staged, schema, xform, "stream_windowed_topk")
