@@ -60,7 +60,9 @@ HEADLINE = [
     "ns_embedding_quantize",
     "ns_pack_ffd",
     # round 5 late additions (the 28-query set above stays frozen —
-    # first 15/20/24 subtotals remain the comparable numbers):
+    # first 15/20/24 subtotals remain the comparable numbers; the
+    # first 24 are additionally timed as their OWN group before
+    # anything below runs, see main()):
     "ts_window_funnel",
     "ts_retention_cohort",
     "ns_vocab_coverage",
@@ -76,30 +78,39 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
 
-    # Warmup (excluded from timings): run the headline set once at the
+    # Two timing GROUPS: the frozen r04 prefix (24 queries) is warmed
+    # and timed BEFORE the round-5 additions ever run, so its
+    # comparable subtotals are measured under the same JVM
+    # codegen-cache/GC pressure as rounds 2-4 (which benched 20-24
+    # queries total). Interleaving all 34 inflated the frozen-20
+    # subtotal ~15% purely from the grown working set — the same
+    # shared-JVM effect behind r4's noise — without any plan change.
+    frozen, additions = HEADLINE[:24], HEADLINE[24:]
+
+    # Warmup (excluded from timings): run each group once at the
     # TARGET SF to JIT-compile codegen paths, then measure. Warming at
     # a smaller SF is not enough — AQE picks different physical plans
     # at different data sizes, so the generated code differs and the
     # first target-SF run still pays multi-second Janino compilation
     # (measured 3-6× on the heavier plans). Measures steady-state
     # compute, not JVM/codegen cold start.
-    for name in HEADLINE:
-        ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-
     # Best-of-2: single-shot timings swing 2-4× with GC/scheduler
     # noise in a shared JVM; the min of two passes is the stable
     # steady-state number.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            fn = ops.QUERIES[name]
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            t = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, t), t)
+    for group in (frozen, additions):
+        for name in group:
+            ops.QUERIES[name](spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+        for _pass in range(2):
+            for name in group:
+                fn = ops.QUERIES[name]
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                t = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     # `value` is the total over the CURRENT headline set (28 queries
@@ -131,6 +142,20 @@ def main() -> None:
                     "(19.1/17.7/17.2s across three round-5 runs, first "
                     "on identical frozen-20 code): ambient environment "
                     "noise, plans unchanged (PLANCHECK green)"
+                ),
+                # Growing the headline set to 34 inflated the
+                # frozen-20 subtotal ~15% via shared-JVM codegen/GC
+                # pressure alone, so the frozen 24 are now warmed and
+                # timed as their OWN group before the round-5
+                # additions run (same in-JVM working set as r2-r4).
+                # Residual day-to-day spread on identical frozen code
+                # this round: 17.2-19.5 s — read trends, not single
+                # runs.
+                "note_r5_grouped_timing": (
+                    "frozen-24 prefix warmed+timed as its own group "
+                    "before the 10 round-5 additions (shared-JVM "
+                    "working-set parity with r2-r4); observed ambient "
+                    "spread 17.2-19.5s on identical frozen code"
                 ),
             }
         )
