@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 180 queries are registered (SURVEY §2 Part B, which matches the
+# 182 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
 # CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
 # Round 5 fronts (a) every query whose code changed this round — the
@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # non-empty and the hash check verifies real rows), the posting-list
 # candidate-generation rewrite (exact_substring + the four
 # shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — (b) the
-# thirty-eight operators ADDED this round (never driver-checked) —
-# then (c) the stalest cohort: queries last driver-checked in
-# r01, whose shared helpers (tbl, catalog, session confs) have kept
-# changing since. Every entry remains present and locally
-# value-equal-gated (tests/test_oracle_parity.py covers all 180,
+# and join_bloom_runtime's session-cache rework — and (b) the forty
+# operators ADDED this round (never driver-checked): 10 changed +
+# 40 new fills the window exactly, so the r01-stale cohort stays
+# displaced this round (rationale per entry below) and rotates back
+# in next round. Every entry remains present and locally
+# value-equal-gated (tests/test_oracle_parity.py covers all 182,
 # with a vacuity guard) regardless of window position.
 _ROUND5_FRONT = [
     # new this round — first driver check:
@@ -64,6 +64,8 @@ _ROUND5_FRONT = [
     "ns_dedup_soft_weights",
     "udf_scalar_iter",
     "scan_agg_pushdown",
+    "ns_chunk_dedup",
+    "ns_lang_confusion",
     "win_streaks",
     "join_null_safe",
     "ns_sample_reservoir",
@@ -90,19 +92,18 @@ _ROUND5_FRONT = [
     "ns_dedup_canonical",
     "join_multiway",
     "join_bloom_runtime",
-    # stalest (last checked r01) — B3 joins:
-    "join_inner_equi",
-    "join_asof",
 ]
-# Displaced to positions 51+ by this round's thirty-eight new
+# Displaced to positions 51+ by this round's forty new
 # operators (the window holds exactly 50): filter_state_name,
 # filter_in_list, exists_key, project_compute (B2 one-expression
 # filters — every plan primitive they use is exercised by fresher
 # rows in the window),
-# join_broadcast, join_left_outer, join_semi, join_bucketed,
-# join_skew_salted (single-primitive joins family-covered by the
-# retained join_inner_equi/join_asof rows; bucketed is additionally
-# PLANCHECK-asserted zero-Exchange every round), agg_group_having
+# join_inner_equi, join_asof, join_broadcast, join_left_outer,
+# join_semi, join_bucketed, join_skew_salted (joins whose primitives
+# underlie fresher window rows — scd2/multiway for the equi path,
+# asof_forward/asof_tolerance for the timeline path; bucketed is
+# additionally PLANCHECK-asserted zero-Exchange every round),
+# agg_group_having
 # (its semantics ride the flagship pipeline, driver-checked r03),
 # win_ntile_dist,
 # win_first_last, f_string, f_misc, agg_cube, agg_grouping_sets,

@@ -1756,3 +1756,133 @@ def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("clean"))
         .alias("verdict"),
     )
+
+
+@query(
+    "ns_lang_confusion",
+    f"""
+    WITH pred AS ({{LANG_ID_SQL}}),
+    cell AS (
+      SELECT lang, pred_lang, COUNT(*) AS n_docs
+      FROM pred GROUP BY lang, pred_lang
+    ),
+    tot AS (SELECT lang, SUM(n_docs) AS t FROM cell GROUP BY lang)
+    SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE)
+             AS recall_share
+    FROM cell c JOIN tot t ON c.lang = t.lang
+    """.replace("{LANG_ID_SQL}", "__LANG_ID_SQL__"),
+)
+def ns_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: the heuristic
+    language-ID's predictions crossed against the labeled `lang`
+    column, with each cell's share of its truth row (the per-label
+    recall decomposition) — the eval harness every quality/filter
+    model in the pipeline needs before its verdicts are trusted.
+
+    REUSES the registered ns_lang_id operator verbatim on both
+    engines (the Spark side calls the same function; the oracle
+    embeds the same registered SQL as a CTE), so the matrix can never
+    drift from the classifier it evaluates. Scale shape: the
+    classifier is row-local; the matrix aggregate has ≤ (labels ×
+    predictions) output cells and the row-total join is a broadcast
+    of one row per label."""
+    pred = ns_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n_docs").alias("t"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.col("n_docs").cast("double") / F.col("t").cast("double")
+        ).alias("recall_share"),
+    )
+
+
+# Splice the registered lang-id SQL into the confusion oracle so the
+# two stay one definition (see ns_lang_confusion docstring).
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["ns_lang_confusion"] = _ORACLE["ns_lang_confusion"].replace(
+    "__LANG_ID_SQL__", _ORACLE["ns_lang_id"]
+)
+
+
+_CHUNK_DEDUP_TOKENS = 16
+
+
+@query(
+    "ns_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i.i AS chunk_idx,
+             array_to_string(
+               t[(i.i * {_CHUNK_DEDUP_TOKENS} + 1):
+                 ((i.i + 1) * {_CHUNK_DEDUP_TOKENS})], ' ') AS chunk
+      FROM toks,
+           (SELECT unnest(range(0,
+              (SELECT MAX(len(t)) FROM toks) // {_CHUNK_DEDUP_TOKENS} + 1))
+              AS i) i
+      WHERE i.i * {_CHUNK_DEDUP_TOKENS} < len(t)
+    )
+    SELECT sha256(chunk) AS chunk_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM chunks
+    GROUP BY sha256(chunk)
+    HAVING COUNT(*) > 1
+    """,
+)
+def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: documents are cut into
+    non-overlapping 16-token chunks and duplicate PASSAGES (same
+    chunk text appearing more than once anywhere in the corpus) are
+    reported with copy counts and a keeper — the chunk-granular
+    complement of doc-level `ns_dedup_exact` and windowed
+    `ns_dedup_exact_substring`, and the dedup actually applied when
+    corpora are chunked for context-window packing (a duplicated
+    passage inside otherwise-distinct docs still burns training
+    tokens).
+
+    Scale shape: chunking is a row-local slice loop (posexplode over
+    a sequence — zero shuffle, fan-out = tokens/16), and dedup is ONE
+    hash aggregate keyed by the chunk digest (uniform by
+    construction, never raw text through the shuffle: the sha256 is
+    computed in the scan stage). Output is bounded by the duplicate
+    volume, not the corpus."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = _TOKENS(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / _CHUNK_DEDUP_TOKENS).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                F.col("chunk_idx") * _CHUNK_DEDUP_TOKENS + 1,
+                _CHUNK_DEDUP_TOKENS,
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    return (
+        chunks.select("doc_id", F.sha2(F.col("chunk"), 256).alias("chunk_sha"))
+        .groupBy("chunk_sha")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
