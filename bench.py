@@ -113,7 +113,7 @@ def main() -> None:
                 timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    # `value` is the total over the CURRENT headline set (28 queries
+    # `value` is the total over the CURRENT headline set (34 queries
     # as of r5) and is NOT round-over-round comparable once the set
     # grows. The comparable numbers are the frozen-prefix subtotals:
     # first 15 = the r01 set, first 20 = frozen since r02, first 24 =

@@ -1262,6 +1262,32 @@ _CHUNK_TOKENS = 64
 _CHUNK_OVERLAP = 16
 
 
+def _chunk_explode(d, chunk_tokens: int, overlap: int):
+    """Shared row-local chunker (ns_doc_chunk and ns_chunk_dedup —
+    ONE slice-loop definition): tokenize once, explode chunk ids,
+    compute 1-based start positions. stride = chunk_tokens - overlap;
+    n_chunks = max(ceil((n - overlap) / stride), 1) keeps a trailing
+    chunk only when it adds tokens beyond the previous overlap (with
+    overlap=0 this is exactly ceil(n / chunk_tokens) full coverage).
+    Returns (doc_id, toks, n, chunk_id, start_tok); zero shuffle."""
+    stride = chunk_tokens - overlap
+    tok = d.select(
+        "doc_id",
+        _TOKENS(F.col("text")).alias("toks"),
+        F.size(_TOKENS(F.col("text"))).alias("n"),
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.col("n") - F.lit(overlap)) / F.lit(stride)),
+        F.lit(1),
+    )
+    return tok.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).withColumn("start_tok", F.lit(1) + F.col("chunk_id") * stride)
+
+
 @query(
     "ns_doc_chunk",
     f"""
@@ -1306,23 +1332,8 @@ def ns_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how a 100 TB chunking pass should behave). Chunk ids and
     boundaries are deterministic functions of the token count, so
     the output is retry/partitioning-independent."""
-    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    tok = d.select(
-        "doc_id",
-        _TOKENS(F.col("text")).alias("toks"),
-        F.size(_TOKENS(F.col("text"))).alias("n"),
-    )
-    n_chunks = F.greatest(
-        F.ceil((F.col("n") - F.lit(_CHUNK_OVERLAP)) / F.lit(stride)),
-        F.lit(1),
-    )
-    ex = tok.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    ).withColumn("start_tok", F.lit(1) + F.col("chunk_id") * stride)
+    ex = _chunk_explode(d, _CHUNK_TOKENS, _CHUNK_OVERLAP)
     return ex.select(
         "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
@@ -1760,8 +1771,8 @@ def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_lang_confusion",
-    f"""
-    WITH pred AS ({{LANG_ID_SQL}}),
+    """
+    WITH pred AS (__LANG_ID_SQL__),
     cell AS (
       SELECT lang, pred_lang, COUNT(*) AS n_docs
       FROM pred GROUP BY lang, pred_lang
@@ -1771,7 +1782,7 @@ def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE)
              AS recall_share
     FROM cell c JOIN tot t ON c.lang = t.lang
-    """.replace("{LANG_ID_SQL}", "__LANG_ID_SQL__"),
+    """,
 )
 def ns_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation confusion matrix: the heuristic
@@ -1858,20 +1869,11 @@ def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in the scan stage). Output is bounded by the duplicate
     volume, not the corpus."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    toks = _TOKENS(F.col("text"))
-    n_chunks = F.ceil(F.size(toks) / _CHUNK_DEDUP_TOKENS).cast("int")
-    chunks = d.select(
+    chunks = _chunk_explode(d, _CHUNK_DEDUP_TOKENS, 0).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-        toks.alias("t"),
-    ).select(
-        "doc_id",
-        "chunk_idx",
         F.array_join(
             F.slice(
-                F.col("t"),
-                F.col("chunk_idx") * _CHUNK_DEDUP_TOKENS + 1,
-                _CHUNK_DEDUP_TOKENS,
+                F.col("toks"), F.col("start_tok"), _CHUNK_DEDUP_TOKENS
             ),
             " ",
         ).alias("chunk"),
