@@ -762,7 +762,6 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("is_event"),
         "o_orderkey",
-        F.col("o_orderdate").alias("ord_date"),
         F.lit(None).cast("struct<event_id:bigint,ts:timestamp>").alias("ev"),
     )
     events_side = e.select(
@@ -770,7 +769,6 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t"),
         F.lit(1).alias("is_event"),
         F.lit(None).cast("bigint").alias("o_orderkey"),
-        F.lit(None).cast("timestamp").alias("ord_date"),
         F.struct(
             F.col("event_id").alias("event_id"), F.col("ts").alias("ts")
         ).alias("ev"),
@@ -802,12 +800,15 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.col("k").alias("o_custkey"),
-            F.col("ord_date").alias("o_orderdate"),
+            # On order rows t IS the order date (timestamp after the
+            # union widened date with event ts) — no need to shuffle
+            # a second copy of it through the window buffer.
+            F.col("t").alias("o_orderdate"),
             F.col("nxt.event_id").alias("next_event_id"),
             F.col("nxt.ts").alias("next_event_ts"),
             F.datediff(
                 F.col("nxt.ts").cast("date"),
-                F.col("ord_date").cast("date"),
+                F.col("t").cast("date"),
             )
             .cast("bigint")
             .alias("wait_days"),

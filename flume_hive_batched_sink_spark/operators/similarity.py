@@ -184,6 +184,12 @@ _MAX_PLANES = 192
 # property-tested on planted near-dups (test_lsh_planted_near_dup_
 # recall). The constant feeds BOTH engines, so they stay in lockstep.
 _DEDUP_TAU = 0.40
+
+# Fixed IVF cell-count geometry (see ns_similarity_ann_ivf): caps the
+# N·C assignment cost at linear-in-corpus. 64 > every test SF's
+# uncapped count (sf0.1 yields 40 cells), so behavior at the oracle
+# SFs is identical with or without the cap.
+_IVF_MAX_CELLS = 64
 _rng = np.random.RandomState(42)
 _PLANE_POOL = _rng.normal(size=(_MAX_PLANES, 64)).astype("float64")
 _PLANES = _PLANE_POOL[:_N_PLANES]
@@ -636,10 +642,26 @@ def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one pass, no shuffle); the search is a keyed join on cell_id, so
     per-probe work is |cell| · nprobe instead of |corpus|. This is
     the same partition-pruning shape an IVF index gives FAISS, done
-    with joins (core: `ivf_topk`, recall@3-tested on planted twins)."""
+    with joins (core: `ivf_topk`, recall@3-tested on planted twins).
+
+    The cell count is CAPPED at a fixed geometry (_IVF_MAX_CELLS) so
+    the N·C assignment cost stays linear in the corpus — an uncapped
+    `vec_id % 50` centroid rule grows C with N and turns assignment
+    into N²/50 (measured 28× at a 10× blow-up before the cap). In
+    deployment C is a tuning knob (FAISS guidance ~√N, with the
+    index build amortized across queries); this operator rebuilds
+    per run, so it pins C and lets cells grow linearly instead."""
     em = tbl(spark, sf_dir, "embeddings")
-    cent = em.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    cent = (
+        em.filter(F.col("vec_id") % 50 == 0)
+        # deterministic fixed-size geometry: smallest qualifying ids
+        # (TakeOrderedAndProject over N/50 rows — no full sort)
+        .orderBy("vec_id")
+        .limit(_IVF_MAX_CELLS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
     )
     probes = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

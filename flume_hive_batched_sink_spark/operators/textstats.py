@@ -21,7 +21,7 @@ from pyspark.sql.window import Window as W
 
 from .dedup import _CKEY as _DEDUP_CKEY
 from .dedup import _ckey_col as _dedup_ckey_col
-from .registry import query, tbl
+from .registry import ORACLE, query, tbl
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 # (The fixture text is synthetic; the heuristic's job is to be a
@@ -1771,8 +1771,11 @@ def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_lang_confusion",
-    """
-    WITH pred AS (__LANG_ID_SQL__),
+    # Splice the already-registered lang-id SQL in as a CTE at
+    # decoration time so the eval and the classifier stay ONE
+    # definition (ns_lang_id is registered earlier in this module).
+    f"""
+    WITH pred AS ({ORACLE["ns_lang_id"]}),
     cell AS (
       SELECT lang, pred_lang, COUNT(*) AS n_docs
       FROM pred GROUP BY lang, pred_lang
@@ -1811,15 +1814,6 @@ def ns_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("t").cast("double")
         ).alias("recall_share"),
     )
-
-
-# Splice the registered lang-id SQL into the confusion oracle so the
-# two stay one definition (see ns_lang_confusion docstring).
-from .registry import ORACLE as _ORACLE  # noqa: E402
-
-_ORACLE["ns_lang_confusion"] = _ORACLE["ns_lang_confusion"].replace(
-    "__LANG_ID_SQL__", _ORACLE["ns_lang_id"]
-)
 
 
 _CHUNK_DEDUP_TOKENS = 16

@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parse import parse_column, register_parser
@@ -296,10 +296,18 @@ def make_tier_classifier():
                 bins=[float("-inf"), model["warm"], model["hot"],
                       float("inf")],
                 labels=["cold", "warm", "hot"],
-            ).astype(str)
-            # NULL/NaN values: pd.cut yields NaN -> 'nan'; the oracle
-            # CASE falls through every > comparison to ELSE 'cold'.
-            yield pd.Series(tiers).mask(v.isna(), "cold")
+            )
+            # Everything pd.cut could not bin — NULL/NaN inputs AND
+            # -inf (the first bin is left-OPEN, so -inf falls outside
+            # every bin) — is NaN here; the oracle CASE falls through
+            # every > comparison to ELSE 'cold' for all of them, so
+            # fill on the BINNED series, not on v.isna() (which would
+            # miss -inf and ship the literal string 'nan').
+            yield (
+                pd.Series(tiers.astype(object), index=v.index)
+                .fillna("cold")
+                .astype(str)
+            )
 
     return tier_of
 
@@ -321,5 +329,22 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression; the Spark path proves the Arrow iterator machinery
     yields identical labels batch-by-batch."""
     ev = tbl(spark, sf_dir, "events", parallel=True)
+    return ev.select(
+        "event_id", "value", tier_expr(F.col("value")).alias("tier")
+    )
+
+
+def tier_expr(value: Column) -> Column:
+    """The full tier expression (NaN normalization + SCALAR_ITER
+    classifier) — one definition shared by the operator and the
+    non-finite-input edge test. Arrow->pandas folds BOTH SQL NULL
+    and real NaN into NaN in the float64 series, but the oracle CASE
+    treats them differently (NaN > 300 is TRUE under the engines'
+    NaN-greatest total order -> 'hot'; NULL falls through ->
+    'cold'). Normalize NaN to +inf JVM-side, where the two are still
+    distinguishable — same tier ('hot'); NULLs still reach the UDF
+    as NaN -> 'cold'."""
     tier_of = make_tier_classifier()
-    return ev.select("event_id", "value", tier_of("value").alias("tier"))
+    return tier_of(
+        F.when(F.isnan(value), F.lit(float("inf"))).otherwise(value)
+    )

@@ -681,6 +681,39 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(spark, staged, schema, xform, "stream_anomaly_alert")
 
 
+def topk_sort_key():
+    """Ascending sort key equal to the oracle's `value DESC,
+    event_id` under DuckDB's defaults (NaN ranks FIRST — greater
+    than every number — and NULLs rank LAST): grp 0=NaN, 1=finite
+    ordered by -value, 2=NULL. A bare -value key would put a NULL
+    value first (a null struct field sorts smallest) and a NaN last
+    — both divergent. value is derivable from (grp, sortv) in the
+    projection (topk_value_back; bit-lossless: -(-v) round-trips,
+    incl. signed zero), so buffered state stays 3 narrow fields
+    wide. Shared with the batch edge test
+    (test_windowed_topk_nonfinite_order)."""
+    return F.struct(
+        F.when(F.col("value").isNull(), F.lit(2))
+        .when(F.isnan("value"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("tinyint")
+        .alias("grp"),
+        F.when(F.col("value").isNull() | F.isnan("value"), F.lit(0.0))
+        .otherwise(-F.col("value"))
+        .alias("sortv"),
+        F.col("event_id").alias("event_id"),
+    )
+
+
+def topk_value_back(r):
+    """Reconstruct the original value from a topk_sort_key struct."""
+    return (
+        F.when(r.grp == 0, F.lit(float("nan")))
+        .when(r.grp == 2, F.lit(None).cast("double"))
+        .otherwise(-r.sortv)
+    )
+
+
 @query(
     "stream_windowed_topk",
     f"""
@@ -718,17 +751,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agged = (
             src.withWatermark("ts", _DELAY)
             .groupBy(F.window("ts", "5 minutes"))
-            .agg(
-                F.collect_list(
-                    # (neg_value, event_id) only — value is derivable
-                    # as -neg_value in the projection (bit-lossless),
-                    # so the buffered state row stays 2 fields wide.
-                    F.struct(
-                        (-F.col("value")).alias("neg_value"),
-                        F.col("event_id").alias("event_id"),
-                    )
-                ).alias("rows")
-            )
+            .agg(F.collect_list(topk_sort_key()).alias("rows"))
         )
         top = F.slice(F.array_sort("rows"), 1, 3)
         return agged.select(
@@ -738,7 +761,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start",
             (F.col("pos") + 1).cast("bigint").alias("rank"),
             F.col("r.event_id").alias("event_id"),
-            (-F.col("r.neg_value")).alias("value"),
+            topk_value_back(F.col("r")).alias("value"),
         )
 
     return run_stream(spark, staged, schema, xform, "stream_windowed_topk")

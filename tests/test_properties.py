@@ -876,3 +876,96 @@ def test_tokenize_encode_roundtrip(spark):
         want = [vocab.get(t, 0) for t in toks[:16]]
         assert list(r.prefix_ids) == want, d.doc_id
         assert r.n_oov == sum(1 for t in toks if t not in vocab)
+
+
+def test_tier_classifier_nonfinite_matches_oracle(spark):
+    """udf_scalar_iter edge semantics the fixtures can't reach: the
+    oracle CASE on NULL / NaN / ±inf, where Arrow->pandas folds NULL
+    and NaN into one representation. DuckDB (NaN-greatest total
+    order): NaN -> 'hot', NULL -> 'cold', -inf -> 'cold', +inf ->
+    'hot'. Runs the operator's exact tier expression (tier_expr)."""
+    import duckdb
+
+    from flume_hive_batched_sink_spark.operators.udfs import tier_expr
+
+    vals = [50.0, 200.0, 400.0, 100.0, 300.0,
+            float("-inf"), float("inf"), float("nan"), None]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    got = {
+        r.event_id: r.tier
+        for r in df.select(
+            "event_id", tier_expr(F.col("value")).alias("tier")
+        ).collect()
+    }
+    want = {
+        i: duckdb.sql(
+            "SELECT CASE WHEN v > 300.0 THEN 'hot' "
+            "WHEN v > 100.0 THEN 'warm' ELSE 'cold' END "
+            f"FROM (SELECT {_dlit(v)} AS v)"
+        ).fetchone()[0]
+        for i, v in enumerate(vals)
+    }
+    assert got == want
+
+
+def test_windowed_topk_nonfinite_order(spark):
+    """stream_windowed_topk's sort key on NULL/NaN values, checked
+    batch-mode against the oracle's `ORDER BY value DESC, event_id`
+    in DuckDB (NaN first, NULLs last): a naive -value key would rank
+    NULL first and NaN last. Exercises the exact topk_sort_key /
+    topk_value_back expressions the streaming xform uses."""
+    import math
+
+    import duckdb
+
+    from flume_hive_batched_sink_spark.streaming.streaming_ops import (
+        topk_sort_key,
+        topk_value_back,
+    )
+
+    vals = [(1, 500.0), (2, None), (3, float("nan")), (4, 300.0),
+            (5, 500.0), (6, float("-inf"))]
+    df = spark.createDataFrame(vals, "event_id long, value double")
+    agged = df.groupBy().agg(
+        F.collect_list(topk_sort_key()).alias("rows")
+    )
+    top = F.slice(F.array_sort("rows"), 1, 4)
+    got = [
+        (r.rank, r.event_id, r.value)
+        for r in agged.select(F.posexplode(top).alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("r.event_id").alias("event_id"),
+            topk_value_back(F.col("r")).alias("value"),
+        )
+        .collect()
+    ]
+    duckdb.sql("CREATE OR REPLACE TEMP TABLE tk (event_id BIGINT, value DOUBLE)")
+    for eid, v in vals:
+        duckdb.sql(
+            "INSERT INTO tk VALUES "
+            f"({eid}, {_dlit(v)})"
+        )
+    want = duckdb.sql(
+        "SELECT CAST(row_number() OVER "
+        "(ORDER BY value DESC, event_id) AS BIGINT) AS rank, "
+        "event_id, value FROM tk ORDER BY rank LIMIT 4"
+    ).fetchall()
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2], (got, want)
+        gv, wv = g[2], w[2]
+        if wv is None or gv is None:
+            assert gv is None and wv is None
+        elif math.isnan(wv):
+            assert math.isnan(gv)
+        else:
+            assert gv == wv
+
+
+def _dlit(v):
+    """DuckDB DOUBLE literal incl. non-finite ('inf'/'nan' need the
+    string-cast form; bare inf/nan are identifiers)."""
+    return "NULL::DOUBLE" if v is None else f"'{v!r}'::DOUBLE"
