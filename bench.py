@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -76,6 +77,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Ambient-conditions stamp, taken BEFORE this run's JVM starts:
+    # a concurrent Spark JVM or high load skews timings 30%+ (the
+    # r4 "+36% regression" was exactly this), so every artifact
+    # records the environment it was measured under.
+    try:
+        other_jvms = int(
+            subprocess.run(
+                ["pgrep", "-c", "java"], capture_output=True, text=True
+            ).stdout.strip()
+            or 0
+        )
+    except (OSError, ValueError):
+        other_jvms = -1
+    load1 = round(os.getloadavg()[0], 1)
     spark = get_spark(app_name="bench")
 
     # Two timing GROUPS: the frozen r04 prefix (24 queries) is warmed
@@ -132,6 +147,11 @@ def main() -> None:
                 "r01_comparable_subtotal": r01_subtotal,
                 "r02_comparable_subtotal": r02_subtotal,
                 "r04_comparable_subtotal": r04_subtotal,
+                # concurrent JVMs at launch (should be 0 for a clean
+                # run) and 1-min load average: the noise context for
+                # reading the subtotals above.
+                "ambient_other_jvms": other_jvms,
+                "ambient_load1": load1,
                 # r4's +36% (frozen-20 17.3 -> 23.6 s) did not
                 # reproduce: three round-5 re-runs measured 19.1 /
                 # 17.7 / 17.2 s, the first on code identical for the

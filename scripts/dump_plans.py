@@ -66,6 +66,9 @@ PLAN_QUERIES = [
     "join_asof_forward",
     "agg_histogram_equidepth",
     "scan_agg_pushdown",
+    # capped-geometry IVF: TakeOrderedAndProject centroid pick +
+    # broadcast cell assignment (see _IVF_MAX_CELLS).
+    "ns_similarity_ann_ivf",
 ]
 
 
@@ -268,6 +271,17 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "PushedAggregation" in p,
         next((ln.strip()[:200] for ln in p.splitlines()
               if "PushedAggregation" in ln), "absent"))
+
+    # ns_similarity_ann_ivf: the fixed-geometry centroid list must be
+    # picked with TakeOrderedAndProject (orderBy+limit, never a full
+    # sort) and broadcast to the corpus for cell assignment — the
+    # shape that keeps N·C assignment linear under _IVF_MAX_CELLS.
+    p = _executed(ops.QUERIES["ns_similarity_ann_ivf"](spark, sf_dir))
+    add("ns_similarity_ann_ivf",
+        "TakeOrderedAndProject centroid cap + BroadcastExchange assignment",
+        "TakeOrderedAndProject" in p and "BroadcastExchange" in p,
+        f"TakeOrdered={'TakeOrderedAndProject' in p}, "
+        f"Broadcast={'BroadcastExchange' in p}")
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).
