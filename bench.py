@@ -82,12 +82,15 @@ def main() -> None:
     # r4 "+36% regression" was exactly this), so every artifact
     # records the environment it was measured under.
     try:
-        other_jvms = int(
-            subprocess.run(
-                ["pgrep", "-c", "java"], capture_output=True, text=True
-            ).stdout.strip()
-            or 0
+        p = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
         )
+        # pgrep exit 0 = matches, 1 = no match; >=2 = ERROR — record
+        # the -1 sentinel, never a false "clean environment" 0.
+        if p.returncode <= 1:
+            other_jvms = int(p.stdout.strip() or 0)
+        else:
+            other_jvms = -1
     except (OSError, ValueError):
         other_jvms = -1
     load1 = round(os.getloadavg()[0], 1)

@@ -344,7 +344,16 @@ def tier_expr(value: Column) -> Column:
     'cold'). Normalize NaN to +inf JVM-side, where the two are still
     distinguishable — same tier ('hot'); NULLs still reach the UDF
     as NaN -> 'cold'."""
-    tier_of = make_tier_classifier()
-    return tier_of(
+    global _TIER_OF
+    if _TIER_OF is None:
+        # lazily-created shared instance (pandas_udf decoration needs
+        # an active SparkSession, so it can't happen at import time):
+        # the operator and the edge test run the same registered
+        # function instead of per-call re-decorations.
+        _TIER_OF = make_tier_classifier()
+    return _TIER_OF(
         F.when(F.isnan(value), F.lit(float("inf"))).otherwise(value)
     )
+
+
+_TIER_OF = None

@@ -684,13 +684,15 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_sort_key():
     """Ascending sort key equal to the oracle's `value DESC,
     event_id` under DuckDB's defaults (NaN ranks FIRST — greater
-    than every number — and NULLs rank LAST): grp 0=NaN, 1=finite
-    ordered by -value, 2=NULL. A bare -value key would put a NULL
-    value first (a null struct field sorts smallest) and a NaN last
-    — both divergent. value is derivable from (grp, sortv) in the
-    projection (topk_value_back; bit-lossless: -(-v) round-trips,
-    incl. signed zero), so buffered state stays 3 narrow fields
-    wide. Shared with the batch edge test
+    than every number — NULLs rank LAST, and -0.0 TIES +0.0 with the
+    tie broken by event_id): grp 0=NaN, 1=finite ordered by -value,
+    2=NULL. A bare -value key would put a NULL value first (a null
+    struct field sorts smallest), a NaN last, and split the signed
+    zeros by sign (Spark's Double ordering has -0.0 < 0.0) — all
+    three divergent. `+ 0.0` collapses -0.0 into +0.0 in the sort
+    position only; the verbatim value rides along as its own field
+    for emission (topk_value_back), preserving the original sign the
+    way both engines' output does. Shared with the batch edge test
     (test_windowed_topk_nonfinite_order)."""
     return F.struct(
         F.when(F.col("value").isNull(), F.lit(2))
@@ -699,19 +701,16 @@ def topk_sort_key():
         .cast("tinyint")
         .alias("grp"),
         F.when(F.col("value").isNull() | F.isnan("value"), F.lit(0.0))
-        .otherwise(-F.col("value"))
+        .otherwise(-F.col("value") + F.lit(0.0))
         .alias("sortv"),
         F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"),
     )
 
 
 def topk_value_back(r):
-    """Reconstruct the original value from a topk_sort_key struct."""
-    return (
-        F.when(r.grp == 0, F.lit(float("nan")))
-        .when(r.grp == 2, F.lit(None).cast("double"))
-        .otherwise(-r.sortv)
-    )
+    """The original value carried through a topk_sort_key struct."""
+    return r.value
 
 
 @query(

@@ -926,12 +926,13 @@ def test_windowed_topk_nonfinite_order(spark):
     )
 
     vals = [(1, 500.0), (2, None), (3, float("nan")), (4, 300.0),
-            (5, 500.0), (6, float("-inf"))]
+            (5, 500.0), (6, float("-inf")), (7, 0.0), (8, -0.0),
+            (9, 0.0)]
     df = spark.createDataFrame(vals, "event_id long, value double")
     agged = df.groupBy().agg(
         F.collect_list(topk_sort_key()).alias("rows")
     )
-    top = F.slice(F.array_sort("rows"), 1, 4)
+    top = F.slice(F.array_sort("rows"), 1, 9)
     got = [
         (r.rank, r.event_id, r.value)
         for r in agged.select(F.posexplode(top).alias("pos", "r"))
@@ -951,9 +952,9 @@ def test_windowed_topk_nonfinite_order(spark):
     want = duckdb.sql(
         "SELECT CAST(row_number() OVER "
         "(ORDER BY value DESC, event_id) AS BIGINT) AS rank, "
-        "event_id, value FROM tk ORDER BY rank LIMIT 4"
+        "event_id, value FROM tk ORDER BY rank LIMIT 9"
     ).fetchall()
-    assert len(got) == len(want) == 4
+    assert len(got) == len(want) == 9
     for g, w in zip(got, want):
         assert g[:2] == w[:2], (got, want)
         gv, wv = g[2], w[2]
