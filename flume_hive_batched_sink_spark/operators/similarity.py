@@ -739,7 +739,8 @@ def ns_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex JOIN st ON ex.dim = st.dim
     )
     SELECT vec_id,
-           list(qv ORDER BY dim) AS qvec,
+           coalesce(array_to_string(list(qv ORDER BY dim), ','), '')
+             AS qvec,
            MAX(abs(x - (mn + qv * step))) AS max_err
     FROM q GROUP BY vec_id
     """,
@@ -782,9 +783,16 @@ def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("err", F.abs(F.col("x") - (F.col("mn") + F.col("qv") * F.col("step"))))
         .groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "qv"))),
-                lambda s: s.qv,
+            # joined to one CSV string, not a top-level array column:
+            # every hash-checked query keeps its output scalar (the
+            # driver's value hash is only proven on scalar cells —
+            # same convention as agg_collect)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "qv"))),
+                    lambda s: s.qv.cast("string"),
+                ),
+                ",",
             ).alias("qvec"),
             F.max("err").alias("max_err"),
         )

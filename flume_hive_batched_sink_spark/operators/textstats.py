@@ -834,9 +834,13 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aug.select(
         "doc_id",
-        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).alias("n_email"),
-        F.regexp_count(F.col("raw"), F.lit(_PII_IPV4)).alias("n_ip"),
-        F.length(clean).alias("clean_len"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL))
+        .cast("bigint")
+        .alias("n_email"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_IPV4))
+        .cast("bigint")
+        .alias("n_ip"),
+        F.length(clean).cast("bigint").alias("clean_len"),
         # anchored on the REDACTED length: replacements shrink the
         # text, so a raw-length anchor would slide the audit window
         # off the tail and could miss the very sentinels it audits
@@ -1126,7 +1130,9 @@ def ns_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy(h, F.col("event_id"))
     return (
         e.filter(F.substring(h, 1, 1) <= "7")
-        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn(
+            "sample_rank", F.row_number().over(w).cast("bigint")
+        )
         .filter(F.col("sample_rank") <= _RESERVOIR_K)
         .select("event_id", "event_type", "sample_rank")
     )
@@ -1665,8 +1671,12 @@ _ENC_PREFIX = 16
     SELECT doc_id,
            CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) FILTER (WHERE id = 0) AS BIGINT) AS n_oov,
-           array_agg(id ORDER BY pos)
-             FILTER (WHERE pos <= {_ENC_PREFIX}) AS prefix_ids
+           -- coalesce: DuckDB array_to_string(empty/NULL) is NULL
+           -- where Spark array_join(empty) is '' (unreachable here
+           -- since every doc has >= 1 token, but pinned anyway)
+           coalesce(array_to_string(array_agg(id ORDER BY pos)
+             FILTER (WHERE pos <= {_ENC_PREFIX}), ','), '')
+             AS prefix_ids
     FROM enc GROUP BY doc_id
     """,
 )
@@ -1708,16 +1718,21 @@ def ns_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.groupBy("doc_id").agg(
         F.max("n_tokens").cast("bigint").alias("n_tokens"),
         F.count(F.when(F.col("id") == 0, 1)).cast("bigint").alias("n_oov"),
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("pos") <= _ENC_PREFIX,
-                        F.struct("pos", "id"),
+        # CSV string, not a top-level array column: hash-checked
+        # queries keep scalar cells (agg_collect convention)
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos") <= _ENC_PREFIX,
+                            F.struct("pos", "id"),
+                        )
                     )
-                )
+                ),
+                lambda s: s.getField("id").cast("string"),
             ),
-            lambda s: s.getField("id"),
+            ",",
         ).alias("prefix_ids"),
     )
 
@@ -1732,9 +1747,10 @@ _BLOCKLIST = ["slow", "merge", "vector", "stream", "window"]
            CAST(len(list_filter(string_split(text, ' '),
                     t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)})))
              AS BIGINT) AS n_hits,
-           list_sort(list_distinct(list_filter(string_split(text, ' '),
-                    t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)}))))
-             AS hit_terms,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_filter(string_split(text, ' '),
+                    t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)})))),
+             ','), '') AS hit_terms,
            CASE WHEN len(list_filter(string_split(text, ' '),
                     t -> t IN ({", ".join(repr(t) for t in _BLOCKLIST)}))) >= 3
                 THEN 'blocked' ELSE 'clean' END AS verdict
@@ -1762,7 +1778,10 @@ def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(hits).cast("bigint").alias("n_hits"),
-        F.array_sort(F.array_distinct(hits)).alias("hit_terms"),
+        # CSV string, not a top-level array (agg_collect convention)
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias(
+            "hit_terms"
+        ),
         F.when(F.size(hits) >= 3, F.lit("blocked"))
         .otherwise(F.lit("clean"))
         .alias("verdict"),

@@ -53,6 +53,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 con = duck_connection(SF)
 qs, osql = e.queries(), e.oracle_sql()
+# resolve 'front' and reject typos — a filter that matches nothing
+# must not print a vacuous "BAD: 0" (same contract as drive_oracle)
+if "front" in ONLY:
+    ONLY = (ONLY - {"front"}) | set(e.FRONT)
+unknown = ONLY - set(qs)
+if unknown:
+    print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+    sys.exit(2)
 bad = []
 for name in sorted(qs):
     if ONLY and name not in ONLY:
