@@ -23,112 +23,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 182 queries are registered (SURVEY §2 Part B, which matches the
+# 185 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions); the union of
-# CORRECTNESS_r01–r04 covers the prior 142 with zero failures.
-# Round 5 fronts (a) every query whose code changed this round — the
-# three de-vacuated 0-row greens (join_anti / join_theta_range /
-# join_asof_tolerance: predicates widened so sf0.01 output is
-# non-empty and the hash check verifies real rows), the posting-list
-# candidate-generation rewrite (exact_substring + the four
-# shingle-index consumers), join_multiway's shuffle-free fact scan,
-# and join_bloom_runtime's session-cache rework — and (b) the forty
-# operators ADDED this round (never driver-checked): 10 changed +
-# 40 new fills the window exactly, so the r01-stale cohort stays
-# displaced this round (rationale per entry below) and rotates back
-# in next round. Every entry remains present and locally
-# value-equal-gated (tests/test_oracle_parity.py covers all 182,
-# with a vacuity guard) regardless of window position.
-_ROUND5_FRONT = [
+# CORRECTNESS_r01–r05 covers the prior 182 with zero failures or
+# mismatches ever recorded.
+# Round 6 rotates the window to the STALENESS backlog, per the r5
+# verdict: (a) the 3 operators added this round (never
+# driver-checked) and the 3 whose output path changed this round
+# (mad=0 score guard; explicit read-back schema), (b) the 39
+# operators whose latest driver check is r01 (four rounds of helper
+# churn — tbl decision rule, scoped sessions, output stringification
+# — sit between them and their last binding check), (c) ns_pii_scrub,
+# whose output dtypes changed AFTER its r04 check (c410f38), and
+# (d) the 4 oldest r03 rows. 3 new + 3 changed + 39 + 1 + 4 = 50,
+# the window exactly. After this round no registered operator's
+# latest driver check is older than r03. Every entry remains present
+# and locally value-equal-gated (tests/test_oracle_parity.py covers
+# all 185, with a vacuity guard) regardless of window position.
+_ROUND6_FRONT = [
     # new this round — first driver check:
-    "ts_window_funnel",
-    "ts_retention_cohort",
-    "unpivot_melt",
-    "ns_vocab_coverage",
+    "sql_exists_subquery",
+    "stream_windowed_topk_state",
+    "ns_multimodal_headers",
+    # changed this round — re-check first:
     "ts_anomaly_mad",
-    "join_scd2",
-    "ns_filter_attrition",
-    "ns_tokenize_encode",
-    "scan_profile_stats",
-    "ts_cumulative_uniques",
-    "ns_blocklist_filter",
-    "agg_audience_overlap",
-    "ts_seasonality_profile",
     "stream_anomaly_alert",
     "sink_jsonl_export",
-    "agg_histogram_equidepth",
-    "join_asof_forward",
-    "agg_bool_family",
-    "stream_windowed_topk",
-    "agg_listagg",
-    "ns_dedup_soft_weights",
-    "udf_scalar_iter",
-    "scan_agg_pushdown",
-    "ns_chunk_dedup",
-    "ns_lang_confusion",
-    "win_streaks",
-    "join_null_safe",
-    "ns_sample_reservoir",
-    "ns_token_commonness",
-    "ns_pack_ffd",
-    "ns_embedding_quantize",
-    "agg_hll_sketch_merge",
-    "ns_dedup_cluster_stats",
-    "ns_doc_chunk",
-    "ns_quality_scriptmix",
-    "stream_restart_recovery",
-    "ns_sample_weighted",
-    "ns_mix_plan",
-    "udtf_arrow_map",
-    "ns_dedup_incremental",
-    # changed this round — re-check first:
-    "join_anti",
-    "join_theta_range",
-    "join_asof_tolerance",
-    "ns_dedup_exact_substring",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_containment",
-    "ns_dedup_clusters",
-    "ns_dedup_canonical",
-    "join_multiway",
-    "join_bloom_runtime",
+    # output dtypes changed after its r04 check (c410f38):
+    "ns_pii_scrub",
+    # the r01-stale cohort (39):
+    "filter_state_name",
+    "filter_in_list",
+    "exists_key",
+    "project_compute",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_left_outer",
+    "join_semi",
+    "join_cross",
+    "join_asof",
+    "join_bucketed",
+    "join_skew_salted",
+    "agg_group_having",
+    "agg_multi",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_minby_leader",
+    "agg_mode",
+    "agg_skew_salted",
+    "agg_histogram",
+    "agg_stats",
+    "agg_approx_distinct",
+    "upsert_last_write_wins",
+    "lateral_explode",
+    "sample_hash",
+    "pivot_counts",
+    "win_ntile_dist",
+    "win_first_last",
+    "f_string",
+    "f_misc",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_multimodal_cols",
+    "ns_multimodal_pool",
+    "ns_multimodal_framesample",
+    "ns_multimodal_decode",
+    # the 4 oldest r03 rows:
+    "flagship_pipeline",
+    "scan_parquet",
+    "sort_limit_topk",
+    "set_union",
 ]
-# Displaced to positions 51+ by this round's forty new
-# operators (the window holds exactly 50): filter_state_name,
-# filter_in_list, exists_key, project_compute (B2 one-expression
-# filters — every plan primitive they use is exercised by fresher
-# rows in the window),
-# join_inner_equi, join_asof, join_broadcast, join_left_outer,
-# join_semi, join_bucketed, join_skew_salted (joins whose primitives
-# underlie fresher window rows — scd2/multiway for the equi path,
-# asof_forward/asof_tolerance for the timeline path; bucketed is
-# additionally PLANCHECK-asserted zero-Exchange every round),
-# agg_group_having
-# (its semantics ride the flagship pipeline, driver-checked r03),
-# win_ntile_dist,
-# win_first_last, f_string, f_misc, agg_cube, agg_grouping_sets,
-# agg_mode, join_cross, agg_histogram, sample_hash, pivot_counts,
-# agg_approx_distinct, ns_multimodal_framesample, ns_dedup_simhash,
-# ns_multimodal_cols, ns_multimodal_pool, ns_multimodal_decode,
-# agg_rollup, agg_minby_leader, agg_skew_salted, ns_dedup_minhash,
-# agg_distinct, upsert_last_write_wins, lateral_explode, agg_multi,
-# ns_dedup_exact
-# (r01/r03-stale but family-covered — their modules and sibling rows
-# have fresher r03/r04 checks of the shared helpers; agg_multi and
-# ns_dedup_exact are additionally bench- and PLANCHECK-exercised
-# every round, and the rows-only sketch/LSH ops carry property
-# tests), flagship_pipeline, scan_parquet (r03). All remain locally
-# value-equal-gated every round.
+# Displaced to positions 51+: everything checked r04/r05 (fresh) and
+# the remaining r03 rows (scan_pruned, ingest_parse_text, the
+# partitioned-write family, the f_* scalar family, the streaming
+# family, the udf family, the ns_* text family) — all ≤3 rounds old
+# after this rotation and all locally value-equal-gated every round;
+# the oldest survivors rotate forward next round.
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND5_FRONT
+FRONT = _ROUND6_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND5_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND6_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 

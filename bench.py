@@ -70,6 +70,12 @@ HEADLINE = [
     "ts_anomaly_mad",
     "ns_tokenize_encode",
     "ns_filter_attrition",
+    # round 6 additions (the 34-query set above stays frozen; the
+    # 15/20/24-query subtotals remain the round-over-round
+    # comparables): correlated-subquery SQL surface and the real
+    # header-decoder roundtrip.
+    "sql_exists_subquery",
+    "ns_multimodal_headers",
 ]
 
 

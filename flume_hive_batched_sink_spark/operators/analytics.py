@@ -639,7 +639,7 @@ def mad_model(
       GROUP BY event_type
     )
     SELECT v.event_id, v.event_type, v.value, v.med, a.mad,
-           (v.value - v.med) / a.mad AS score
+           (v.value - v.med) / NULLIF(a.mad, 0) AS score
     FROM dev v JOIN mad a ON v.event_type = a.event_type
     WHERE v.d > 6 * a.mad
     """,
@@ -674,6 +674,13 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             "med",
             "mad",
-            ((F.col("value") - F.col("med")) / F.col("mad")).alias("score"),
+            # mad = 0 is possible when >half a group equals its median;
+            # NULL the score explicitly (mirrors the oracle's NULLIF)
+            # instead of relying on either engine's x/0.0 convention —
+            # DuckDB >=0.10 flips double div-by-zero to Infinity.
+            F.when(
+                F.col("mad") != 0,
+                (F.col("value") - F.col("med")) / F.col("mad"),
+            ).alias("score"),
         )
     )

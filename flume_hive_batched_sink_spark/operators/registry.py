@@ -136,13 +136,17 @@ def scoped_session(
     per = _SCOPED_SESSIONS.setdefault(spark, {})
     key = tuple(sorted(confs.items()))
     if key not in per:
-        scoped = spark.newSession()
-        for k in (
-            "spark.sql.session.timeZone",
-            "spark.sql.shuffle.partitions",
-        ):
-            scoped.conf.set(k, spark.conf.get(k))
-        for k, v in confs.items():
-            scoped.conf.set(k, v)
-        per[key] = scoped
-    return per[key]
+        per[key] = spark.newSession()
+    scoped = per[key]
+    # Re-apply on EVERY call (conf.set on an unchanged value is a
+    # dict write, not a JVM replan): a cached child must track later
+    # runtime changes to the parent's carried confs, not freeze them
+    # at first scoped use.
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+    ):
+        scoped.conf.set(k, spark.conf.get(k))
+    for k, v in confs.items():
+        scoped.conf.set(k, v)
+    return scoped

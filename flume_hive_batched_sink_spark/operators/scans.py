@@ -322,6 +322,43 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_BOTH_DIALECTS)
 
 
+_SQL_EXISTS_SUBQUERY = """
+SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 150000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey <= 2)
+"""
+
+
+@query("sql_exists_subquery", _SQL_EXISTS_SUBQUERY)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery SQL surface: EXISTS / NOT EXISTS / IN
+    predicates over the ANSI text interface — the existence probe the
+    reference issues against its bookkeeping table
+    (HiveSinkDetailDao.scala:73-82, A19) generalized to correlated
+    form. The IDENTICAL SQL text runs on Spark and the DuckDB oracle
+    (sql_interface pattern).
+
+    Scale shape: Catalyst de-correlates all three predicates into
+    joins rather than re-executing the subquery per row — EXISTS and
+    IN become LeftSemi joins, NOT EXISTS a LeftAnti join, each a
+    plain hash join on the correlation key that AQE can broadcast
+    when the probe side is small (plan-asserted in PLANCHECK: two
+    semi + one anti, zero SubqueryExec re-executions). At 100 TB the
+    orders side shuffles once on o_custkey and serves both the EXISTS
+    and NOT EXISTS probes; no nested-loop anywhere."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_SQL_EXISTS_SUBQUERY)
+
+
 @query(
     "ingest_bad_records",
     """
@@ -879,14 +916,20 @@ def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _EXPORT_SHARDS
     ).alias("shard")
     out = os.path.join(SCRATCH, "sink_jsonl_export")
+    exported = d.select("doc_id", "text", "lang", "source", "n_chars", shard)
     (
-        d.select("doc_id", "text", "lang", "source", "n_chars", shard)
-        .repartition("shard")
+        exported.repartition("shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .json(out)
     )
-    back = spark.read.json(out)
+    # Read back with the WRITTEN schema (partition column included —
+    # Spark fills it from the directory names, cast to the declared
+    # bigint): the losslessness proof is then type-exact for every
+    # column, and the inference pre-scan over the whole export is
+    # skipped — at 100 TB that pre-scan would double the read cost
+    # and could coerce numeric-looking text/lang strings.
+    back = spark.read.schema(exported.schema).json(out)
     return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),

@@ -404,9 +404,16 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     of `cos_dbl ≥ τ - 1e-9`. The double cosine is within ~64·ulp
     (≪1e-12) of the exact one, so the screen can never drop a pair
     the exact filter would keep; it cuts the expensive decimal fold
-    from all Σ|bucket|² candidates to approximately the output set
-    (measured 2.7 s → ~1.7 s at sf0.1, and the dominant term at 10×
-    where candidates are ~19 M)."""
+    from all Σ|bucket|² candidates to approximately the output set.
+    Measured solo (round 6, best-of-n, noop sink): the screen is a
+    SCALE trade, not an sf0.1 win — at sf0.1 (20k vectors, ~37k
+    candidates, 95 output pairs) the extra double pass costs ~1 s
+    (3.5-4.0 s with screen vs ~3.0 s without; the 1.8 s
+    features/norms pass dominates either way), while at the 10×
+    blow-up (200k vectors, ~19M candidates) it nearly halves the
+    query: 8.9 s with vs 16.3 s without. Candidate volume, not the
+    screen, is the asymptotic term; the headline sf0.1 bench number
+    for this op sits in the 3.5-4.9 s ambient band."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     return dedup_embedding_chain(spark, em)
 

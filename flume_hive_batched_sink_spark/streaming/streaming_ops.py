@@ -621,7 +621,7 @@ _ALERT_SPLIT = _CHUNK_BOUNDS[0]
       GROUP BY event_type
     )
     SELECT l.event_id, l.event_type, l.value, m.med, a.mad,
-           (l.value - m.med) / a.mad AS score
+           (l.value - m.med) / NULLIF(a.mad, 0) AS score
     FROM events l
     JOIN med m ON l.event_type = m.event_type
     JOIN mad a ON l.event_type = a.event_type
@@ -672,8 +672,12 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value",
                 "med",
                 "mad",
-                (
-                    (F.col("value") - F.col("med")) / F.col("mad")
+                # mad = 0 guard mirrors the oracle's NULLIF — pins the
+                # score to NULL on both engines regardless of the
+                # DuckDB double-div-by-zero default (Infinity >=0.10).
+                F.when(
+                    F.col("mad") != 0,
+                    (F.col("value") - F.col("med")) / F.col("mad"),
                 ).alias("score"),
             )
         )
@@ -764,3 +768,179 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_stream(spark, staged, schema, xform, "stream_windowed_topk")
+
+
+_TOPK_K = 3
+
+
+def merge_topk(tops, rows, k):
+    """Merge new rows into a bounded top-k partial: each element is
+    (grp, sortv, event_id, value-or-None) in topk_sort_key order.
+    Associative and chunking-invariant (property-tested), which is
+    what lets the stateful fold keep only k elements per window."""
+    tops = list(tops)
+    tops.extend(rows)
+    tops.sort(key=lambda t: (t[0], t[1], t[2]))
+    return tops[:k]
+
+
+@query(
+    "stream_windowed_topk_state",
+    f"""
+    SELECT win_start, rank, event_id, value FROM (
+      SELECT {_SQL_BUCKET5} AS win_start, event_id, value,
+             CAST(row_number() OVER (
+               PARTITION BY {_SQL_BUCKET5}
+               ORDER BY value DESC, event_id) AS BIGINT) AS rank
+      FROM events
+    ) t
+    WHERE rank <= {_TOPK_K}
+      AND win_start + INTERVAL 5 MINUTE <= {_SQL_WM}
+    """,
+)
+def stream_windowed_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming top-k — the production variant
+    `stream_windowed_topk`'s docstring promises. Same result contract
+    (top 3 per finalized 5-minute window, value DESC / event_id
+    tiebreak, identical oracle), but the state per window key is a
+    k-element partial top-k held in `applyInPandasWithState`
+    (stream_stateful_counter machinery) instead of the window's full
+    (value, event_id) list: each micro-batch merges its rows into the
+    stored top-3 and re-emits the snapshot, so state is O(k) per live
+    window — 13 scalars here — no matter how many events the window
+    receives. The collect_list variant's state grows with window
+    volume; this one is what survives a hot window at 100 TB/day.
+
+    Non-finite ordering is pre-encoded JVM-side with the SAME
+    topk_sort_key 3-group convention (NaN greatest, NULL last, ±0.0
+    tied) before rows reach Python — a pandas float column cannot
+    distinguish NULL from NaN, so the grp tag travels with the row
+    and NULL values are re-emitted as NULL from the tag, verbatim
+    value otherwise. Finalization mirrors the oracle: windows whose
+    end precedes the final watermark (max event time − 10 min), the
+    same gate run_stream's append mode applies."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    staged, schema = _staged_events(spark, sf_dir, "wtopk_state")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+    encoded = src.select(
+        F.expr("timestamp_seconds((cast(ts as long) div 300) * 300)").alias(
+            "win_start"
+        ),
+        topk_sort_key().alias("k"),
+    ).select("win_start", "k.grp", "k.sortv", "k.event_id", "k.value")
+
+    k = _TOPK_K
+    out_fields = ", ".join(
+        f"g{j} tinyint, i{j} bigint, v{j} double" for j in range(1, k + 1)
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            st = state.get
+            n = st[0]
+            # stored slots: (grp, sortv, event_id, value) per rank
+            tops = [
+                (st[1 + 4 * j], st[2 + 4 * j], st[3 + 4 * j], st[4 + 4 * j])
+                for j in range(k)
+                if st[1 + 4 * j] is not None
+            ]
+        else:
+            n, tops = 0, []
+        for pdf in pdfs:
+            n += len(pdf)
+            # grp 2 tags a NULL value (pandas floats conflate NULL
+            # with NaN — the tag is authoritative)
+            tops = merge_topk(
+                tops,
+                (
+                    (int(g), float(s), int(i), None if g == 2 else float(v))
+                    for g, s, i, v in zip(
+                        pdf["grp"], pdf["sortv"], pdf["event_id"], pdf["value"]
+                    )
+                ),
+                k,
+            )
+        flat = [n]
+        for j in range(k):
+            flat.extend(tops[j] if j < len(tops) else (None,) * 4)
+        state.update(tuple(flat))
+        row = {"win_start": [key[0]], "n_seen": [n]}
+        for j in range(k):
+            g, _s, i, v = tops[j] if j < len(tops) else (None,) * 4
+            row[f"g{j + 1}"] = pd.Series([g], dtype="object")
+            row[f"i{j + 1}"] = pd.Series([i], dtype="object")
+            row[f"v{j + 1}"] = pd.Series([v], dtype="object")
+        yield pd.DataFrame(row)
+
+    snap = encoded.groupBy("win_start").applyInPandasWithState(
+        fold,
+        outputStructType=f"win_start timestamp, n_seen bigint, {out_fields}",
+        stateStructType="n bigint, " + ", ".join(
+            f"sg{j} tinyint, ss{j} double, si{j} bigint, sv{j} double"
+            for j in range(1, k + 1)
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import shutil
+
+    ckpt = os.path.join(SCRATCH, "checkpoints", "wtopk_state")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        snap.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_windowed_topk_state")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.table("stream_windowed_topk_state")
+    # final snapshot per window = the one with the largest n_seen
+    # (monotone); then the oracle's watermark finalization gate.
+    final = snaps.groupBy("win_start").agg(
+        F.max_by(
+            F.struct(*[c for c in snaps.columns if c != "win_start"]),
+            F.col("n_seen"),
+        ).alias("s")
+    ).select("win_start", "s.*")
+    wm = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.max(F.col("ts").cast("timestamp"))
+                - F.expr("INTERVAL 10 MINUTE")
+            ).alias("wm")
+        )
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("rank"),
+                F.col(f"i{j}").alias("event_id"),
+                F.col(f"g{j}").alias("g"),
+                F.col(f"v{j}").alias("v"),
+            )
+            for j in range(1, k + 1)
+        ]
+    )
+    return (
+        final.crossJoin(F.broadcast(wm))
+        .filter(F.col("win_start") + F.expr("INTERVAL 5 MINUTE") <= F.col("wm"))
+        .select("win_start", F.explode(entries).alias("e"))
+        .filter(F.col("e.g").isNotNull())
+        .select(
+            "win_start",
+            F.col("e.rank").alias("rank"),
+            F.col("e.event_id").alias("event_id"),
+            F.when(F.col("e.g") != 2, F.col("e.v")).alias("value"),
+        )
+    )

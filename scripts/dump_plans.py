@@ -69,6 +69,8 @@ PLAN_QUERIES = [
     # capped-geometry IVF: TakeOrderedAndProject centroid pick +
     # broadcast cell assignment (see _IVF_MAX_CELLS).
     "ns_similarity_ann_ivf",
+    # round 6: correlated subqueries de-correlated to semi/anti joins.
+    "sql_exists_subquery",
 ]
 
 
@@ -282,6 +284,19 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "TakeOrderedAndProject" in p and "BroadcastExchange" in p,
         f"TakeOrdered={'TakeOrderedAndProject' in p}, "
         f"Broadcast={'BroadcastExchange' in p}")
+
+    # sql_exists_subquery: all three subquery predicates must
+    # de-correlate into joins — EXISTS and IN as LeftSemi, NOT EXISTS
+    # as LeftAnti — with no per-row subquery re-execution anywhere.
+    p = _executed(ops.QUERIES["sql_exists_subquery"](spark, sf_dir))
+    n_semi = p.count("LeftSemi")
+    n_anti = p.count("LeftAnti")
+    add("sql_exists_subquery",
+        "EXISTS/IN plan as semi-joins, NOT EXISTS as anti-join "
+        "(no subquery re-execution)",
+        n_semi >= 2 and n_anti >= 1 and "Subquery" not in p,
+        f"LeftSemi={n_semi}, LeftAnti={n_anti}, "
+        f"Subquery-in-plan={'Subquery' in p}")
 
     # sink_sorted_layout: execution artifact — sorted, disjoint,
     # skippable row groups (requires running the write).

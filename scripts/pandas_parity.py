@@ -10,8 +10,15 @@ This sweep flags, for every oracle-checked query:
   - unhashable cells (array/list columns) that crash pandas sort
   - pd.util.hash mismatches after sort-canon
 
-Usage: python scripts/pandas_parity.py [sf_dir] [query ...]
+Usage: python scripts/pandas_parity.py [--json OUT.json] [sf_dir] [query ...]
+
+`--json OUT.json` persists the sweep as an auditable per-round
+artifact (CORRECTNESS_LOCAL_r{N}.json): per-query verdict + row count
++ elapsed, so every oracle-backed operator carries a committed local
+correctness record each round regardless of its position in the
+driver's 50-slot window.
 """
+import json
 import os
 import sys
 import time
@@ -24,8 +31,13 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as e
 from tests.oracle_harness import duck_connection
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if _args and _args[0] == "--json":
+    _args.pop(0)
+    JSON_OUT = _args.pop(0)
+SF = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -62,6 +74,7 @@ if unknown:
     print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
     sys.exit(2)
 bad = []
+results = {}
 for name in sorted(qs):
     if ONLY and name not in ONLY:
         continue
@@ -69,9 +82,13 @@ for name in sorted(qs):
         continue
     t0 = time.time()
     problems = []
+    n_rows = None
     try:
         s = canon(qs[name](spark, SF).toPandas())
         d = canon(con.execute(osql[name]).df())
+        n_rows = int(len(s))
+        if len(s) != len(d):
+            problems.append(f"rows {len(s)} vs {len(d)}")
         sd = dict(s.dtypes.astype(str))
         dd = dict(d.dtypes.astype(str))
         if sd != dd:
@@ -91,6 +108,27 @@ for name in sorted(qs):
     status = "OK" if not problems else "; ".join(problems)
     if problems:
         bad.append(name)
+    results[name] = {
+        "ok": not problems,
+        "rows": n_rows,
+        "problems": problems,
+        "elapsed_sec": round(time.time() - t0, 2),
+    }
     print(f"{name:28s} {status} [{time.time() - t0:4.1f}s]", flush=True)
 print("BAD:", len(bad), bad)
+if JSON_OUT:
+    rows_only = sorted(n for n in qs if n not in osql)
+    payload = {
+        "sf_dir": SF,
+        "check": "pandas value-equality + dtype + pd-hash "
+                 "(strict superset of the driver's hash gate)",
+        "n_checked": len(results),
+        "n_bad": len(bad),
+        "bad": bad,
+        "rows_only_not_checked_here": rows_only,
+        "queries": results,
+    }
+    with open(JSON_OUT, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print("wrote", JSON_OUT)
 sys.exit(1 if bad else 0)

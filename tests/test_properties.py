@@ -971,3 +971,50 @@ def _dlit(v):
     """DuckDB DOUBLE literal incl. non-finite ('inf'/'nan' need the
     string-cast form; bare inf/nan are identifiers)."""
     return "NULL::DOUBLE" if v is None else f"'{v!r}'::DOUBLE"
+
+
+def test_stateful_topk_state_is_bounded_and_chunking_invariant():
+    """stream_windowed_topk_state's fold: (a) the per-window state is
+    a FIXED 1+4k scalar tuple no matter how many rows the window
+    receives — the bounded-state claim — and (b) merge_topk is
+    chunking-invariant: any micro-batch split of the same rows yields
+    the same top-k as one global sort, so replay/restart chunking
+    cannot change the emitted leaderboard. Rows include the full
+    non-finite alphabet in topk_sort_key encoding (grp 0=NaN greatest,
+    1=finite by -value, 2=NULL last)."""
+    import math
+    import random
+
+    from flume_hive_batched_sink_spark.streaming.streaming_ops import (
+        _TOPK_K,
+        merge_topk,
+    )
+
+    def enc(eid, v):
+        if v is None:
+            return (2, 0.0, eid, None)
+        if math.isnan(v):
+            return (0, 0.0, eid, v)
+        return (1, -v + 0.0, eid, v)
+
+    vals = [(1, 500.0), (2, None), (3, float("nan")), (4, 300.0),
+            (5, 500.0), (6, float("-inf")), (7, 0.0), (8, -0.0),
+            (9, 0.0), (10, None), (11, 123.25), (12, float("nan"))]
+    rows = [enc(e, v) for e, v in vals]
+    oneshot = merge_topk([], rows, _TOPK_K)
+    # NaNs rank greatest (ties by event_id), so top-3 = the two NaNs
+    # then the larger finite value with the lower event_id.
+    assert [t[2] for t in oneshot] == [3, 12, 1]
+    rng = random.Random(6)
+    for _ in range(50):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        tops, nbatches = [], rng.randint(1, len(shuffled))
+        cuts = sorted(rng.sample(range(len(shuffled)), nbatches - 1))
+        for lo, hi in zip([0] + cuts, cuts + [len(shuffled)]):
+            tops = merge_topk(tops, shuffled[lo:hi], _TOPK_K)
+            # bounded: the fold never holds more than k elements,
+            # i.e. the flattened state stays 1 + 4k scalars
+            assert len(tops) <= _TOPK_K
+            assert 1 + 4 * _TOPK_K == 13
+        assert tops == oneshot
