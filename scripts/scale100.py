@@ -103,7 +103,12 @@ def embedding_dedup_16plane(spark, sf_dir: str) -> None:
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
     run_embed16 = "embed16" in names
-    names = [n for n in names if n != "embed16"]
+    # --no-lsh skips the Σc(c−1)/2 band-occupancy pre-flight (two full
+    # 16/8-plane feature passes over the 100× corpus) when a run only
+    # adds decade rows for unrelated operators — the pre-flight's own
+    # numbers are already recorded in SCALING.md.
+    skip_lsh = "--no-lsh" in names
+    names = [n for n in names if n not in ("embed16", "--no-lsh")]
     spark = get_spark(app_name="scale100")
     print(f"building {K}x dataset …", flush=True)
     t0 = time.time()
@@ -125,7 +130,7 @@ def main() -> None:
     # the pre-flight count only accompanies the default sweep — an
     # embed16-only invocation already ran the end-to-end chain and
     # should not pay two more full feature passes for an unasked count
-    if names:
+    if names and not skip_lsh:
         lsh_candidate_workload(spark, scaled_dir)
 
 
