@@ -973,6 +973,31 @@ def _dlit(v):
     return "NULL::DOUBLE" if v is None else f"'{v!r}'::DOUBLE"
 
 
+def test_mad_zero_score_is_null_on_both_engines(spark):
+    """ts_anomaly_mad / stream_anomaly_alert score = (value-med)/mad:
+    when >half a group's values equal the median, mad = 0. The score
+    is explicitly guarded (F.when in Spark, NULLIF in the oracle) so
+    BOTH engines emit NULL regardless of their native double-division
+    -by-zero convention — DuckDB >=0.10 defaults to Infinity, which
+    would otherwise silently break parity on an oracle upgrade."""
+    import duckdb
+
+    got = (
+        spark.createDataFrame([(10.0, 5.0, 0.0)], "value double, med double, mad double")
+        .select(
+            F.when(
+                F.col("mad") != 0,
+                (F.col("value") - F.col("med")) / F.col("mad"),
+            ).alias("score")
+        )
+        .collect()[0][0]
+    )
+    want = duckdb.sql(
+        "SELECT (10.0::DOUBLE - 5.0::DOUBLE) / NULLIF(0.0::DOUBLE, 0) AS score"
+    ).fetchone()[0]
+    assert got is None and want is None
+
+
 def test_stateful_topk_state_is_bounded_and_chunking_invariant():
     """stream_windowed_topk_state's fold: (a) the per-window state is
     a FIXED 1+4k scalar tuple no matter how many rows the window
