@@ -206,6 +206,19 @@ def _planes_by_pos(spark: SparkSession, n_planes: int = _N_PLANES) -> DataFrame:
     return spark.createDataFrame(rows, "pos int, p array<double>")
 
 
+# Sign-trust tolerance for the double fast path (see
+# embedding_features): the reference sign is the DECIMAL(25,12) fold
+# (what the oracle computes), whose value differs from the double
+# fold by at most  64 terms · 5e-13 quantization  +  ~n·eps·Σ|term|
+# summation error  ≈ 3.2e-11 + 2.9e-14·Σ|x·p|. The tolerance covers
+# both with ≥3× / ≥30× margin, so |pdot_dbl| > tol PROVES the double
+# sign equals the decimal sign for ANY summation order; only dots
+# inside the band (measured: none on the test corpus, min margin
+# ~4e4× the tolerance) pay the decimal re-fold.
+_SIGN_TOL_ABS = 1e-10
+_SIGN_TOL_REL = 1e-12
+
+
 def embedding_features(
     spark: SparkSession,
     em: DataFrame,
@@ -218,10 +231,27 @@ def embedding_features(
     aggregate with map-side partial agg (the minhash_sig_wide shape);
     the per-plane `F.aggregate` HOF loop this replaces was
     CodegenFallback — interpreted per row, ~10× slower, ~4× more so
-    at 32 planes. Dots fold through decimal (order-insensitive exact
-    sum), so each sign — and therefore each bucket — is reproducible
-    bit-for-bit in any engine, including the DuckDB oracle twin
-    (`_SQL_BAND_BUCKETS`).
+    at 32 planes.
+
+    Bucket signs stay bit-identical to the DuckDB oracle twin
+    (`_SQL_BAND_BUCKETS`, which folds through DECIMAL) WITHOUT paying
+    the decimal fold for every plane: the plane dots are summed in
+    plain double (codegen primitive ops — measured 1.86 s → 1.09 s
+    for the sf0.1 aggregate alone; at query level the win is a SCALE
+    effect like the cosine screen: the sf0.1 chain is a wash under
+    local fixed job costs, while the 10× ns_dedup_embedding chain
+    drops 8.9 s → 5.9 s, −33%, and the 10× ratios of all three
+    band-key consumers fall to 1.0–1.3) alongside a Σ|x·p| magnitude
+    aggregate, and a dot is trusted when |pdot| exceeds the proven
+    double-vs-decimal divergence bound (`_SIGN_TOL_ABS/_REL` above).
+    The rare in-band dots (zero on the test corpus; e.g. engineered
+    orthogonal vectors) are re-folded through decimal for exactly
+    those vectors and their signs overridden — so every emitted
+    bucket is the decimal sign either way, it is just almost never
+    computed the slow way. The norm stays a decimal fold: its VALUE
+    (not just a sign) reaches emitted cosines. The bounded `.count()`
+    that sizes the fallback is a scalar driver action on the persisted
+    aggregate the downstream plan reuses.
 
     `n_bands`/`planes_per_band` select the band geometry (see the
     sizing note at `_N_BANDS`); the defaults are the oracle-baked
@@ -233,20 +263,51 @@ def embedding_features(
         "vec_id", F.posexplode("embedding").alias("pos", "x_raw")
     ).select("vec_id", "pos", F.col("x_raw").cast("double").alias("x"))
     j = ex.join(F.broadcast(_planes_by_pos(spark, n_planes)), "pos")
-    aggs = [
-        F.sum((F.col("x") * F.col("p")[i]).cast(_DEC)).alias(f"pdot{i}")
-        for i in range(n_planes)
-    ]
+
+    def term(i: int):
+        return F.col("x") * F.col("p")[i]
+
+    aggs = [F.sum(term(i)).alias(f"pdot{i}") for i in range(n_planes)]
+    aggs += [F.sum(F.abs(term(i))).alias(f"pabs{i}") for i in range(n_planes)]
     aggs.append(F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("nrm_sq"))
-    wide = j.groupBy("vec_id").agg(*aggs)
+    wide = j.groupBy("vec_id").agg(*aggs).persist()
+
+    def in_band(i: int):
+        return F.abs(F.col(f"pdot{i}")) <= (
+            F.lit(_SIGN_TOL_ABS) + F.lit(_SIGN_TOL_REL) * F.col(f"pabs{i}")
+        )
+
+    uncertain = in_band(0)
+    for i in range(1, n_planes):
+        uncertain = uncertain | in_band(i)
+    sign = {i: F.col(f"pdot{i}") > 0 for i in range(n_planes)}
+    if wide.filter(uncertain).count():
+        # decimal re-fold for ONLY the in-band vectors (broadcast-
+        # filtered second pass; a handful of rows by construction)
+        unc_ids = wide.filter(uncertain).select("vec_id")
+        j_unc = (
+            ex.join(F.broadcast(unc_ids), "vec_id")
+            .join(F.broadcast(_planes_by_pos(spark, n_planes)), "pos")
+        )
+        dec = j_unc.groupBy("vec_id").agg(
+            *[
+                F.sum(term(i).cast(_DEC)).alias(f"pdec{i}")
+                for i in range(n_planes)
+            ]
+        )
+        wide = wide.join(F.broadcast(dec), "vec_id", "left")
+        sign = {
+            i: F.when(
+                F.col(f"pdec{i}").isNotNull(), F.col(f"pdec{i}") > 0
+            ).otherwise(F.col(f"pdot{i}") > 0)
+            for i in range(n_planes)
+        }
     buckets = []
     for b in range(n_bands):
         col = F.lit(0).cast("bigint")
         for k in range(planes_per_band):
             i = b * planes_per_band + k
-            col = col + (
-                F.when(F.col(f"pdot{i}") > 0, F.lit(1 << k)).otherwise(0)
-            )
+            col = col + (F.when(sign[i], F.lit(1 << k)).otherwise(0))
         buckets.append(col.alias(f"band{b}"))
     feat = wide.select(
         "vec_id",

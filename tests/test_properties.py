@@ -227,6 +227,54 @@ def test_lsh_planted_near_dup_recall(spark):
     assert recall >= 0.9, f"planted near-dup recall {recall}"
 
 
+def test_sign_fastpath_fallback_matches_decimal_oracle(spark):
+    """embedding_features' double-sign fast path: a vector engineered
+    EXACTLY orthogonal to plane 0 (x = (-p0[1], p0[0], 0, ...), whose
+    two double products cancel to 0.0 bit-exactly) lands inside the
+    sign-trust band, forcing the decimal re-fold branch; the emitted
+    (band, bucket) keys must still equal the DuckDB decimal twin's —
+    the fast path must never change a bucket."""
+    import duckdb
+    import pandas as pd
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _PLANE_POOL,
+        _SIGN_TOL_ABS,
+        _SQL_BAND_BUCKETS,
+        band_keys,
+        embedding_features,
+    )
+
+    p0 = _PLANE_POOL[0]
+    orth = [0.0] * 64
+    orth[0], orth[1] = -float(p0[1]), float(p0[0])
+    # pin the trigger: the double dot with plane 0 is exactly 0.0, so
+    # the operator's in-band predicate (|pdot| <= tol, tol > 0) MUST
+    # fire and route this vector through the decimal fallback
+    assert orth[0] * p0[0] + orth[1] * p0[1] == 0.0 < _SIGN_TOL_ABS
+    rows = [(1, orth)]
+    base = load_table(spark, SF_SMALL, "embeddings").limit(5).collect()
+    rows += [
+        (int(r.vec_id) + 10, [float(x) for x in r.embedding]) for r in base
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_id, r.band, r.bucket)
+        for r in band_keys(embedding_features(spark, df)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows],
+             "embedding": [r[1] for r in rows]}
+        ),
+    )
+    want = {tuple(r) for r in con.execute(_SQL_BAND_BUCKETS).fetchall()}
+    assert got == want
+
+
 def test_dpp_prunes_partitions(spark):
     """scan_dpp_join's fact scan must carry a runtime dynamic-
     partition-pruning filter (the dim filter is not statically
