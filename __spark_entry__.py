@@ -49,6 +49,7 @@ _ROUND6_FRONT = [
     "ts_anomaly_mad",
     "stream_anomaly_alert",
     "sink_jsonl_export",
+    "agg_percentile",
     # output dtypes changed after its r04 check (c410f38):
     "ns_pii_scrub",
     # the r01-stale cohort (39):
@@ -91,11 +92,11 @@ _ROUND6_FRONT = [
     "ns_multimodal_pool",
     "ns_multimodal_framesample",
     "ns_multimodal_decode",
-    # the 4 oldest r03 rows:
+    # the oldest r03 rows (3 — one slot went to agg_percentile's
+    # round-6 rewrite, which outranks mere staleness):
     "flagship_pipeline",
     "scan_parquet",
     "sort_limit_topk",
-    "set_union",
 ]
 # Displaced to positions 51+: everything checked r04/r05 (fresh) and
 # the remaining r03 rows (scan_pruned, ingest_parse_text, the

@@ -69,8 +69,10 @@ PLAN_QUERIES = [
     # capped-geometry IVF: TakeOrderedAndProject centroid pick +
     # broadcast cell assignment (see _IVF_MAX_CELLS).
     "ns_similarity_ann_ivf",
-    # round 6: correlated subqueries de-correlated to semi/anti joins.
+    # round 6: correlated subqueries de-correlated to semi/anti
+    # joins; distributed two-pass exact percentile selection.
     "sql_exists_subquery",
+    "agg_percentile",
 ]
 
 
@@ -284,6 +286,18 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "TakeOrderedAndProject" in p and "BroadcastExchange" in p,
         f"TakeOrdered={'TakeOrderedAndProject' in p}, "
         f"Broadcast={'BroadcastExchange' in p}")
+
+    # agg_percentile: the round-6 rewrite must rank on (flag, bucket)
+    # partitions — a DISTRIBUTED sort — and carry no sort-in-state
+    # percentile aggregate (the one-task-per-group shape it replaced).
+    p = _executed(ops.QUERIES["agg_percentile"](spark, sf_dir))
+    dist_sort = ("hashpartitioning(l_returnflag" in p and ", bk" in p)
+    add("agg_percentile",
+        "selection ranks on (flag, bucket) partitions; no in-state "
+        "percentile aggregate",
+        dist_sort and "percentile(" not in p,
+        f"flag+bk hashpartitioning={dist_sort}, "
+        f"percentile-agg={'percentile(' in p}")
 
     # sql_exists_subquery: all three subquery predicates must
     # de-correlate into joins — EXISTS and IN as LeftSemi, NOT EXISTS
