@@ -508,6 +508,37 @@ def test_ann_ivf_produces_ranked_candidates(spark):
         assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines), (q, cosines)
 
 
+def test_bucketized_percentile_matches_builtin(spark, tmp_path):
+    """agg_percentile's distributed two-pass selection vs Spark's
+    builtin exact percentile() on adversarial group shapes the sf
+    tables don't exercise: n=1 and n=2 groups, an all-equal-values
+    group (degenerate bucket width), heavy ties straddling bucket
+    boundaries, and a skewed-range group. Bit-equality expected —
+    both evaluate v_k + (pos-k)(v_{k+1}-v_k)."""
+    import random
+
+    rng = random.Random(66)
+    rows = [("S", 42)]                       # n=1
+    rows += [("T", 7), ("T", 9)]             # n=2
+    rows += [("E", 5)] * 37                  # all equal
+    rows += [("D", v) for v in [10, 20, 30] * 25]     # dense ties
+    rows += [("W", rng.randrange(0, 10**9)) for _ in range(501)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_orderkey long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.median_key)
+        for r in QUERIES["agg_percentile"](spark, str(tmp_path)).collect()
+    }
+    pcts = F.percentile(
+        F.col("l_orderkey"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    want = {
+        r.l_returnflag: (r._pcts[0], r._pcts[1], r._pcts[2], r._pcts[1])
+        for r in df.groupBy("l_returnflag").agg(pcts.alias("_pcts")).collect()
+    }
+    assert got == want
+
+
 def test_survey_registry_lockstep():
     """SURVEY.md §2 Part B and operators.QUERIES must match EXACTLY
     in both directions — the judge diffs them mechanically every
