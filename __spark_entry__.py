@@ -29,13 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # mismatches ever recorded.
 # Round 6 rotates the window to the STALENESS backlog, per the r5
 # verdict: (a) the 3 operators added this round (never
-# driver-checked) and the 3 whose output path changed this round
-# (mad=0 score guard; explicit read-back schema), (b) the 39
-# operators whose latest driver check is r01 (four rounds of helper
-# churn — tbl decision rule, scoped sessions, output stringification
-# — sit between them and their last binding check), (c) ns_pii_scrub,
+# driver-checked) and the 4 whose output path changed this round
+# (mad=0 score guard ×2; explicit read-back schema; the
+# agg_percentile two-pass rewrite), (b) the 39 operators whose
+# latest driver check is r01 (four rounds of helper churn — tbl
+# decision rule, scoped sessions, output stringification — sit
+# between them and their last binding check), (c) ns_pii_scrub,
 # whose output dtypes changed AFTER its r04 check (c410f38), and
-# (d) the 4 oldest r03 rows. 3 new + 3 changed + 39 + 1 + 4 = 50,
+# (d) the 3 oldest r03 rows. 3 new + 4 changed + 39 + 1 + 3 = 50,
 # the window exactly. After this round no registered operator's
 # latest driver check is older than r03. Every entry remains present
 # and locally value-equal-gated (tests/test_oracle_parity.py covers

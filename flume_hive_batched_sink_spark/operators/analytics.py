@@ -148,26 +148,40 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhashable downstream."""
     from pyspark.sql import Window
 
+    # group key wrapped in a 1-field struct: struct equality treats
+    # NULL fields as equal, so every equi-join below keeps the NULL
+    # return-flag group (both engines' GROUP BY emit it; bare-column
+    # joins would silently drop it)
     li = (
         tbl(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_orderkey")
+        .select(
+            F.struct(F.col("l_returnflag")).alias("fk"), "l_orderkey"
+        )
         .filter(F.col("l_orderkey").isNotNull())
     )
     mm = li.agg(
         F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
     ).collect()[0]
     lo, hi = mm.lo, mm.hi
+    if lo is None:
+        # empty table / all-NULL key: the builtin aggregate (and the
+        # oracle) produce zero rows — match that instead of crashing
+        return spark.createDataFrame(
+            [],
+            "l_returnflag string, p25 double, p50 double, "
+            "p75 double, median_key double",
+        )
     width = max(1, (hi - lo) // _PCT_BUCKETS + 1)
     bucket = ((F.col("l_orderkey") - lo) / width).cast("bigint")
-    counts = li.groupBy("l_returnflag", bucket.alias("bk")).count()
-    w = Window.partitionBy("l_returnflag").orderBy("bk")
+    counts = li.groupBy("fk", bucket.alias("bk")).count()
+    w = Window.partitionBy("fk").orderBy("bk")
     cum = counts.withColumn("cum_hi", F.sum("count").over(w)).withColumn(
         "cum_lo", F.col("cum_hi") - F.col("count")
     )
-    n_tot = counts.groupBy("l_returnflag").agg(F.sum("count").alias("n"))
+    n_tot = counts.groupBy("fk").agg(F.sum("count").alias("n"))
     ranks = (
         n_tot.select(
-            "l_returnflag",
+            "fk",
             "n",
             F.explode(
                 F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
@@ -176,7 +190,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", 1 + (F.col("n") - 1) * F.col("p"))
         .withColumn("k", F.floor("pos").cast("bigint"))
         .select(
-            "l_returnflag",
+            "fk",
             "p",
             "pos",
             "k",
@@ -184,23 +198,23 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     need = ranks.select(
-        "l_returnflag", F.explode(F.array("k", "k1")).alias("r")
+        "fk", F.explode(F.array("k", "k1")).alias("r")
     ).distinct()
     tgt = (
-        need.join(cum, "l_returnflag")
+        need.join(cum, "fk")
         .filter((F.col("r") > F.col("cum_lo")) & (F.col("r") <= F.col("cum_hi")))
-        .select("l_returnflag", "r", "bk", "cum_lo")
+        .select("fk", "r", "bk", "cum_lo")
     )
     sel = li.withColumn("bk", bucket).join(
-        F.broadcast(tgt.select("l_returnflag", "bk").distinct()),
-        ["l_returnflag", "bk"],
+        F.broadcast(tgt.select("fk", "bk").distinct()),
+        ["fk", "bk"],
     )
-    w2 = Window.partitionBy("l_returnflag", "bk").orderBy("l_orderkey")
+    w2 = Window.partitionBy("fk", "bk").orderBy("l_orderkey")
     vals = (
         sel.withColumn("rn", F.row_number().over(w2))
-        .join(F.broadcast(tgt), ["l_returnflag", "bk"])
+        .join(F.broadcast(tgt), ["fk", "bk"])
         .filter(F.col("rn") == F.col("r") - F.col("cum_lo"))
-        .select("l_returnflag", "r", F.col("l_orderkey").alias("v"))
+        .select("fk", "r", F.col("l_orderkey").alias("v"))
     )
     interp = F.col("vk") + (F.col("pos") - F.col("k")) * (
         F.col("vk1") - F.col("vk")
@@ -208,18 +222,18 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         ranks.join(
             vals.withColumnRenamed("r", "k").withColumnRenamed("v", "vk"),
-            ["l_returnflag", "k"],
+            ["fk", "k"],
         )
         .join(
             vals.withColumnRenamed("r", "k1").withColumnRenamed("v", "vk1"),
-            ["l_returnflag", "k1"],
+            ["fk", "k1"],
         )
-        .groupBy("l_returnflag")
+        .groupBy("fk")
         .pivot("p", [0.25, 0.5, 0.75])
         .agg(F.first(interp))
     )
     return wide.select(
-        "l_returnflag",
+        F.col("fk.l_returnflag").alias("l_returnflag"),
         F.col("`0.25`").alias("p25"),
         F.col("`0.5`").alias("p50"),
         F.col("`0.75`").alias("p75"),

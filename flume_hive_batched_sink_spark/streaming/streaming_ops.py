@@ -941,6 +941,13 @@ def stream_windowed_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start",
             F.col("e.rank").alias("rank"),
             F.col("e.event_id").alias("event_id"),
-            F.when(F.col("e.g") != 2, F.col("e.v")).alias("value"),
+            # reconstruct the value from the grp tag, not the carried
+            # double: the pandas/Arrow hop nullifies NaN (object
+            # column → Arrow null), so grp 0 re-emits a literal NaN
+            # and grp 2 a true NULL — exactly what the JVM-side
+            # collect_list sister op and the oracle emit
+            F.when(F.col("e.g") == 0, F.lit(float("nan")))
+            .when(F.col("e.g") != 2, F.col("e.v"))
+            .alias("value"),
         )
     )

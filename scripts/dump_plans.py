@@ -291,12 +291,12 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
     # partitions — a DISTRIBUTED sort — and carry no sort-in-state
     # percentile aggregate (the one-task-per-group shape it replaced).
     p = _executed(ops.QUERIES["agg_percentile"](spark, sf_dir))
-    dist_sort = ("hashpartitioning(l_returnflag" in p and ", bk" in p)
+    dist_sort = ("hashpartitioning(fk" in p and ", bk" in p)
     add("agg_percentile",
         "selection ranks on (flag, bucket) partitions; no in-state "
         "percentile aggregate",
         dist_sort and "percentile(" not in p,
-        f"flag+bk hashpartitioning={dist_sort}, "
+        f"fk+bk hashpartitioning={dist_sort}, "
         f"percentile-agg={'percentile(' in p}")
 
     # sql_exists_subquery: all three subquery predicates must

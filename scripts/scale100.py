@@ -101,14 +101,18 @@ def embedding_dedup_16plane(spark, sf_dir: str) -> None:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_QUERIES
-    run_embed16 = "embed16" in names
     # --no-lsh skips the Σc(c−1)/2 band-occupancy pre-flight (two full
     # 16/8-plane feature passes over the 100× corpus) when a run only
     # adds decade rows for unrelated operators — the pre-flight's own
-    # numbers are already recorded in SCALING.md.
-    skip_lsh = "--no-lsh" in names
-    names = [n for n in names if n not in ("embed16", "--no-lsh")]
+    # numbers are already recorded in SCALING.md. Strip the flag
+    # BEFORE the default-queries fallback, so a bare
+    # `scale100.py --no-lsh` still runs the default sweep instead of
+    # silently building the corpus and timing nothing.
+    argv = [a for a in sys.argv[1:] if a != "--no-lsh"]
+    skip_lsh = len(argv) != len(sys.argv[1:])
+    names = argv or DEFAULT_QUERIES
+    run_embed16 = "embed16" in names
+    names = [n for n in names if n != "embed16"]
     spark = get_spark(app_name="scale100")
     print(f"building {K}x dataset …", flush=True)
     t0 = time.time()

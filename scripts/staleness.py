@@ -39,12 +39,21 @@ def main() -> None:
             data = json.load(fh)
         for name, rec in data.items():
             err = rec.get("err")
-            # err == 'no_oracle' is the rows-only check running clean
-            # (no DuckDB twin by design) — a valid driver visit. Any
-            # other err is a recorded failure, not a check.
-            if err and err != "no_oracle":
-                print(f"NOTE: {name} r{rnd:02d} recorded err: "
-                      f"{err.splitlines()[-1][:90]}")
+            # A valid driver check = no exception (err None, or the
+            # by-design 'no_oracle' rows-only path) AND no recorded
+            # mismatch (rows/schema/hash booleans, null on rows-only
+            # records, must not be False). A MISMATCH is the opposite
+            # of verified — counting it as fresh would keep the one
+            # operator that most needs re-checking out of the window.
+            exc = err and err != "no_oracle"
+            mismatch = any(
+                rec.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if exc or mismatch:
+                detail = (err.splitlines()[-1][:90] if exc
+                          else "rows/schema/hash mismatch")
+                print(f"NOTE: {name} r{rnd:02d} NOT a pass: {detail}")
                 continue
             latest[name] = max(latest.get(name, 0), rnd)
 

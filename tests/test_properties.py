@@ -523,6 +523,9 @@ def test_bucketized_percentile_matches_builtin(spark, tmp_path):
     rows += [("E", 5)] * 37                  # all equal
     rows += [("D", v) for v in [10, 20, 30] * 25]     # dense ties
     rows += [("W", rng.randrange(0, 10**9)) for _ in range(501)]
+    rows += [(None, v) for v in (3, 1, 4, 1, 5)]      # NULL group
+    # (kept by the struct-wrapped join key; bare-column equi-joins
+    # would silently drop it while the builtin emits it)
     df = spark.createDataFrame(rows, "l_returnflag string, l_orderkey long")
     df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     got = {
@@ -1100,6 +1103,50 @@ def test_mad_zero_score_is_null_on_both_engines(spark):
         "SELECT (10.0::DOUBLE - 5.0::DOUBLE) / NULLIF(0.0::DOUBLE, 0) AS score"
     ).fetchone()[0]
     assert got is None and want is None
+
+
+def test_windowed_topk_state_nan_parity_with_collect_variant(spark, tmp_path):
+    """stream_windowed_topk_state must emit the SAME rows as the
+    JVM-side collect_list variant when the stream carries NaN/NULL
+    values: the state variant's values cross a pandas/Arrow hop that
+    nullifies NaN, so the emitted value is reconstructed from the
+    3-group tag — this test plants a NaN (ranks FIRST, so it must
+    appear in the leaderboard as NaN, not NULL) and a NULL in the
+    earliest finalized window and diffs the two operators."""
+    import math
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    first = [r.event_id for r in ev.orderBy("ts").limit(2).collect()]
+    ev2 = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == first[0], F.lit(float("nan")))
+        .when(F.col("event_id") == first[1], F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    ev2.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    def canon(rows):
+        return {
+            (
+                r.win_start,
+                r.rank,
+                r.event_id,
+                "nan"
+                if r.value is not None and math.isnan(r.value)
+                else r.value,
+            )
+            for r in rows
+        }
+
+    a = canon(QUERIES["stream_windowed_topk"](spark, str(tmp_path)).collect())
+    b = canon(
+        QUERIES["stream_windowed_topk_state"](spark, str(tmp_path)).collect()
+    )
+    assert a == b
+    # the planted NaN actually surfaced (it ranks first in its window)
+    assert any(x[3] == "nan" for x in a)
 
 
 def test_stateful_topk_state_is_bounded_and_chunking_invariant():
