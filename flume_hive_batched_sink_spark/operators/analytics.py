@@ -152,25 +152,33 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL fields as equal, so every equi-join below keeps the NULL
     # return-flag group (both engines' GROUP BY emit it; bare-column
     # joins would silently drop it)
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .select(
-            F.struct(F.col("l_returnflag")).alias("fk"), "l_orderkey"
-        )
-        .filter(F.col("l_orderkey").isNotNull())
+    src = tbl(spark, sf_dir, "lineitem").select(
+        F.struct(F.col("l_returnflag")).alias("fk"), "l_orderkey"
     )
+    # every group the builtin would emit — including groups whose
+    # values are ALL NULL, which the isNotNull filter below removes
+    # from the selection passes; the final left-join restores them
+    # with NULL percentiles, exactly what percentile()/quantile_cont
+    # return for an all-NULL group (a cheap 1-column distinct, ~3
+    # rows on lineitem)
+    flags = src.select("fk").distinct()
+    li = src.filter(F.col("l_orderkey").isNotNull())
     mm = li.agg(
         F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
     ).collect()[0]
     lo, hi = mm.lo, mm.hi
+    null_wide = flags.select(
+        F.col("fk.l_returnflag").alias("l_returnflag"),
+        *(
+            F.lit(None).cast("double").alias(c)
+            for c in ("p25", "p50", "p75", "median_key")
+        ),
+    )
     if lo is None:
-        # empty table / all-NULL key: the builtin aggregate (and the
-        # oracle) produce zero rows — match that instead of crashing
-        return spark.createDataFrame(
-            [],
-            "l_returnflag string, p25 double, p50 double, "
-            "p75 double, median_key double",
-        )
+        # empty table → flags is empty → zero rows (matching both
+        # engines); all-NULL values with groups present → one row per
+        # group with NULL percentiles (matching both engines)
+        return null_wide
     width = max(1, (hi - lo) // _PCT_BUCKETS + 1)
     bucket = ((F.col("l_orderkey") - lo) / width).cast("bigint")
     counts = li.groupBy("fk", bucket.alias("bk")).count()
@@ -232,12 +240,18 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("p", [0.25, 0.5, 0.75])
         .agg(F.first(interp))
     )
-    return wide.select(
-        F.col("fk.l_returnflag").alias("l_returnflag"),
-        F.col("`0.25`").alias("p25"),
-        F.col("`0.5`").alias("p50"),
-        F.col("`0.75`").alias("p75"),
-        F.col("`0.5`").alias("median_key"),
+    # left-join onto the full group set: a group with some non-NULL
+    # values got percentiles above; a group with only NULL values
+    # surfaces here with NULL p25/p50/p75 (builtin-equivalent)
+    return (
+        flags.join(wide, "fk", "left")
+        .select(
+            F.col("fk.l_returnflag").alias("l_returnflag"),
+            F.col("`0.25`").alias("p25"),
+            F.col("`0.5`").alias("p50"),
+            F.col("`0.75`").alias("p75"),
+            F.col("`0.5`").alias("median_key"),
+        )
     )
 
 

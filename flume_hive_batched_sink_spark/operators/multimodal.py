@@ -132,10 +132,21 @@ def _headers_decode(payload: bytes) -> dict:
         "sample_rate": None,
         "channels": None,
     }
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+    # length guards before any unpack: a truncated payload that
+    # passes the magic-byte sniff (e.g. a 20-byte PNG sig+IHDR tag)
+    # must fall through to kind='unknown', not raise struct.error
+    if (
+        len(payload) >= 24
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
         w, h = struct.unpack(">II", payload[16:24])
         out.update(kind="png", width=w, height=h)
-    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    elif (
+        len(payload) >= 28
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
         (ch,) = struct.unpack("<H", payload[22:24])
         (sr,) = struct.unpack("<I", payload[24:28])
         out.update(kind="wav", sample_rate=sr, channels=ch)

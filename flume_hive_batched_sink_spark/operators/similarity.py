@@ -279,7 +279,16 @@ def embedding_features(
     # bound the session's cache growth to ONE wide aggregate: evict
     # the previous call's entry (correctness-safe — an evicted frame
     # recomputes; by the time a new chain is built, prior consumers
-    # have materialized their own persists/results)
+    # have materialized their own persists/results).
+    # CAVEAT (load-bearing): if a previously returned, not-yet-
+    # materialized plan still references the evicted frame, its
+    # forced recompute re-sums the double pdot folds in a DIFFERENT
+    # order — and the count()-gated fallback decision below rests on
+    # the materialization the buckets consumed. The emitted signs are
+    # order-invariant ONLY because the _SIGN_TOL_ABS/_SIGN_TOL_REL
+    # in-band margin is ≥3× the worst-case double-summation drift
+    # (bound proven at _SIGN_TOL_* above); any tolerance tweak must
+    # re-check that bound or switch eviction to session close.
     while _WIDE_CACHE:
         _WIDE_CACHE.pop().unpersist(blocking=False)
     _WIDE_CACHE.append(wide)

@@ -21,6 +21,19 @@ from flume_hive_batched_sink_spark.catalog import TABLES
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone = 'UTC'")
+    # Pin the division/NaN semantic the oracle twins assume: with
+    # ieee_floating_point_ops at its default, x/0.0 yields NULL (not
+    # ±Inf) and 0.0/0.0 yields NULL (not NaN) — the semantic every
+    # NULLIF-guarded twin (ts_anomaly_mad, stream_anomaly_alert) was
+    # written against. Assert it here so a future DuckDB upgrade that
+    # flips the default fails loudly at connection time instead of as
+    # an inscrutable value mismatch in some op's parity check.
+    div0, nan0 = con.execute("SELECT 1.0/0.0, 0.0/0.0").fetchone()
+    assert div0 is None and nan0 is None, (
+        "DuckDB float-division semantics changed: expected x/0.0 and "
+        f"0.0/0.0 to be NULL, got {div0!r}/{nan0!r}; set "
+        "ieee_floating_point_ops=false or update the oracle twins"
+    )
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

@@ -526,6 +526,11 @@ def test_bucketized_percentile_matches_builtin(spark, tmp_path):
     rows += [(None, v) for v in (3, 1, 4, 1, 5)]      # NULL group
     # (kept by the struct-wrapped join key; bare-column equi-joins
     # would silently drop it while the builtin emits it)
+    rows += [("X", None)] * 4                # group with ONLY NULL
+    # values: the builtin emits ("X", NULL, NULL, NULL); the two-pass
+    # selection restores it via the left-join onto the distinct flag
+    # set (r6 ADVICE — previously dropped by the isNotNull filter)
+    rows += [("M", 11), ("M", None), ("M", 13)]       # mixed NULLs
     df = spark.createDataFrame(rows, "l_returnflag string, l_orderkey long")
     df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     got = {
@@ -536,7 +541,11 @@ def test_bucketized_percentile_matches_builtin(spark, tmp_path):
         F.col("l_orderkey"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     )
     want = {
-        r.l_returnflag: (r._pcts[0], r._pcts[1], r._pcts[2], r._pcts[1])
+        r.l_returnflag: (
+            (None, None, None, None)
+            if r._pcts is None
+            else (r._pcts[0], r._pcts[1], r._pcts[2], r._pcts[1])
+        )
         for r in df.groupBy("l_returnflag").agg(pcts.alias("_pcts")).collect()
     }
     assert got == want
@@ -1194,3 +1203,40 @@ def test_stateful_topk_state_is_bounded_and_chunking_invariant():
             assert len(tops) <= _TOPK_K
             assert 1 + 4 * _TOPK_K == 13
         assert tops == oneshot
+
+
+def test_headers_decode_truncated_payloads():
+    """_headers_decode must fall through to kind='unknown' on a
+    truncated payload that passes the magic-byte sniff (r6 ADVICE:
+    a 20-byte PNG sig+IHDR tag or a 20-byte RIFF/WAVE prefix used to
+    raise struct.error), while full headers still parse."""
+    import struct
+
+    from flume_hive_batched_sink_spark.operators.multimodal import (
+        DECODERS,
+    )
+
+    dec = DECODERS["headers"]
+    png_full = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 640, 480)
+    )
+    wav_full = (
+        b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt "
+        + b"\x10\x00\x00\x00" + b"\x01\x00"
+        + struct.pack("<H", 2) + struct.pack("<I", 44100)
+    )
+    assert dec(png_full)["kind"] == "png"
+    assert dec(png_full)["width"] == 640
+    assert dec(wav_full)["kind"] == "wav"
+    assert dec(wav_full)["sample_rate"] == 44100
+    for trunc in (
+        png_full[:20],   # sig + IHDR tag, no dimensions
+        png_full[:23],   # one byte short of the unpack window
+        wav_full[:20],   # RIFF/WAVE prefix, no fmt payload
+        wav_full[:27],   # one byte short of the sample-rate field
+        b"",
+        b"\x89PNG",
+    ):
+        out = dec(trunc)  # must not raise
+        assert out["kind"] == "unknown", (trunc, out)
