@@ -24,97 +24,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 entries of queries() per round.
 # 185 queries are registered (SURVEY §2 Part B, which matches the
-# registry exactly in both directions); the union of
-# CORRECTNESS_r01–r05 covers the prior 182 with zero failures or
-# mismatches ever recorded.
-# Round 6 rotates the window to the STALENESS backlog, per the r5
-# verdict: (a) the 3 operators added this round (never
-# driver-checked) and the 4 whose output path changed this round
-# (mad=0 score guard ×2; explicit read-back schema; the
-# agg_percentile two-pass rewrite), (b) the 39 operators whose
-# latest driver check is r01 (four rounds of helper churn — tbl
-# decision rule, scoped sessions, output stringification — sit
-# between them and their last binding check), (c) ns_pii_scrub,
-# whose output dtypes changed AFTER its r04 check (c410f38), and
-# (d) the 3 oldest r03 rows. 3 new + 4 changed + 39 + 1 + 3 = 50,
-# the window exactly. After this round no registered operator's
-# latest driver check is older than r03. Every entry remains present
-# and locally value-equal-gated (tests/test_oracle_parity.py covers
-# all 185, with a vacuity guard) regardless of window position.
-_ROUND6_FRONT = [
-    # new this round — first driver check:
-    "sql_exists_subquery",
-    "stream_windowed_topk_state",
-    "ns_multimodal_headers",
-    # changed this round — re-check first:
-    "ts_anomaly_mad",
-    "stream_anomaly_alert",
-    "sink_jsonl_export",
+# registry exactly in both directions — pinned by
+# tests/test_properties.py::test_survey_registry_lockstep); the union
+# of CORRECTNESS_r01-r06 covers all of them with zero failures ever
+# recorded, and none's latest binding check is older than r03.
+# Round 7 continues the staleness rotation per the r6 verdict:
+# (a) the 4 operators whose output path or gate changed in r6/r7 —
+#     agg_percentile (all-NULL-group left-join fix, r7),
+#     ns_multimodal_headers (truncated-payload length guards, r7),
+#     ns_pack_ffd (converted rows-only -> oracle-backed in r7; first
+#     hash-gated driver check), and ns_dedup_embedding (the r6
+#     double-sign fast-path rewrite changed its band-key computation
+#     but r6's window didn't front it — the r6 ADVICE item);
+# (b) ALL 44 operators whose latest driver check is r03 (the f_*
+#     scalar family, set ops, sinks, the streaming family, the udf
+#     family, the ns_* text family, sessionize, win_range_frame);
+# (c) the 2 oldest r04 rows (agg_bitmap_distinct, agg_count_min).
+# 4 + 44 + 2 = 50, the window exactly. After this round no registered
+# operator's latest driver check is older than r04. Every entry
+# remains present and locally value-equal-gated
+# (tests/test_oracle_parity.py covers all 185, with a vacuity guard)
+# regardless of window position.
+_ROUND7_FRONT = [
     "agg_percentile",
-    # output dtypes changed after its r04 check (c410f38):
-    "ns_pii_scrub",
-    # the r01-stale cohort (39):
-    "filter_state_name",
-    "filter_in_list",
-    "exists_key",
-    "project_compute",
-    "join_inner_equi",
-    "join_broadcast",
-    "join_left_outer",
-    "join_semi",
-    "join_cross",
-    "join_asof",
-    "join_bucketed",
-    "join_skew_salted",
-    "agg_group_having",
-    "agg_multi",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_minby_leader",
-    "agg_mode",
-    "agg_skew_salted",
-    "agg_histogram",
-    "agg_stats",
-    "agg_approx_distinct",
-    "upsert_last_write_wins",
-    "lateral_explode",
-    "sample_hash",
-    "pivot_counts",
-    "win_ntile_dist",
-    "win_first_last",
-    "f_string",
-    "f_misc",
-    "ns_dedup_exact",
-    "ns_dedup_minhash",
-    "ns_dedup_simhash",
-    "ns_multimodal_cols",
-    "ns_multimodal_pool",
-    "ns_multimodal_framesample",
-    "ns_multimodal_decode",
-    # the oldest r03 rows (3 — one slot went to agg_percentile's
-    # round-6 rewrite, which outranks mere staleness):
-    "flagship_pipeline",
-    "scan_parquet",
-    "sort_limit_topk",
+    "ns_multimodal_headers",
+    "ns_pack_ffd",
+    "ns_dedup_embedding",
+    "agg_approx_percentile",
+    "agg_collect",
+    "f_array",
+    "f_conditional",
+    "f_date",
+    "f_json_map",
+    "f_math",
+    "f_struct",
+    "ingest_bad_records",
+    "ingest_parse_text",
+    "ns_doc_fingerprint",
+    "ns_lang_id",
+    "ns_pack_sequences",
+    "ns_quality_score",
+    "ns_sample_stratified",
+    "ns_similarity_topk",
+    "ns_text_scrub",
+    "ns_text_stats",
+    "ns_tfidf_topterms",
+    "ns_token_count",
+    "partition_route",
+    "partition_spec_parse",
+    "scan_pruned",
+    "sessionize",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "sink_orc_write",
+    "sink_partitioned_write",
+    "sink_table_partitions",
+    "sql_interface",
+    "stream_dedup",
+    "stream_foreach_batch_land",
+    "stream_observe_counters",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling_5min",
+    "stream_watermark_late",
+    "udaf_grouped_agg",
+    "udf_scalar_pandas",
+    "udf_serde_plugin",
+    "udtf_apply_in_pandas",
+    "win_range_frame",
+    "agg_bitmap_distinct",
+    "agg_count_min",
 ]
-# Displaced to positions 51+: everything checked r04/r05 (fresh) and
-# the remaining r03 rows (scan_pruned, ingest_parse_text, the
-# partitioned-write family, the f_* scalar family, the streaming
-# family, the udf family, the ns_* text family) — all ≤3 rounds old
-# after this rotation and all locally value-equal-gated every round;
-# the oldest survivors rotate forward next round.
+# Displaced to positions 51+: everything checked r04/r05/r06 (fresh).
+# The oldest survivors (the remaining 42 r04 rows) rotate forward
+# next round.
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND6_FRONT
+FRONT = _ROUND7_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND6_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND7_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 

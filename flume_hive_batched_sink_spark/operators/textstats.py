@@ -1195,7 +1195,63 @@ def ns_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FFD_SHARDS = 8
 
 
-@query("ns_pack_ffd")  # rows-only: FFD is inherently sequential per shard
+@query(
+    "ns_pack_ffd",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                  AS BIGINT) % {_FFD_SHARDS} AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source, shard
+               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM tok
+    ),
+    -- sequential first-fit replay: the recursion steps rn -> rn+1
+    -- within every (source, shard) group at once, carrying the list
+    -- of per-bin remaining capacities; fit = first bin with room
+    -- (1-based, NULL -> open a new bin), exactly the Python loop in
+    -- the applyInPandas pack()
+    ffd AS (
+      SELECT source, shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id,
+             [greatest({_PACK_BIN_TOKENS} - n_tokens, CAST(0 AS BIGINT))]
+               AS rem
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT source, shard, rn, doc_id, n_tokens,
+             CAST(CASE WHEN fit IS NULL THEN len(rem)
+                       ELSE fit - 1 END AS BIGINT),
+             CASE WHEN fit IS NULL
+                  THEN list_append(rem, greatest(
+                         {_PACK_BIN_TOKENS} - n_tokens, CAST(0 AS BIGINT)))
+                  ELSE rem[1:fit-1] || [rem[fit] - n_tokens] || rem[fit+1:]
+             END
+      FROM (
+        SELECT o.source, o.shard, o.rn, o.doc_id, o.n_tokens, f.rem,
+               -- NULLIF: DuckDB 1.0 returns 0 (not NULL) for a
+               -- list_position miss; normalize both semantics to
+               -- NULL = "no bin fits"
+               NULLIF(list_position(
+                 list_transform(f.rem, x -> x >= o.n_tokens), true), 0)
+                 AS fit
+        FROM ffd f
+        JOIN ordered o
+          ON o.source = f.source AND o.shard = f.shard AND o.rn = f.rn + 1
+      ) s
+    )
+    SELECT source, shard, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc
+    FROM ffd
+    GROUP BY source, shard, bin_id
+    """,
+)
 def ns_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing sequence packing: within each (source,
     shard), sort docs by token count descending and place each into
@@ -1214,9 +1270,14 @@ def ns_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic: sort is (n_tokens DESC, doc_id ASC), shard is
     md5-derived — identical output across partitionings/retries.
-    Output is per-bin: validity properties (budget respected, every
-    doc packed exactly once, per-group bin count ≤ 2·OPT + oversize)
-    are asserted in tests/test_properties.py::test_ffd_packing."""
+    That determinism is what makes the assignment itself (not just
+    validity) oracle-checkable: the DuckDB twin replays the exact
+    first-fit loop with a recursive CTE carrying the list of per-bin
+    remaining capacities (rn → rn+1 per group; fit = first bin with
+    room via list_position/list_transform), converted from rows-only
+    in r7. Validity properties (budget respected, every doc packed
+    exactly once, per-group bin count ≤ 2·OPT + oversize) remain
+    asserted in tests/test_properties.py::test_ffd_packing."""
     import pandas as pd
 
     d = tbl(spark, sf_dir, "documents", parallel=True)
