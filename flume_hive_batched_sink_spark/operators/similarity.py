@@ -167,10 +167,21 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (65k-16M buckets/band) to `embedding_features`/`band_keys` — twin
 # recall at near-dup cosines stays ≈1.0 (0.9955^16 per band ⇒ ~0.999
 # over 4 bands at s=0.9999) while bucket occupancy stays bounded.
+# `auto_planes_per_band` implements this rule from a corpus count
+# (clamped so every oracle-SF corpus still gets the baked 8);
+# `dedup_embedding_chain(..., planes_per_band=None)` applies it.
 # The scale configuration is property-tested in
-# tests/test_properties.py::test_lsh_scale_band_config.
+# tests/test_properties.py::test_lsh_scale_band_config, and the
+# 10×-corpus geometry measurement (candidates + wall-clock, 8 vs 16
+# vs auto planes) is recorded in SCALING.md via
+# scripts/lsh_geometry10.py.
 _N_BANDS = 4
 _PLANES_PER_BAND = 8
+# auto-geometry bounds (see auto_planes_per_band): floor = the baked
+# test default, cap = 24 planes/band (4 bands × 24 = 96 ≤ the
+# 192-plane pool), target mean bucket occupancy ≈ 8 vectors
+_AUTO_MAX_PLANES_PER_BAND = 24
+_AUTO_TARGET_BUCKET = 8
 _N_PLANES = _N_BANDS * _PLANES_PER_BAND
 # one deterministic gaussian pool; prefixes are stable, so the
 # oracle-baked default planes are exactly _PLANE_POOL[:32]
@@ -500,11 +511,29 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_chain(spark, em)
 
 
+def auto_planes_per_band(n: int) -> int:
+    """Corpus-sized band geometry: k ≈ ceil(log2(n / target_bucket))
+    planes per band (the sizing rule documented at `_N_BANDS` —
+    Σ|bucket|² candidate work is ~n²/2^k per band, so k must track
+    log2(n) to keep mean bucket occupancy, and with it candidate
+    volume per vector, constant). Clamped to [the baked 8-plane test
+    default, 24]: at every oracle SF corpus (≤2k vectors) this
+    returns exactly 8, so auto mode never diverges from the baked
+    geometry where the DuckDB twins' literals apply; at 200k vectors
+    (the 10× blow-up) it returns 15, at 10⁸ the 24-plane cap."""
+    import math
+
+    if n <= 0:
+        return _PLANES_PER_BAND
+    k = math.ceil(math.log2(max(n / _AUTO_TARGET_BUCKET, 1.0)))
+    return max(_PLANES_PER_BAND, min(_AUTO_MAX_PLANES_PER_BAND, k))
+
+
 def dedup_embedding_chain(
     spark: SparkSession,
     em: DataFrame,
     n_bands: int = _N_BANDS,
-    planes_per_band: int = _PLANES_PER_BAND,
+    planes_per_band: int | None = _PLANES_PER_BAND,
 ) -> DataFrame:
     """The full embedding-dedup chain (banded candidates → double
     screen → exact decimal cosine) with the band geometry as
@@ -512,7 +541,13 @@ def dedup_embedding_chain(
     (oracle-baked defaults) and the at-scale measurements
     (scripts/scale100.py embed16 runs THIS code under the 16-plane
     geometry, so the SCALING.md evidence measures the shipped
-    algorithm, not a copy)."""
+    algorithm, not a copy). planes_per_band=None auto-sizes the
+    geometry from a corpus count (`auto_planes_per_band`) — the
+    scale deployment path; the registered operator passes the baked
+    default explicitly so the oracle-checked SFs never depend on a
+    count."""
+    if planes_per_band is None:
+        planes_per_band = auto_planes_per_band(em.count())
     feats = embedding_features(
         spark, em, n_bands=n_bands, planes_per_band=planes_per_band
     ).persist()

@@ -1240,3 +1240,29 @@ def test_headers_decode_truncated_payloads():
     ):
         out = dec(trunc)  # must not raise
         assert out["kind"] == "unknown", (trunc, out)
+
+
+def test_auto_planes_per_band_rule():
+    """auto_planes_per_band must (a) return the baked 8-plane default
+    at every oracle-SF corpus size (500 / 2000 vectors — auto mode
+    may never diverge where the DuckDB twins' baked literals apply),
+    (b) follow ceil(log2(n/8)) in the scaling regime, (c) clamp to
+    the 24-plane pool bound, and (d) be monotone in n."""
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _MAX_PLANES,
+        _N_BANDS,
+        auto_planes_per_band,
+    )
+
+    assert auto_planes_per_band(0) == 8
+    assert auto_planes_per_band(500) == 8      # sf0.001 / sf0.01
+    assert auto_planes_per_band(2000) == 8     # sf0.1
+    assert auto_planes_per_band(20000) == 12   # sf1-equivalent
+    assert auto_planes_per_band(200000) == 15  # 10x corpus
+    assert auto_planes_per_band(10**9) == 24
+    assert _N_BANDS * 24 <= _MAX_PLANES  # the pool can serve the cap
+    prev = 0
+    for exp in range(1, 31):
+        k = auto_planes_per_band(2**exp)
+        assert k >= prev
+        prev = k
