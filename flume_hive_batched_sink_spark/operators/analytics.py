@@ -155,30 +155,40 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tbl(spark, sf_dir, "lineitem").select(
         F.struct(F.col("l_returnflag")).alias("fk"), "l_orderkey"
     )
-    # every group the builtin would emit — including groups whose
-    # values are ALL NULL, which the isNotNull filter below removes
-    # from the selection passes; the final left-join restores them
-    # with NULL percentiles, exactly what percentile()/quantile_cont
-    # return for an all-NULL group (a cheap 1-column distinct, ~3
-    # rows on lineitem)
-    flags = src.select("fk").distinct()
-    li = src.filter(F.col("l_orderkey").isNotNull())
-    mm = li.agg(
-        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
-    ).collect()[0]
-    lo, hi = mm.lo, mm.hi
-    null_wide = flags.select(
-        F.col("fk.l_returnflag").alias("l_returnflag"),
-        *(
-            F.lit(None).cast("double").alias(c)
-            for c in ("p25", "p50", "p75", "median_key")
-        ),
+    # ONE bounded collect discovers the global value range AND every
+    # group the builtin would emit — including groups whose values
+    # are ALL NULL (n_vals = 0), which the isNotNull filter below
+    # removes from the selection passes. Grouped min/max/count is the
+    # same single scan + partial-agg the old global min/max collect
+    # paid (rows returned = #groups, small by the GROUP-BY-flag
+    # contract of this operator); the all-NULL groups come back as
+    # driver-built literal rows with NULL percentiles, exactly what
+    # percentile()/quantile_cont return for them — no second scan,
+    # no join (the r7 left-join fix cost ~0.4 s at sf0.1; this is
+    # the same semantics for free).
+    per_flag = src.groupBy("fk").agg(
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+        F.count("l_orderkey").alias("n_vals"),
+    ).collect()
+    los = [r.lo for r in per_flag if r.lo is not None]
+    lo = min(los) if los else None
+    hi = max(r.hi for r in per_flag if r.hi is not None) if los else None
+    out_schema = (
+        "l_returnflag string, p25 double, p50 double, "
+        "p75 double, median_key double"
     )
+    null_rows = [
+        (r.fk.l_returnflag, None, None, None, None)
+        for r in per_flag
+        if r.n_vals == 0
+    ]
     if lo is None:
-        # empty table → flags is empty → zero rows (matching both
-        # engines); all-NULL values with groups present → one row per
-        # group with NULL percentiles (matching both engines)
-        return null_wide
+        # empty table → zero rows; groups present but every value
+        # NULL → one row per group with NULL percentiles (both match
+        # the builtin and the oracle)
+        return spark.createDataFrame(null_rows, out_schema)
+    li = src.filter(F.col("l_orderkey").isNotNull())
     width = max(1, (hi - lo) // _PCT_BUCKETS + 1)
     bucket = ((F.col("l_orderkey") - lo) / width).cast("bigint")
     counts = li.groupBy("fk", bucket.alias("bk")).count()
@@ -240,19 +250,20 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("p", [0.25, 0.5, 0.75])
         .agg(F.first(interp))
     )
-    # left-join onto the full group set: a group with some non-NULL
-    # values got percentiles above; a group with only NULL values
-    # surfaces here with NULL p25/p50/p75 (builtin-equivalent)
-    return (
-        flags.join(wide, "fk", "left")
-        .select(
-            F.col("fk.l_returnflag").alias("l_returnflag"),
-            F.col("`0.25`").alias("p25"),
-            F.col("`0.5`").alias("p50"),
-            F.col("`0.75`").alias("p75"),
-            F.col("`0.5`").alias("median_key"),
-        )
+    result = wide.select(
+        F.col("fk.l_returnflag").alias("l_returnflag"),
+        F.col("`0.25`").alias("p25"),
+        F.col("`0.5`").alias("p50"),
+        F.col("`0.75`").alias("p75"),
+        F.col("`0.5`").alias("median_key"),
     )
+    if null_rows:
+        # groups whose values are all NULL (known from the collect
+        # above) surface as literal rows with NULL percentiles
+        result = result.unionByName(
+            spark.createDataFrame(null_rows, out_schema)
+        )
+    return result
 
 
 # ---------- pivot ----------
