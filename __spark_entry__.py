@@ -35,12 +35,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_pack_ffd (converted rows-only -> oracle-backed in r7; first
 #     hash-gated driver check), and ns_dedup_embedding (the r6
 #     double-sign fast-path rewrite changed its band-key computation
-#     but r6's window didn't front it — the r6 ADVICE item);
+#     but r6's window didn't front it — the r6 ADVICE item), and
+#     join_null_safe (r7 factorization: per-side per-key
+#     pre-aggregation replaces pair streaming; output identical,
+#     re-checked);
 # (b) ALL 44 operators whose latest driver check is r03 (the f_*
 #     scalar family, set ops, sinks, the streaming family, the udf
 #     family, the ns_* text family, sessionize, win_range_frame);
-# (c) the 2 oldest r04 rows (agg_bitmap_distinct, agg_count_min).
-# 4 + 44 + 2 = 50, the window exactly. After this round no registered
+# (c) the oldest r04 row (agg_bitmap_distinct; agg_count_min — the
+#     next-oldest — is displaced by the join_null_safe re-check and
+#     is rows-only at the driver anyway).
+# 5 + 44 + 1 = 50, the window exactly. After this round no registered
 # operator's latest driver check is older than r04. Every entry
 # remains present and locally value-equal-gated
 # (tests/test_oracle_parity.py covers all 185, with a vacuity guard)
@@ -50,6 +55,7 @@ _ROUND7_FRONT = [
     "ns_multimodal_headers",
     "ns_pack_ffd",
     "ns_dedup_embedding",
+    "join_null_safe",
     "agg_approx_percentile",
     "agg_collect",
     "f_array",
@@ -95,7 +101,6 @@ _ROUND7_FRONT = [
     "udtf_apply_in_pandas",
     "win_range_frame",
     "agg_bitmap_distinct",
-    "agg_count_min",
 ]
 # Displaced to positions 51+: everything checked r04/r05/r06 (fresh).
 # The oldest survivors (the remaining 42 r04 rows) rotate forward

@@ -610,9 +610,22 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Spark plans EqualNullSafe keys as an ordinary hash join —
     the null key hashes like any other value, which makes it the one
-    guaranteed-hot bucket when NULL rates are high; AQE's skew-join
-    split handles it, or pre-split NULLs into a union branch when the
-    NULL fraction is known to be large."""
+    guaranteed-hot bucket when NULL rates are high (every NULL on one
+    side pairs with every NULL on the other — the pair volume per
+    key is |c_k|·|s_k|, quadratic in per-key density by SEMANTICS,
+    not by plan). This query never needs the pairs themselves: all
+    three aggregates factor across the cross product (COUNT(*) =
+    cnt_c·cnt_s; each MIN depends on one side only), so each side is
+    reduced to ONE row per key FIRST and the null-safe join runs on
+    |keys|-sized summaries — O(n) total instead of O(Σ|c_k|·|s_k|)
+    pair streaming (the r7 100×-decade measurement of the unfactored
+    plan: 36.6 s, ~41× super-linear between decades from the NULL
+    cluster; factored: the join is ~30 rows × ~30 rows). NULL<=>NULL
+    must still match for the two NULL summary rows to pair, so the
+    operator exercises exactly the same null-safe semantics. When a
+    downstream consumer DOES need the pair rows, that is genuinely
+    output-bound — AQE skew-split or a pre-split NULL union branch
+    spreads the hot bucket."""
     c = tbl(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(F.col("c_nationkey") % 5 == 0, F.lit(None))
@@ -625,14 +638,19 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s_nationkey"))
         .alias("sk"),
     )
-    return (
-        c.join(s, c.ck.eqNullSafe(s.sk))
-        .groupBy(F.col("ck").alias("nation_key"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.min("c_custkey").cast("bigint").alias("min_cust"),
-            F.min("s_suppkey").cast("bigint").alias("min_supp"),
-        )
+    ca = c.groupBy("ck").agg(
+        F.count("*").alias("cnt_c"),
+        F.min("c_custkey").alias("min_c"),
+    )
+    sa = s.groupBy("sk").agg(
+        F.count("*").alias("cnt_s"),
+        F.min("s_suppkey").alias("min_s"),
+    )
+    return ca.join(sa, ca.ck.eqNullSafe(sa.sk)).select(
+        F.col("ck").alias("nation_key"),
+        (F.col("cnt_c") * F.col("cnt_s")).alias("n_pairs"),
+        F.col("min_c").cast("bigint").alias("min_cust"),
+        F.col("min_s").cast("bigint").alias("min_supp"),
     )
 
 
