@@ -38,14 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     but r6's window didn't front it — the r6 ADVICE item), and
 #     join_null_safe (r7 factorization: per-side per-key
 #     pre-aggregation replaces pair streaming; output identical,
-#     re-checked);
+#     re-checked), and win_ntile_dist (r7 distributed two-level
+#     rank replaces the 5-single-task-sort window shape);
 # (b) ALL 44 operators whose latest driver check is r03 (the f_*
 #     scalar family, set ops, sinks, the streaming family, the udf
 #     family, the ns_* text family, sessionize, win_range_frame);
-# (c) the oldest r04 row (agg_bitmap_distinct; agg_count_min — the
-#     next-oldest — is displaced by the join_null_safe re-check and
-#     is rows-only at the driver anyway).
-# 5 + 44 + 1 = 50, the window exactly. After this round no registered
+# (the r04 fills agg_bitmap_distinct / agg_count_min were displaced
+# by the join_null_safe and win_ntile_dist re-checks — changed output
+# paths outrank staleness, and both fills remain r04-fresh).
+# 6 + 44 = 50, the window exactly. After this round no registered
 # operator's latest driver check is older than r04. Every entry
 # remains present and locally value-equal-gated
 # (tests/test_oracle_parity.py covers all 185, with a vacuity guard)
@@ -56,6 +57,7 @@ _ROUND7_FRONT = [
     "ns_pack_ffd",
     "ns_dedup_embedding",
     "join_null_safe",
+    "win_ntile_dist",
     "agg_approx_percentile",
     "agg_collect",
     "f_array",
@@ -100,7 +102,6 @@ _ROUND7_FRONT = [
     "udf_serde_plugin",
     "udtf_apply_in_pandas",
     "win_range_frame",
-    "agg_bitmap_distinct",
 ]
 # Displaced to positions 51+: everything checked r04/r05/r06 (fresh).
 # The oldest survivors (the remaining 42 r04 rows) rotate forward

@@ -337,17 +337,114 @@ def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a unique-keyed ordering
-    (o_totalprice ties broken by o_orderkey ⇒ deterministic). Both
-    engines share the rank formulas, and (rank-1)/(n-1) over bigints
-    is exact in double."""
-    o = tbl(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    (o_totalprice ties broken by o_orderkey ⇒ deterministic),
+    computed as a DISTRIBUTED two-level rank instead of Spark's
+    `Window.partitionBy(o_orderpriority)` — the partition alphabet is
+    FIXED at 5 values, so WindowExec would run 5 single-task sorts of
+    n/5 rows no matter the cluster (the one-task-per-group shape the
+    agg_percentile rewrite removed; measured 20.1× at the r7 100×
+    decade). Here:
+
+      1. VALUE-derived range cells: bucket each row by its
+         o_totalprice position in the global [min, max] span (1024
+         cells, a 1-row bounded collect — the same probe
+         agg_percentile uses). The cell function depends only on row
+         VALUES, so it is identical across passes by construction —
+         no physical-partition-id coupling (spark_partition_id after
+         repartitionByRange is NOT stable across separate actions:
+         AQE may shape the two plans' shuffles differently);
+      2. a (group, cell)-keyed count — ≤ |groups|·1024 rows — comes
+         back to the driver, where per-(group, cell) rank OFFSETS
+         and per-group totals are prefix sums in cell order (cell
+         ascending = price ascending; the NULL-price cell −1 sorts
+         first, matching the window's NULLS FIRST);
+      3. row_number inside each (group, cell) — a BALANCED shuffle
+         over ~|groups|·1024 keys of ~n/1024 rows each, never 5
+         tasks — plus the broadcast offset gives the exact global
+         rank r and group size n, from which all three distributions
+         are closed-form on a unique ordering:
+         ntile(4) by the size-(⌈n/4⌉ then ⌊n/4⌋) bucket rule,
+         percent_rank = (r−1)/(n−1) (0.0 when n = 1),
+         cume_dist = r/n.
+
+    Bit-identical to the builtin window functions (verified against
+    F.ntile/F.percent_rank/F.cume_dist on adversarial group shapes in
+    tests/test_properties.py::test_distributed_ntile_matches_builtin
+    and oracle-hash-gated); group keys ride a 1-field struct so NULL
+    groups survive every join. sf0.1 cost ~+0.3 s (the extra count
+    pass); at the 100× decade the 5-task sort ceiling is gone."""
+    o = tbl(spark, sf_dir, "orders").select(
+        F.struct(F.col("o_orderpriority")).alias("gk"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    empty_schema = (
+        "o_orderkey bigint, o_orderpriority string, "
+        "quartile bigint, pct_rank double, cume double"
+    )
+    lo = float(mm.lo) if mm.lo is not None else 0.0
+    hi = float(mm.hi) if mm.hi is not None else 0.0
+    width = max((hi - lo) / _PCT_BUCKETS, 1e-9)
+    # cell from VALUES only — evaluated identically in the count pass
+    # and the rank pass; NULL prices get cell -1 (ranked first, the
+    # window's NULLS FIRST)
+    cell = F.when(F.col("o_totalprice").isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - lo) / width),
+            F.lit(_PCT_BUCKETS - 1),
+        )
+    ).cast("bigint")
+    cnts = sorted(
+        o.groupBy("gk", cell.alias("bk")).count().collect(),
+        key=lambda r: (r.gk.o_orderpriority or "", r.bk),
+    )
+    if not cnts:
+        return spark.createDataFrame([], empty_schema)
+    totals: dict = {}
+    for r in cnts:
+        totals[r.gk] = totals.get(r.gk, 0) + r["count"]
+    offsets, seen = [], {}
+    for r in cnts:
+        offsets.append(
+            (r.gk.o_orderpriority, r.bk, seen.get(r.gk, 0), totals[r.gk])
+        )
+        seen[r.gk] = seen.get(r.gk, 0) + r["count"]
+    off = spark.createDataFrame(
+        offsets, "o_orderpriority string, bk bigint, off bigint, n bigint"
+    ).select(
+        F.struct(F.col("o_orderpriority")).alias("gk"), "bk", "off", "n"
+    )
+    w = W.partitionBy("gk", "bk").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        o.withColumn("bk", cell)
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off), ["gk", "bk"])
+        .select(
+            "o_orderkey",
+            F.col("gk.o_orderpriority").alias("o_orderpriority"),
+            (F.col("off") + F.col("rn")).alias("r"),
+            "n",
+        )
+    )
+    # ntile(4): the first (n mod 4) buckets hold ⌈n/4⌉ rows, the rest
+    # ⌊n/4⌋ — Spark's and DuckDB's shared definition
+    sz = (F.col("n") / 4).cast("bigint")
+    rem = F.col("n") % 4
+    big_span = rem * (sz + 1)
+    quartile = F.when(
+        F.col("r") <= big_span, (F.col("r") - 1) / (sz + 1)
+    ).otherwise(rem + (F.col("r") - big_span - 1) / F.greatest(sz, F.lit(1)))
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        (quartile.cast("bigint") + 1).cast("bigint").alias("quartile"),
+        F.when(F.col("n") > 1, (F.col("r") - 1) / (F.col("n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (F.col("r") / F.col("n")).alias("cume"),
     )
 
 

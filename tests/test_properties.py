@@ -1266,3 +1266,51 @@ def test_auto_planes_per_band_rule():
         k = auto_planes_per_band(2**exp)
         assert k >= prev
         prev = k
+
+
+def test_distributed_ntile_matches_builtin(spark, tmp_path):
+    """win_ntile_dist's distributed two-level rank vs Spark's builtin
+    ntile/percent_rank/cume_dist on adversarial group shapes the sf
+    tables don't exercise: n=1/2/3 groups (n < the 4 tiles), an
+    all-equal-price group (degenerate cell width), heavy price ties
+    straddling cell boundaries, NULL prices (NULLS FIRST), a NULL
+    group key, and a big skewed-range group. Bit-equality expected —
+    rank, n, and the three closed-form distributions are integer /
+    exact-double arithmetic on both paths."""
+    import random
+
+    rng = random.Random(77)
+    rows = [(1, "S", 10.0)]                                # n=1
+    rows += [(2, "T", 5.0), (3, "T", 4.0)]                 # n=2
+    rows += [(4, "U", 1.0), (5, "U", 2.0), (6, "U", 3.0)]  # n=3
+    rows += [(100 + i, "E", 7.25) for i in range(37)]      # all equal
+    rows += [(200 + i, "D", float(v)) for i, v in
+             enumerate([10, 20, 30] * 25)]                 # dense ties
+    rows += [(300 + i, "W", rng.uniform(-1e9, 1e9)) for i in range(501)]
+    rows += [(900, "N", None), (901, "N", 3.5), (902, "N", None)]
+    rows += [(950, None, 2.0), (951, None, 1.0)]           # NULL group
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderkey: (r.o_orderpriority, r.quartile, r.pct_rank, r.cume)
+        for r in QUERIES["win_ntile_dist"](spark, str(tmp_path)).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    want = {
+        r.o_orderkey: (r.o_orderpriority, r.quartile, r.pct_rank, r.cume)
+        for r in df.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    assert got == want
