@@ -357,7 +357,10 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
          back to the driver, where per-(group, cell) rank OFFSETS
          and per-group totals are prefix sums in cell order (cell
          ascending = price ascending; the NULL-price cell −1 sorts
-         first, matching the window's NULLS FIRST);
+         first, matching the window's NULLS FIRST, and the NaN cell
+         _PCT_BUCKETS sorts last, matching Spark's NaN-is-largest
+         ordering — the min/max probe excludes NaN so width stays
+         finite);
       3. row_number inside each (group, cell) — a BALANCED shuffle
          over ~|groups|·1024 keys of ~n/1024 rows each, never 5
          tasks — plus the broadcast offset gives the exact global
@@ -378,8 +381,16 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+    # min/max probe over FINITE values only: Spark's max treats NaN
+    # as the largest double, so an unguarded probe would make
+    # hi = NaN → width = NaN → every non-NULL cell NULL, and the
+    # inner join on bk would silently drop those rows (r7 ADVICE).
+    # NaN rows instead get their own cell below.
+    price_finite = F.when(
+        ~F.isnan(F.col("o_totalprice")), F.col("o_totalprice")
+    )
     mm = o.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        F.min(price_finite).alias("lo"), F.max(price_finite).alias("hi")
     ).collect()[0]
     empty_schema = (
         "o_orderkey bigint, o_orderpriority string, "
@@ -390,13 +401,19 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max((hi - lo) / _PCT_BUCKETS, 1e-9)
     # cell from VALUES only — evaluated identically in the count pass
     # and the rank pass; NULL prices get cell -1 (ranked first, the
-    # window's NULLS FIRST)
-    cell = F.when(F.col("o_totalprice").isNull(), F.lit(-1)).otherwise(
-        F.least(
-            F.floor((F.col("o_totalprice") - lo) / width),
-            F.lit(_PCT_BUCKETS - 1),
+    # window's NULLS FIRST) and NaN prices cell _PCT_BUCKETS (ranked
+    # last — Spark orders NaN above every finite double)
+    cell = (
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1))
+        .when(F.isnan(F.col("o_totalprice")), F.lit(_PCT_BUCKETS))
+        .otherwise(
+            F.least(
+                F.floor((F.col("o_totalprice") - lo) / width),
+                F.lit(_PCT_BUCKETS - 1),
+            )
         )
-    ).cast("bigint")
+        .cast("bigint")
+    )
     cnts = sorted(
         o.groupBy("gk", cell.alias("bk")).count().collect(),
         key=lambda r: (r.gk.o_orderpriority or "", r.bk),

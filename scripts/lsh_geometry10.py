@@ -72,6 +72,10 @@ def main() -> None:
 
         # end-to-end chain: warm-up, then best-of-2 (noop sink)
         def run() -> float:
+            # each chain call persists its own feats frame — drop the
+            # previous call's before timing so memory pressure doesn't
+            # accumulate across the 4 invocations (r7 ADVICE)
+            spark.catalog.clearCache()
             t = time.perf_counter()
             dedup_embedding_chain(
                 spark, em, n_bands=4, planes_per_band=planes
@@ -80,6 +84,7 @@ def main() -> None:
 
         run()
         wall = min(run(), run())
+        spark.catalog.clearCache()
         out_pairs = dedup_embedding_chain(
             spark, em, n_bands=4, planes_per_band=planes
         ).count()

@@ -527,9 +527,11 @@ def test_bucketized_percentile_matches_builtin(spark, tmp_path):
     # (kept by the struct-wrapped join key; bare-column equi-joins
     # would silently drop it while the builtin emits it)
     rows += [("X", None)] * 4                # group with ONLY NULL
-    # values: the builtin emits ("X", NULL, NULL, NULL); the two-pass
-    # selection restores it via the left-join onto the distinct flag
-    # set (r6 ADVICE — previously dropped by the isNotNull filter)
+    # values: the builtin emits ("X", NULL, NULL, NULL); the grouped
+    # min/max/count probe sees n_vals = 0 for it and the operator
+    # appends a driver-built literal NULL-percentile row (the r7
+    # null_rows union replaced the earlier left-join-onto-distinct-
+    # flags restore; previously dropped by the isNotNull filter)
     rows += [("M", 11), ("M", None), ("M", 13)]       # mixed NULLs
     df = spark.createDataFrame(rows, "l_returnflag string, l_orderkey long")
     df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
@@ -1273,7 +1275,8 @@ def test_distributed_ntile_matches_builtin(spark, tmp_path):
     ntile/percent_rank/cume_dist on adversarial group shapes the sf
     tables don't exercise: n=1/2/3 groups (n < the 4 tiles), an
     all-equal-price group (degenerate cell width), heavy price ties
-    straddling cell boundaries, NULL prices (NULLS FIRST), a NULL
+    straddling cell boundaries, NULL prices (NULLS FIRST), NaN prices
+    (sort LAST and must not poison the min/max width probe), a NULL
     group key, and a big skewed-range group. Bit-equality expected —
     rank, n, and the three closed-form distributions are integer /
     exact-double arithmetic on both paths."""
@@ -1289,6 +1292,12 @@ def test_distributed_ntile_matches_builtin(spark, tmp_path):
     rows += [(300 + i, "W", rng.uniform(-1e9, 1e9)) for i in range(501)]
     rows += [(900, "N", None), (901, "N", 3.5), (902, "N", None)]
     rows += [(950, None, 2.0), (951, None, 1.0)]           # NULL group
+    # NaN prices: Spark's max treats NaN as the largest double, so an
+    # unguarded min/max probe would poison the cell width (r7 ADVICE);
+    # NaN rows must rank LAST (after every finite price), tie-broken
+    # by o_orderkey like the builtin
+    rows += [(960, "F", float("nan")), (961, "F", 5.0),
+             (962, "F", float("nan")), (963, "F", None)]
     df = spark.createDataFrame(
         rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
     )
