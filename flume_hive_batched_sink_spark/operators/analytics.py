@@ -323,6 +323,101 @@ def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------- distribution window functions ----------
 
 
+def two_level_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    ascending: bool = True,
+) -> DataFrame:
+    """Exact global rank `r` (1-based) and group size `n` for every
+    row of `df` under `ORDER BY value_col [ASC|DESC], key_col` within
+    `group_col`, computed as a DISTRIBUTED two-level rank instead of
+    `Window.partitionBy(group_col)` — when the partition alphabet is
+    small and FIXED (order priorities, market segments), WindowExec
+    runs |alphabet| single-task sorts of n/|alphabet| rows no matter
+    the cluster size. Shared by win_ntile_dist and win_percent_rank
+    (the r7 verdict asked the ntile decomposition be applied or
+    deferred for percent_rank — applied, via this helper). Shape:
+
+      1. VALUE-derived range cells: bucket each row by its value's
+         position in the global finite [min, max] span (1024 cells, a
+         1-row bounded collect). The cell depends only on row VALUES,
+         so it is identical across passes by construction — no
+         physical-partition-id coupling. NULLs and NaNs get dedicated
+         end cells matching Spark's ordering (ASC: NULLS FIRST, NaN
+         last; DESC: NaN first, NULLS LAST); the min/max probe
+         excludes NaN so the cell width stays finite.
+      2. a (group, cell)-keyed count — ≤ |groups|·1026 rows — comes
+         back to the driver, where per-(group, cell) rank OFFSETS and
+         per-group totals are prefix sums in cell order (cell
+         ascending = rank order by construction in both directions).
+      3. row_number inside each (group, cell) — a BALANCED shuffle
+         over ~|groups|·1024 keys of ~n/1024 rows each — plus the
+         broadcast offset gives the exact global rank.
+
+    Ties on value_col are broken by key_col, so the ordering is
+    unique and rank == row_number == dense position; percent_rank /
+    cume_dist / ntile are closed-form in (r, n). Returns df's columns
+    plus `r` and `n` (both bigint). Empty input → empty result with
+    the same schema."""
+    rest = [c for c in df.columns if c != group_col]
+    src = df.select(F.struct(F.col(group_col)).alias("gk"), *rest)
+    v = F.col(value_col)
+    is_float = dict(df.dtypes)[value_col] in ("float", "double")
+    finite = F.when(~F.isnan(v), v) if is_float else v
+    mm = src.agg(F.min(finite).alias("lo"), F.max(finite).alias("hi")).collect()[0]
+    lo = float(mm.lo) if mm.lo is not None else 0.0
+    hi = float(mm.hi) if mm.hi is not None else 0.0
+    width = max((hi - lo) / _PCT_BUCKETS, 1e-9)
+    span = (
+        F.floor((v - lo) / width) if ascending else F.floor((hi - v) / width)
+    )
+    null_cell, nan_cell = (-1, _PCT_BUCKETS) if ascending else (_PCT_BUCKETS, -1)
+    cell = F.when(v.isNull(), F.lit(null_cell))
+    if is_float:
+        cell = cell.when(F.isnan(v), F.lit(nan_cell))
+    cell = cell.otherwise(
+        F.least(span, F.lit(_PCT_BUCKETS - 1))
+    ).cast("bigint")
+    cnts = src.groupBy("gk", cell.alias("bk")).count().collect()
+    if not cnts:
+        return (
+            df.limit(0)
+            .withColumn("r", F.lit(0).cast("bigint"))
+            .withColumn("n", F.lit(0).cast("bigint"))
+        )
+    per_group: dict = {}
+    for row in cnts:
+        per_group.setdefault(row.gk, []).append(row)
+    gtype = dict(df.dtypes)[group_col]
+    offsets = []
+    for gkey, rows_ in per_group.items():
+        rows_.sort(key=lambda r: r.bk)
+        n = sum(r["count"] for r in rows_)
+        acc = 0
+        for r in rows_:
+            offsets.append((gkey[0], r.bk, acc, n))
+            acc += r["count"]
+    off = spark.createDataFrame(
+        offsets, f"`{group_col}` {gtype}, bk bigint, off bigint, n bigint"
+    ).select(F.struct(F.col(group_col)).alias("gk"), "bk", "off", "n")
+    order = [v.asc() if ascending else v.desc(), F.col(key_col).asc()]
+    w = W.partitionBy("gk", "bk").orderBy(*order)
+    return (
+        src.withColumn("bk", cell)
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off), ["gk", "bk"])
+        .select(
+            F.col(f"gk.{group_col}").alias(group_col),
+            *rest,
+            (F.col("off") + F.col("rn")).alias("r"),
+            "n",
+        )
+    )
+
+
 @query(
     "win_ntile_dist",
     """
@@ -338,114 +433,30 @@ def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a unique-keyed ordering
     (o_totalprice ties broken by o_orderkey ⇒ deterministic),
-    computed as a DISTRIBUTED two-level rank instead of Spark's
+    computed by the shared `two_level_rank` decomposition instead of
     `Window.partitionBy(o_orderpriority)` — the partition alphabet is
     FIXED at 5 values, so WindowExec would run 5 single-task sorts of
     n/5 rows no matter the cluster (the one-task-per-group shape the
     agg_percentile rewrite removed; measured 20.1× at the r7 100×
-    decade). Here:
-
-      1. VALUE-derived range cells: bucket each row by its
-         o_totalprice position in the global [min, max] span (1024
-         cells, a 1-row bounded collect — the same probe
-         agg_percentile uses). The cell function depends only on row
-         VALUES, so it is identical across passes by construction —
-         no physical-partition-id coupling (spark_partition_id after
-         repartitionByRange is NOT stable across separate actions:
-         AQE may shape the two plans' shuffles differently);
-      2. a (group, cell)-keyed count — ≤ |groups|·1024 rows — comes
-         back to the driver, where per-(group, cell) rank OFFSETS
-         and per-group totals are prefix sums in cell order (cell
-         ascending = price ascending; the NULL-price cell −1 sorts
-         first, matching the window's NULLS FIRST, and the NaN cell
-         _PCT_BUCKETS sorts last, matching Spark's NaN-is-largest
-         ordering — the min/max probe excludes NaN so width stays
-         finite);
-      3. row_number inside each (group, cell) — a BALANCED shuffle
-         over ~|groups|·1024 keys of ~n/1024 rows each, never 5
-         tasks — plus the broadcast offset gives the exact global
-         rank r and group size n, from which all three distributions
-         are closed-form on a unique ordering:
-         ntile(4) by the size-(⌈n/4⌉ then ⌊n/4⌋) bucket rule,
-         percent_rank = (r−1)/(n−1) (0.0 when n = 1),
-         cume_dist = r/n.
+    decade on the old plan). See two_level_rank's docstring for the
+    cell/offset/rank shape; given the exact rank r and group size n
+    on a unique ordering, all three distributions are closed-form:
+    ntile(4) by the size-(⌈n/4⌉ then ⌊n/4⌋) bucket rule,
+    percent_rank = (r−1)/(n−1) (0.0 when n = 1), cume_dist = r/n.
 
     Bit-identical to the builtin window functions (verified against
-    F.ntile/F.percent_rank/F.cume_dist on adversarial group shapes in
+    F.ntile/F.percent_rank/F.cume_dist on adversarial group shapes —
+    NULL/NaN prices, NULL group, n<4 groups — in
     tests/test_properties.py::test_distributed_ntile_matches_builtin
     and oracle-hash-gated); group keys ride a 1-field struct so NULL
     groups survive every join. sf0.1 cost ~+0.3 s (the extra count
     pass); at the 100× decade the 5-task sort ceiling is gone."""
     o = tbl(spark, sf_dir, "orders").select(
-        F.struct(F.col("o_orderpriority")).alias("gk"),
-        "o_orderkey",
-        "o_totalprice",
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    # min/max probe over FINITE values only: Spark's max treats NaN
-    # as the largest double, so an unguarded probe would make
-    # hi = NaN → width = NaN → every non-NULL cell NULL, and the
-    # inner join on bk would silently drop those rows (r7 ADVICE).
-    # NaN rows instead get their own cell below.
-    price_finite = F.when(
-        ~F.isnan(F.col("o_totalprice")), F.col("o_totalprice")
-    )
-    mm = o.agg(
-        F.min(price_finite).alias("lo"), F.max(price_finite).alias("hi")
-    ).collect()[0]
-    empty_schema = (
-        "o_orderkey bigint, o_orderpriority string, "
-        "quartile bigint, pct_rank double, cume double"
-    )
-    lo = float(mm.lo) if mm.lo is not None else 0.0
-    hi = float(mm.hi) if mm.hi is not None else 0.0
-    width = max((hi - lo) / _PCT_BUCKETS, 1e-9)
-    # cell from VALUES only — evaluated identically in the count pass
-    # and the rank pass; NULL prices get cell -1 (ranked first, the
-    # window's NULLS FIRST) and NaN prices cell _PCT_BUCKETS (ranked
-    # last — Spark orders NaN above every finite double)
-    cell = (
-        F.when(F.col("o_totalprice").isNull(), F.lit(-1))
-        .when(F.isnan(F.col("o_totalprice")), F.lit(_PCT_BUCKETS))
-        .otherwise(
-            F.least(
-                F.floor((F.col("o_totalprice") - lo) / width),
-                F.lit(_PCT_BUCKETS - 1),
-            )
-        )
-        .cast("bigint")
-    )
-    cnts = sorted(
-        o.groupBy("gk", cell.alias("bk")).count().collect(),
-        key=lambda r: (r.gk.o_orderpriority or "", r.bk),
-    )
-    if not cnts:
-        return spark.createDataFrame([], empty_schema)
-    totals: dict = {}
-    for r in cnts:
-        totals[r.gk] = totals.get(r.gk, 0) + r["count"]
-    offsets, seen = [], {}
-    for r in cnts:
-        offsets.append(
-            (r.gk.o_orderpriority, r.bk, seen.get(r.gk, 0), totals[r.gk])
-        )
-        seen[r.gk] = seen.get(r.gk, 0) + r["count"]
-    off = spark.createDataFrame(
-        offsets, "o_orderpriority string, bk bigint, off bigint, n bigint"
-    ).select(
-        F.struct(F.col("o_orderpriority")).alias("gk"), "bk", "off", "n"
-    )
-    w = W.partitionBy("gk", "bk").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        o.withColumn("bk", cell)
-        .withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(off), ["gk", "bk"])
-        .select(
-            "o_orderkey",
-            F.col("gk.o_orderpriority").alias("o_orderpriority"),
-            (F.col("off") + F.col("rn")).alias("r"),
-            "n",
-        )
-    )
+    ranked = two_level_rank(
+        spark, o, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).select("o_orderkey", "o_orderpriority", "r", "n")
     # ntile(4): the first (n mod 4) buckets hold ⌈n/4⌉ rows, the rest
     # ⌊n/4⌋ — Spark's and DuckDB's shared definition
     sz = (F.col("n") / 4).cast("bigint")

@@ -260,27 +260,96 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
-@query("ns_dedup_simhash")  # rows-only: murmur3 not reproducible in DuckDB
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of ns_dedup_simhash, generated from the same bit
+    layout: signature bit b = bit (b mod 4) of hex nibble b//4 of
+    md5(token) — md5 is byte-identical across engines and nibble
+    extraction (strpos/instr over the hex alphabet) is plain integer
+    arithmetic both can evaluate, which is what moved this operator
+    off the rows-only list (r7 verdict #4; xxhash64/murmur3 have no
+    DuckDB twin)."""
+    nibs = ",\n           ".join(
+        f"strpos('0123456789abcdef', substring(md5(tok), {i + 1}, 1)) - 1"
+        f" AS n{i}"
+        for i in range(16)
+    )
+    bits = ",\n           ".join(
+        "CASE WHEN SUM(CASE WHEN (n{q} // {p}) % 2 = 1 THEN 1 ELSE -1 END)"
+        " > 0 THEN 1 ELSE 0 END AS bit{b}".format(q=b // 4, p=2 ** (b % 4), b=b)
+        for b in range(64)
+    )
+    # bit63 weighs -2^63 (two's-complement sign bit); every positive
+    # partial sum stays <= 2^63-1 so BIGINT arithmetic never overflows
+    simhash = " + ".join(f"bit{b}*{2 ** b}" for b in range(63))
+    simhash += " + bit63*(CAST(-9223372036854775807 AS BIGINT) - 1)"
+    bands = ",\n           ".join(
+        "CAST("
+        + " + ".join(f"bit{16 * k + j}*{2 ** j}" for j in range(16))
+        + f" AS BIGINT) AS band{k}"
+        for k in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split({_NORM}, ' '))) AS tok
+      FROM documents
+    ), nib AS (
+      SELECT doc_id,
+           {nibs}
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+           {bits}
+      FROM nib GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({simhash} AS BIGINT) AS simhash,
+           {bands}
+    FROM sig
+    """
+
+
+@query("ns_dedup_simhash", _simhash_oracle_sql())
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit signature = sign of per-bit sums of token
     hashes; candidate near-dups share all 4 16-bit bands except ≤1
     (pigeonhole for Hamming ≤ 16). Emits doc_id, simhash, and the 4
-    band values (the join keys a full pipeline buckets on)."""
+    band values (the join keys a full pipeline buckets on).
+
+    Token hash = md5 (byte-identical in Spark and DuckDB): signature
+    bit b is bit (b mod 4) of hex nibble b//4, i.e. the first 64 bits
+    of the digest. r8 switched this from xxhash64 (no DuckDB twin ⇒
+    rows-only) to md5 so the oracle replays the 64 bit-votes exactly
+    — same cryptographic-quality bit independence, still one native
+    hash per token. All nibble math is codegen'd substring/instr
+    integer arithmetic, NOT interpreted HOFs."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
     toks = F.array_distinct(F.split(_norm_col(), " "))
-    # explode → hash once per token → ONE groupBy(doc_id) holding all
-    # 64 bit votes as codegen'd conditional sums (whole-stage codegen
-    # + map-side partial agg) — vs 64 interpreted `F.aggregate` HOF
-    # passes per row (CodegenFallback, ~10× slower), the same
-    # explode/groupBy shape minhash_sig_wide uses. `split` always
-    # yields ≥1 token (even for empty text), so explode drops no docs.
+    # explode → md5 once per token → 16 nibble columns → ONE
+    # groupBy(doc_id) holding all 64 bit votes as codegen'd
+    # conditional sums (whole-stage codegen + map-side partial agg) —
+    # vs 64 interpreted `F.aggregate` HOF passes per row
+    # (CodegenFallback, ~10× slower), the same explode/groupBy shape
+    # minhash_sig_wide uses. `split` always yields ≥1 token (even for
+    # empty text), so explode drops no docs.
     hashed = d.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(md5(tok), {i + 1}, 1))"
+                f" - 1"
+            ).alias(f"n{i}")
+            for i in range(16)
+        ],
     )
-    one = F.lit(1).cast("bigint")
 
     def bit_vote(b: int):
-        is_set = F.shiftrightunsigned(F.col("h"), b).bitwiseAND(one) == 1
+        is_set = (
+            F.shiftrightunsigned(F.col(f"n{b // 4}"), b % 4).bitwiseAND(
+                F.lit(1)
+            )
+            == 1
+        )
         vote = F.sum(F.when(is_set, 1).otherwise(-1))
         return (
             F.when(vote > 0, F.lit(1).cast("bigint"))
@@ -289,18 +358,21 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sig = hashed.groupBy("doc_id").agg(*[bit_vote(b) for b in range(64)])
-    # reassemble: shiftleft(bit, 63) wraps to the sign bit (two's
-    # complement), which is exactly the int64 we want
+    # reassemble from the bits: bit63 carries weight -2^63 (two's
+    # complement) so positive partials never exceed 2^63-1 — the
+    # identical expression the oracle evaluates
     simhash = None
-    for b in range(64):
-        term = F.shiftleft(F.col(f"bit{b}"), b)
+    for b in range(63):
+        term = F.col(f"bit{b}") * F.lit(2 ** b).cast("bigint")
         simhash = term if simhash is None else simhash + term
-    out = sig.select("doc_id", simhash.alias("simhash"))
-    for band in range(4):
-        out = out.withColumn(
-            f"band{band}",
-            F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(0xFFFF),
-        )
+    simhash = simhash + F.col("bit63") * F.lit(-9223372036854775808)
+    out = sig.select("doc_id", simhash.alias("simhash"), *[
+        sum(
+            (F.col(f"bit{16 * k + j}") * F.lit(2 ** j).cast("bigint"))
+            for j in range(16)
+        ).alias(f"band{k}")
+        for k in range(4)
+    ])
     return out
 
 

@@ -170,22 +170,47 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-position windows: percent_rank ((rank-1)/(n-1)),
-    cume_dist, and nth_value over the FULL partition frame (the
-    default running frame would make nth_value order-dependent).
-    Both engines compute the two ratios as one double division of
-    identical integers — bit-exact. One shuffle on c_mktsegment."""
-    c = tbl(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    cume_dist, and nth_value over the FULL partition frame, computed
+    by the shared `two_level_rank` decomposition (analytics.py)
+    instead of `Window.partitionBy(c_mktsegment)` — the segment
+    alphabet is FIXED at 5 values, the same 5-single-task-sort
+    ceiling win_ntile_dist had (r7 verdict asked for this
+    decomposition to be applied or deferred; applied). The ordering
+    is DESCENDING on c_acctbal with c_custkey tiebreak — unique, so
+    rank == row_number and both ratios are closed-form in (r, n);
+    both engines then evaluate ONE double division of identical
+    integers — bit-exact. nth_value(c_acctbal, 2) over the unbounded
+    frame is simply the r == 2 row's value per segment, broadcast
+    back (nth_value counts rows, not non-NULL values, which r
+    matches exactly; groups with n < 2 get NULL via the left join).
+    Builtin-equivalence on adversarial shapes (NaN/NULL balances,
+    NULL segment, n=1 groups) in tests/test_properties.py::
+    test_distributed_percent_rank_matches_builtin."""
+    from .analytics import two_level_rank
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return c.select(
-        "c_custkey",
-        "c_mktsegment",
-        "c_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.nth_value("c_acctbal", 2).over(wfull).alias("second_highest"),
+    ranked = two_level_rank(
+        spark, c, "c_mktsegment", "c_acctbal", "c_custkey", ascending=False
+    )
+    second = ranked.filter(F.col("r") == 2).select(
+        F.struct("c_mktsegment").alias("gk2"),
+        F.col("c_acctbal").alias("second_highest"),
+    )
+    return (
+        ranked.withColumn("gk2", F.struct("c_mktsegment"))
+        .join(F.broadcast(second), "gk2", "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.when(F.col("n") > 1, (F.col("r") - 1) / (F.col("n") - 1))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.col("r") / F.col("n")).alias("cume"),
+            "second_highest",
+        )
     )
 
 

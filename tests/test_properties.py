@@ -1323,3 +1323,60 @@ def test_distributed_ntile_matches_builtin(spark, tmp_path):
     }
     assert len(got) == len(rows)
     assert got == want
+
+
+def test_distributed_percent_rank_matches_builtin(spark, tmp_path):
+    """win_percent_rank's two_level_rank decomposition (DESCENDING
+    order) vs Spark's builtin percent_rank/cume_dist/nth_value on
+    adversarial segment shapes: n=1 (pct_rank 0.0, second_highest
+    NULL), n=2, all-equal balances, NULL balances (DESC ⇒ NULLS
+    LAST), NaN balances (DESC ⇒ NaN FIRST — and the min/max probe
+    must not be poisoned), a NULL segment key, and a big skewed
+    group. Bit-equality expected."""
+    import random
+
+    rng = random.Random(88)
+    rows = [(1, "S", 10.0)]                                # n=1
+    rows += [(2, "T", 5.0), (3, "T", 4.0)]                 # n=2
+    rows += [(100 + i, "E", 7.25) for i in range(23)]      # all equal
+    rows += [(300 + i, "W", rng.uniform(-1e6, 1e6)) for i in range(401)]
+    rows += [(900, "N", None), (901, "N", 3.5), (902, "N", None)]
+    rows += [(950, None, 2.0), (951, None, 1.0)]           # NULL group
+    rows += [(960, "F", float("nan")), (961, "F", 5.0),
+             (962, "F", float("nan")), (963, "F", None)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r.c_custkey: (r.c_mktsegment, r.pct_rank, r.cume, r.second_highest)
+        for r in QUERIES["win_percent_rank"](spark, str(tmp_path)).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    want = {
+        r.c_custkey: (r.c_mktsegment, r.pct_rank, r.cume, r.second_highest)
+        for r in df.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("c_acctbal", 2).over(wfull).alias("second_highest"),
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    # NaN != NaN under ==, so compare with an NaN-aware equality
+    def same(a, b):
+        return a == b or (
+            isinstance(a, float) and isinstance(b, float)
+            and a != a and b != b
+        )
+
+    for k in want:
+        assert all(same(x, y) for x, y in zip(got[k], want[k])), (
+            k, got[k], want[k]
+        )
