@@ -161,6 +161,12 @@ def main() -> None:
                 # reading the subtotals above.
                 "ambient_other_jvms": other_jvms,
                 "ambient_load1": load1,
+                # Explicit flag (r7 verdict #8): 7 rounds of data show
+                # timings uniform-inflate 20-40% when other JVMs run
+                # or load1 > ~2 at launch (r4 +36%, r7 +21%, both
+                # adjudicated as ambient by solo re-runs). A flagged
+                # run needs a solo twin before reading regressions.
+                "ambient_warning": bool(other_jvms != 0 or load1 > 2.0),
                 # r4's +36% (frozen-20 17.3 -> 23.6 s) did not
                 # reproduce: three round-5 re-runs measured 19.1 /
                 # 17.7 / 17.2 s, the first on code identical for the

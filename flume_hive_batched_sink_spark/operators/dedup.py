@@ -99,9 +99,35 @@ _MH_A = [(0x9E3779B9 * (2 * i + 1)) % (1 << 31) | 1 for i in range(N_HASHES)]
 _MH_B = [(0xC2B2AE3D ^ (i * 0x27D4EB2F)) % (1 << 32) for i in range(N_HASHES)]
 
 
+# Cross-engine 32-bit base hash: the first 8 hex nibbles of md5,
+# recentred to [-2^31, 2^31) — the same value DuckDB derives with a
+# nibble polynomial, which is what lets the minhash oracle replay
+# signatures exactly (md5 is byte-identical in both engines; murmur3,
+# the previous base, has no DuckDB twin and kept this family
+# rows-only through r7).
+_H32_OFFSET = 2_147_483_648
+
+
+def _h32(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        - F.lit(_H32_OFFSET).cast("bigint")
+    )
+
+
+def _h32_sql(expr: str) -> str:
+    """DuckDB twin of _h32 over an arbitrary VARCHAR expression."""
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1))"
+        f" - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({poly} - {_H32_OFFSET})"
+
+
 def shingle_hashes(sh: Column) -> Column:
-    """murmur3 each shingle ONCE — the base for all k permutations."""
-    return F.transform(sh, lambda s: F.hash(s).cast("bigint"))
+    """md5-32 each shingle ONCE — the base for all k permutations."""
+    return F.transform(sh, _h32)
 
 
 def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
@@ -147,7 +173,7 @@ def minhash_sig_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """
     exploded = (
         docs.select("doc_id", F.explode(shingles(_norm_col())).alias("s"))
-        .withColumn("h", F.hash("s").cast("bigint"))
+        .withColumn("h", _h32(F.col("s")))
         .drop("s")
     )
     return exploded.groupBy("doc_id").agg(
@@ -164,7 +190,13 @@ def minhash_sig_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 def minhash_bands_from_sig(
     sig: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(doc_id, band_id, band_hash) — LSH bucketing from wide sig."""
+    """(doc_id, band_id, band_hash) — LSH bucketing from wide sig.
+    band_hash is the EXACT concatenation of the band's minhash values
+    (no murmur3 re-hash): bucket membership is then band-value
+    equality with zero collision term, identically evaluable by the
+    DuckDB oracle. At 100 TB a fixed-width hash of this key shaves
+    shuffle bytes — an engine-local swap that cannot add pairs, only
+    (with collisions) spurious candidates the verify step removes."""
     rows_per_band = n_hashes // n_bands
     bands = sig.select(
         "doc_id",
@@ -173,11 +205,12 @@ def minhash_bands_from_sig(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(
+                        F.concat_ws(
+                            "|",
                             *[
                                 F.col(f"m{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
-                            ]
+                            ],
                         ).alias("band_hash"),
                     )
                     for b in range(n_bands)
@@ -196,10 +229,67 @@ def minhash_bands(
     return minhash_bands_from_sig(minhash_sig_wide(d), n_bands)
 
 
-@query("ns_dedup_minhash")  # rows-only: murmur3 not reproducible in DuckDB
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of ns_dedup_minhash, generated from the same
+    constants: base hash = _h32 (md5 nibbles, see _h32_sql), k affine
+    permutation MINs per doc, band keys = exact value concatenation,
+    self-join on band equality, exact 3-token-shingle Jaccard ≥ 0.5.
+    Candidate sets are identical by construction (no murmur3 anywhere
+    since r8), which is what moved this family off the rows-only list
+    (r7 verdict #4 asked for one more conversion; this is the second,
+    after ns_dedup_simhash)."""
+    sh_list = (
+        f"[array_to_string(string_split({_NORM}, ' ')[i:i+{SHINGLE - 1}], ' ')"
+        f" FOR i IN range(1, greatest(len(string_split({_NORM}, ' '))"
+        f" - {SHINGLE - 1}, 1) + 1)]"
+    )
+    mins = ",\n             ".join(
+        f"MIN({_MH_A[i]} * h + {_MH_B[i]}) AS m{i}" for i in range(N_HASHES)
+    )
+    rpb = N_HASHES // N_BANDS
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, concat_ws('|', "
+        + ", ".join(f"m{b * rpb + r}" for r in range(rpb))
+        + ") AS bk FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({sh_list})) AS s
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_h32_sql('s')} AS h FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), shs AS (
+      SELECT doc_id, list_distinct({sh_list}) AS sh FROM documents
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      FROM cand
+      JOIN shs x ON x.doc_id = cand.doc_a
+      JOIN shs y ON y.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+@query("ns_dedup_minhash", _minhash_oracle_sql())
 def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs with exact-Jaccard
-    verification (jaccard ≥ 0.5), deduplicated across bands.
+    verification (jaccard ≥ 0.5), deduplicated across bands. Base
+    shingle hash = _h32 (md5-derived, cross-engine) and band keys =
+    exact minhash-value concatenation since r8, so the DuckDB oracle
+    replays signatures, buckets, and verification bit-exactly.
 
     Scale path: the only shuffles are (a) the doc_id aggregate that
     builds signatures, (b) the self-join on (band_id, band_hash)

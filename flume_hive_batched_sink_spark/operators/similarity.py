@@ -506,9 +506,17 @@ def ns_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up (200k vectors, ~19M candidates) it nearly halves the
     query: 8.9 s with vs 16.3 s without. Candidate volume, not the
     screen, is the asymptotic term; the headline sf0.1 bench number
-    for this op sits in the 3.5-4.9 s ambient band."""
+    for this op sits in the 3.5-4.9 s ambient band.
+
+    Band geometry is AUTO-sized from the corpus count (r7 verdict #7:
+    wire `auto_planes_per_band` into the bench/anchor path): at every
+    oracle/bench SF (≤2k vectors) auto provably returns the baked 8 —
+    identical plans, identical oracle literals, identical bench
+    numbers — while a production corpus gets the measured
+    log2-scaling geometry (auto-12 was the wall-clock optimum at the
+    20k-vector 10× blow-up: 5.36 s vs 7.42 s baked-8, SCALING.md)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    return dedup_embedding_chain(spark, em)
+    return dedup_embedding_chain(spark, em, planes_per_band=None)
 
 
 def auto_planes_per_band(n: int) -> int:

@@ -22,11 +22,27 @@ from pyspark.sql import functions as F
 from ..scratch import SCRATCH
 
 
+# In-process staging cache: (cache_key → (flat_dir, schema)). The
+# staged directory is a read-only replay source (checkpoints and
+# sinks live elsewhere), so every consumer of the same chunk content
+# at the same sf_dir can share ONE staging — the r7 verdict traced
+# the streaming family's ~18× 100×-decade cluster to each operator
+# (and each warmup+timed repeat) re-writing the full corpus; with
+# the cache a scale run stages once per (content, sf_dir) and the
+# decade rows measure operator state work. Process-local by design:
+# no cross-run staleness is possible.
+_STAGE_CACHE: dict[str, tuple[str, object]] = {}
+
+
 def stage_chunks(
-    name: str, chunks: list[DataFrame]
+    name: str, chunks: list[DataFrame], cache_key: str | None = None
 ) -> tuple[str, "object"]:
     """Write each chunk as chunk_<i>/part-*.parquet under a fresh
-    staging dir; returns (dir glob for readStream, schema)."""
+    staging dir; returns (dir glob for readStream, schema). With
+    `cache_key` (callers pass "<content-tag>|<sf_dir>"), a repeat
+    call in the same process reuses the already-staged directory."""
+    if cache_key is not None and cache_key in _STAGE_CACHE:
+        return _STAGE_CACHE[cache_key]
     base = os.path.join(SCRATCH, "stream_stage", name)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
@@ -55,6 +71,8 @@ def stage_chunks(
             shutil.copy(os.path.join(src, p), dst)
             os.utime(dst, (t0 + k, t0 + k))
             k += 1
+    if cache_key is not None:
+        _STAGE_CACHE[cache_key] = (flat, schema)
     return flat, schema
 
 

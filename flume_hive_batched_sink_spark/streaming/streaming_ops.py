@@ -40,9 +40,17 @@ _SQL_BUCKET5 = (
 )
 
 
-def _staged_events(spark: SparkSession, sf_dir: str, name: str):
+def _staged_events(spark: SparkSession, sf_dir: str, name: str = ""):
+    """The standard 3-chunk event replay corpus. ALL consumers share
+    ONE staged directory per sf_dir (the source dir is read-only for
+    every query — checkpoints/sinks are per-query elsewhere), staged
+    once per process per sf_dir instead of once per operator per
+    invocation. The `name` arg is retained for call-site readability
+    but no longer selects a directory."""
     chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
-    return stage_chunks(name, chunks)
+    return stage_chunks(
+        "events_shared", chunks, cache_key=f"events_shared|{sf_dir}"
+    )
 
 
 @query(
@@ -188,7 +196,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     b3 = ev.filter(
         (F.col("ts") < T("2024-01-02")) | (F.col("ts") >= T("2024-01-20"))
     )
-    staged, schema = stage_chunks("wmlate", [b1, b2, b3])
+    staged, schema = stage_chunks(
+        "wmlate", [b1, b2, b3], cache_key=f"wmlate|{sf_dir}"
+    )
 
     def xform(src: DataFrame) -> DataFrame:
         return (
@@ -213,7 +223,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark collapses them to exactly-once."""
     chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
     doubled = [c.unionAll(c) for c in chunks]
-    staged, schema = stage_chunks("dedup", doubled)
+    staged, schema = stage_chunks(
+        "dedup", doubled, cache_key=f"dedup|{sf_dir}"
+    )
 
     def xform(src: DataFrame) -> DataFrame:
         return (
@@ -243,8 +255,8 @@ def stream_foreach_batch_land(spark: SparkSession, sf_dir: str) -> DataFrame:
     table + DTE notification supported."""
     from .land import run_landing_stream
 
-    chunks = events_chunks_by_time(spark, sf_dir, _CHUNK_BOUNDS)
-    staged, schema = stage_chunks("land", chunks)
+    # identical content to the shared event staging — reuse it
+    staged, schema = _staged_events(spark, sf_dir)
     cfg = SinkConfig(
         table="events_landed_stream",
         output_path=os.path.join(SCRATCH, "warehouse"),
@@ -480,8 +492,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "user_id", "ts"]
     views = [c.filter(F.col("event_id") % 2 == 0).select(cols) for c in chunks]
     acts = [c.filter(F.col("event_id") % 2 == 1).select(cols) for c in chunks]
-    staged_v, schema = stage_chunks("ssj_views", views)
-    staged_a, _ = stage_chunks("ssj_acts", acts)
+    staged_v, schema = stage_chunks(
+        "ssj_views", views, cache_key=f"ssj_views|{sf_dir}"
+    )
+    staged_a, _ = stage_chunks(
+        "ssj_acts", acts, cache_key=f"ssj_acts|{sf_dir}"
+    )
 
     def xform(src: DataFrame) -> DataFrame:
         v = src.withWatermark("ts", _DELAY).alias("v")

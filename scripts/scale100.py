@@ -120,15 +120,37 @@ def main() -> None:
     print(f"built in {time.time() - t0:.0f}s", flush=True)
     if run_embed16:
         embedding_dedup_16plane(spark, scaled_dir)
+    from flume_hive_batched_sink_spark import operators as ops
+
+    def first_run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        ops.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
     for name in names:
+        # streaming ops: the first invocation stages the replay corpus
+        # (parquet write+copy of the full blow-up); stage.py's
+        # in-process cache makes every later invocation replay-only,
+        # so `first − best` isolates the staging I/O the r7 verdict
+        # asked to report separately from operator state work
+        is_stream = name.startswith("stream_")
+        s1 = first_run(name, BASE_SF) if is_stream else None
         t1 = timed(spark, name, BASE_SF)
         spark.catalog.clearCache()
+        sk = first_run(name, scaled_dir) if is_stream else None
         tk = timed(spark, name, scaled_dir)
         spark.catalog.clearCache()
         ratio = tk / t1 if t1 > 0 else float("nan")
+        extra = (
+            f"  [staging: 1x≈{s1 - t1:.2f}s {K}x≈{sk - tk:.2f}s]"
+            if is_stream
+            else ""
+        )
         print(
             f"{name:26s} 1x={t1:6.2f}s  {K}x={tk:8.2f}s  "
-            f"ratio={ratio:6.1f} (linear≈{K})",
+            f"ratio={ratio:6.1f} (linear≈{K}){extra}",
             flush=True,
         )
     # the pre-flight count only accompanies the default sweep — an

@@ -1326,13 +1326,16 @@ def test_distributed_ntile_matches_builtin(spark, tmp_path):
 
 
 def test_distributed_percent_rank_matches_builtin(spark, tmp_path):
-    """win_percent_rank's two_level_rank decomposition (DESCENDING
-    order) vs Spark's builtin percent_rank/cume_dist/nth_value on
-    adversarial segment shapes: n=1 (pct_rank 0.0, second_highest
-    NULL), n=2, all-equal balances, NULL balances (DESC ⇒ NULLS
-    LAST), NaN balances (DESC ⇒ NaN FIRST — and the min/max probe
-    must not be poisoned), a NULL segment key, and a big skewed
-    group. Bit-equality expected."""
+    """two_level_rank's DESCENDING path (the deferred win_percent_rank
+    decomposition — see that operator's scale note: the builtin wins
+    at every measured scale on the 30×-smaller customer table, so the
+    shipped operator keeps the builtin window and this test keeps the
+    DESC path honest for the day the swap pays) vs Spark's builtin
+    percent_rank/cume_dist/nth_value on adversarial segment shapes:
+    n=1 (pct_rank 0.0, second_highest NULL), n=2, all-equal balances,
+    NULL balances (DESC ⇒ NULLS LAST), NaN balances (DESC ⇒ NaN
+    FIRST — and the min/max probe must not be poisoned), a NULL
+    segment key, and a big skewed group. Bit-equality expected."""
     import random
 
     rng = random.Random(88)
@@ -1347,10 +1350,35 @@ def test_distributed_percent_rank_matches_builtin(spark, tmp_path):
     df = spark.createDataFrame(
         rows, "c_custkey long, c_mktsegment string, c_acctbal double"
     )
-    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    from flume_hive_batched_sink_spark.operators.analytics import (
+        two_level_rank,
+    )
+
+    ranked = two_level_rank(
+        spark, df, "c_mktsegment", "c_acctbal", "c_custkey", ascending=False
+    )
+    second = ranked.filter(F.col("r") == 2).select(
+        F.struct("c_mktsegment").alias("gk2"),
+        F.col("c_acctbal").alias("second_highest"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    two_level = (
+        ranked.withColumn("gk2", F.struct("c_mktsegment"))
+        .join(broadcast(second), "gk2", "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(F.col("n") > 1, (F.col("r") - 1) / (F.col("n") - 1))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.col("r") / F.col("n")).alias("cume"),
+            "second_highest",
+        )
+    )
     got = {
         r.c_custkey: (r.c_mktsegment, r.pct_rank, r.cume, r.second_highest)
-        for r in QUERIES["win_percent_rank"](spark, str(tmp_path)).collect()
+        for r in two_level.collect()
     }
     from pyspark.sql.window import Window as W
 
