@@ -15,9 +15,11 @@ Five mechanisms, each the 100 TB-shaped formulation:
 - embedding    : cosine ≥ τ pairs via the similarity module's exact
                  decimal dot product (see similarity.py for ANN).
 
-Exact/Jaccard variants are oracle-checked; MinHash/SimHash use
-Spark's murmur3 (`F.hash`) which DuckDB can't reproduce → rows-only +
-property tests (tests/test_properties.py).
+Every dedup operator here is oracle-checked: since r8 MinHash and
+SimHash derive their token hashes from md5 (byte-identical in
+DuckDB — see `_h32` / `_simhash_oracle_sql`), so even the sketch
+paths replay exactly; property tests additionally pin recall on
+planted duplicates (tests/test_properties.py).
 """
 
 from __future__ import annotations
@@ -132,7 +134,7 @@ def shingle_hashes(sh: Column) -> Column:
 
 def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
     """k minhashes via one base hash + k affine permutations:
-    minhash_i = min over shingles of (a_i·murmur3(s) + b_i), with
+    minhash_i = min over shingles of (a_i·_h32(s) + b_i), with
     |a|<2^31 and |h|<2^31 so each product fits comfortably in int64.
     This replaces k full string-hash passes with k integer
     transforms: ~10× cheaper on long documents, which is what makes
@@ -163,7 +165,7 @@ def minhash_sig_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
     The higher-order array formulation (`minhash_signature`) evaluates
     interpreted (HOFs are CodegenFallback); this explode→groupBy-min
-    form keeps every step — Generate, murmur3, k affine mins — inside
+    form keeps every step — Generate, md5/_h32, k affine mins — inside
     whole-stage codegen with map-side partial aggregation, so the
     shuffle carries one combined row per (doc, map partition), not the
     exploded shingles. Deliberately NO collect_set here: array-state
@@ -296,8 +298,10 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, (c) the pair dedup, and (d) the verify joins over ONLY
     the candidate docs — never an all-pairs product, and the full
     corpus is never materialized with array state. Both band sides
-    come from the same signature subplan (identical shuffle →
-    ReusedExchange). Exact-Jaccard verification semi-joins `documents`
+    come from the same persisted signature subplan (computed once;
+    at oracle SFs AQE broadcasts one band side, at scale the
+    sort-merge path reuses one exchange — PLANCHECK pins the
+    shared-subplan property). Exact-Jaccard verification semi-joins `documents`
     down to candidate doc_ids (a tiny fraction of the corpus) and
     recomputes their shingle sets — cheaper at 100 TB than carrying a
     collect_set through the main aggregate.

@@ -390,7 +390,52 @@ _SQL_BAND_BUCKETS = f"""
 """
 
 
-@query("ns_similarity_ann_lsh")  # rows-only: approximate by design
+@query(
+    "ns_similarity_ann_lsh",
+    f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                AS VARCHAR)
+                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      GROUP BY vec_id
+    ),
+    buckets AS ({_SQL_BAND_BUCKETS}),
+    qk AS (
+      SELECT vec_id AS query_id, band, bucket FROM buckets
+      WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT qk.query_id, b.vec_id AS neighbor_id
+      FROM buckets b JOIN qk ON b.band = qk.band AND b.bucket = qk.bucket
+      WHERE b.vec_id != qk.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(CAST(CAST(CAST(q.embedding[i.i] AS DOUBLE)
+                                * CAST(n.embedding[i.i] AS DOUBLE) AS VARCHAR)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / (nq.nrm * nn.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nn.nrm) DESC, d.neighbor_id
+             ) AS rn
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nn ON nn.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 3
+    """,
+)
 def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 via multi-band hyperplane-LSH: a candidate shares ANY
     of the probe's 4 band buckets; exact cosine only on candidates.
@@ -398,7 +443,14 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_properties.py::test_lsh_planted_near_dup_recall).
     Scale: (band, bucket) is the join/shuffle key and the exploded
     key rows — not vectors — are the shuffle payload; per-bucket work
-    is |bucket|·|probes∩bucket|, summed over 4 bands."""
+    is |bucket|·|probes∩bucket|, summed over 4 bands.
+
+    Oracle-backed since r8 (the third rows-only conversion of the
+    round): "approximate" never meant non-deterministic — the
+    hyperplanes are baked literals and the cosine is the exact
+    decimal fold, so the DuckDB twin replays bucketing, candidate
+    union, scoring, and the tiebroken top-3 bit-exactly (the same
+    `_SQL_BAND_BUCKETS` replay ns_dedup_embedding's oracle uses)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     feats = embedding_features(spark, em).persist()
     keys = band_keys(feats)

@@ -73,6 +73,10 @@ PLAN_QUERIES = [
     # joins; distributed two-pass exact percentile selection.
     "sql_exists_subquery",
     "agg_percentile",
+    # round 8: shared two_level_rank (no bare-key window) and the
+    # md5-based minhash (ReusedExchange across band self-join sides).
+    "win_ntile_dist",
+    "ns_dedup_minhash",
 ]
 
 
@@ -336,6 +340,41 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         len(spans) >= 4 and disjoint,
         f"{len(spans)} row groups, disjoint={disjoint}, "
         f"first span={spans[0] if spans else None}")
+
+    # win_ntile_dist (r8): the two_level_rank decomposition must rank
+    # inside (group, cell) partitions — never a Window over the bare
+    # 5-value priority key (the 5-single-task-sort ceiling the r7
+    # rewrite removed) — and the driver-built offsets must broadcast.
+    p = _formatted(ops.QUERIES["win_ntile_dist"](spark, sf_dir))
+    win_lines = [ln for ln in p.splitlines() if "row_number()" in ln]
+    partitioned_by_cell = any("bk" in ln for ln in win_lines)
+    add("win_ntile_dist",
+        "rank window partitioned by (group, cell), not the bare "
+        "constant-cardinality key",
+        bool(win_lines) and partitioned_by_cell,
+        (win_lines[0].strip() if win_lines else "row_number NOT FOUND"))
+    add("win_ntile_dist", "offset table joins via BroadcastExchange",
+        "BroadcastExchange" in p,
+        "BroadcastExchange present" if "BroadcastExchange" in p
+        else "BroadcastExchange MISSING")
+
+    # ns_dedup_minhash (r8): both band self-join sides must come from
+    # ONE persisted signature subplan — visible as InMemoryTableScan
+    # on both sides — joined either via ReusedExchange (sort-merge at
+    # scale) or via a BroadcastExchange of one band side (AQE's pick
+    # at oracle SFs, where the band table is broadcast-small). Either
+    # way the signatures are computed once and never re-derived.
+    p = _executed(ops.QUERIES["ns_dedup_minhash"](spark, sf_dir))
+    shared = "InMemoryTableScan" in p and (
+        "ReusedExchange" in p or "BroadcastHashJoin" in p
+    )
+    add("ns_dedup_minhash",
+        "band self-join sides share one cached signature subplan "
+        "(ReusedExchange or broadcast of the cached bands)",
+        shared,
+        f"InMemoryTableScan={'InMemoryTableScan' in p} "
+        f"ReusedExchange={'ReusedExchange' in p} "
+        f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
     return checks
 
 
