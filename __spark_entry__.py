@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; names absent here
-    (minhash/ann sketch internals) get rows-only checks."""
+    """DuckDB twins for every SQL-expressible query. The 5 names
+    absent here get rows-only checks: agg_approx_distinct,
+    agg_approx_percentile, agg_count_min, agg_hll_sketch_merge
+    (engine-internal sketch states) and ns_similarity_ann_ivf
+    (data-dependent centroid selection). MinHash/SimHash/ANN-LSH
+    left this list in r8 (md5-based hashes replay in DuckDB)."""
     return dict(_ops.ORACLE)

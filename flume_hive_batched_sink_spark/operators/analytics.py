@@ -383,10 +383,13 @@ def two_level_rank(
     ).cast("bigint")
     cnts = src.groupBy("gk", cell.alias("bk")).count().collect()
     if not cnts:
-        return (
-            df.limit(0)
-            .withColumn("r", F.lit(0).cast("bigint"))
-            .withColumn("n", F.lit(0).cast("bigint"))
+        # column order must match the non-empty path (group_col first)
+        # so empty/non-empty results union positionally
+        return df.limit(0).select(
+            group_col,
+            *rest,
+            F.lit(0).cast("bigint").alias("r"),
+            F.lit(0).cast("bigint").alias("n"),
         )
     per_group: dict = {}
     for row in cnts:

@@ -602,10 +602,15 @@ def dedup_embedding_chain(
     (scripts/scale100.py embed16 runs THIS code under the 16-plane
     geometry, so the SCALING.md evidence measures the shipped
     algorithm, not a copy). planes_per_band=None auto-sizes the
-    geometry from a corpus count (`auto_planes_per_band`) — the
-    scale deployment path; the registered operator passes the baked
-    default explicitly so the oracle-checked SFs never depend on a
-    count."""
+    geometry from a corpus count (`auto_planes_per_band`); since r8
+    the registered operator passes None too (verdict #7), which
+    costs one em.count() action per invocation and keeps the baked
+    8-plane oracle literals valid only while every oracle/bench
+    corpus holds ≤ 2048 vectors (auto returns 9 at 2049; sf0.1 has
+    2000 — a narrow margin, asserted in
+    tests/test_properties.py::test_auto_geometry_is_baked_at_oracle_sfs
+    so a corpus regeneration that crosses it fails loudly instead of
+    hash-mismatching)."""
     if planes_per_band is None:
         planes_per_band = auto_planes_per_band(em.count())
     feats = embedding_features(

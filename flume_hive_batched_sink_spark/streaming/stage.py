@@ -40,9 +40,20 @@ def stage_chunks(
     """Write each chunk as chunk_<i>/part-*.parquet under a fresh
     staging dir; returns (dir glob for readStream, schema). With
     `cache_key` (callers pass "<content-tag>|<sf_dir>"), a repeat
-    call in the same process reuses the already-staged directory."""
+    call in the same process reuses the already-staged directory.
+
+    The on-disk directory is derived from the CACHE KEY, not just
+    `name`: two sf_dirs staging the same content tag must land in
+    DIFFERENT directories, else the second build's rmtree would pull
+    the data out from under the first's still-cached path and a later
+    cache hit would silently replay the wrong corpus (the r8
+    code-review finding — a 1× measurement reading 100× data)."""
     if cache_key is not None and cache_key in _STAGE_CACHE:
         return _STAGE_CACHE[cache_key]
+    if cache_key is not None:
+        import hashlib
+
+        name = f"{name}_{hashlib.md5(cache_key.encode()).hexdigest()[:12]}"
     base = os.path.join(SCRATCH, "stream_stage", name)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)

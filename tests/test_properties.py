@@ -1408,3 +1408,49 @@ def test_distributed_percent_rank_matches_builtin(spark, tmp_path):
         assert all(same(x, y) for x, y in zip(got[k], want[k])), (
             k, got[k], want[k]
         )
+
+
+def test_auto_geometry_is_baked_at_oracle_sfs():
+    """ns_dedup_embedding passes planes_per_band=None (auto) since r8,
+    while its DuckDB oracle bakes the 8-plane hyperplane literals —
+    valid only while auto_planes_per_band(n) == 8 for every oracle/
+    bench corpus (auto returns 9 at n = 2049; sf0.1 holds 2000). This
+    guard makes a testdata regeneration that crosses the margin fail
+    HERE, loudly, instead of as an opaque driver hash mismatch."""
+    import pyarrow.parquet as pq
+
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        auto_planes_per_band,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = pq.ParquetFile(
+            f"/root/testdata/sf{sf}/embeddings.parquet"
+        ).metadata.num_rows
+        assert auto_planes_per_band(n) == 8, (sf, n)
+
+
+def test_stage_cache_keys_isolate_directories(spark):
+    """r8 code-review regression: two sf_dirs staging the same content
+    tag must land in DIFFERENT directories, and the first's staged
+    data must survive (and still be served from cache) after the
+    second stages — else a 1× replay silently reads 100× data."""
+    import os
+
+    from flume_hive_batched_sink_spark.streaming.stage import (
+        _STAGE_CACHE,
+        stage_chunks,
+    )
+
+    one = spark.range(3).selectExpr("id AS v")
+    two = spark.range(7).selectExpr("id AS v")
+    d1, _ = stage_chunks("isolate_test", [one], cache_key="isolate|sfA")
+    d2, _ = stage_chunks("isolate_test", [two], cache_key="isolate|sfB")
+    assert d1 != d2
+    # first key still cached, directory intact, content still the 3 rows
+    d1_again, _ = stage_chunks("isolate_test", [two], cache_key="isolate|sfA")
+    assert d1_again == d1 and os.path.isdir(d1)
+    assert spark.read.parquet(d1).count() == 3
+    assert spark.read.parquet(d2).count() == 7
+    for k in ("isolate|sfA", "isolate|sfB"):
+        _STAGE_CACHE.pop(k, None)
