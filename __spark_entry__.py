@@ -30,32 +30,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # recorded, and none's latest binding check is older than r04.
 # Round 8 rotates the window onto the r04 cohort per the r7 verdict
 # (#3: "after r8 no binding check should be older than r05"):
-# (a) the 6 operators whose output path changed in r8 —
-#     ns_dedup_simhash (token hash switched xxhash64 -> md5 nibbles;
-#     OUTPUT CHANGED, first hash-gated driver check after leaving the
-#     rows-only list), win_ntile_dist (NaN-price cell fix + the
-#     shared two_level_rank refactor), ns_dedup_embedding (band
-#     geometry now auto-sized; provably still 8 planes at oracle
-#     SFs), stream_foreach_batch_land (now replays the SHARED event
-#     staging dir), stream_dedup and stream_watermark_late (staging
-#     cache keys; content unchanged, re-checked anyway);
+# (a) the 7 operators whose OUTPUT changed in r8 and therefore need
+#     their first hash-gated driver check under the new output path —
+#     ns_dedup_simhash and ns_dedup_minhash (token hashes switched to
+#     md5 nibbles; both left the rows-only list), win_ntile_dist
+#     (NaN-price cell fix + the shared two_level_rank refactor),
+#     ns_dedup_embedding (band geometry now auto-sized; provably
+#     still 8 planes at oracle SFs), and the three sketch aggregates
+#     converted to value-bounded oracles late in r8
+#     (agg_approx_distinct, agg_approx_percentile,
+#     agg_hll_sketch_merge — exact columns + envelope flags;
+#     agg_count_min converted too but already sits in the r04 cohort
+#     below);
 # (b) ALL 43 operators whose latest driver check is r04 (computed by
 #     scripts/staleness.py this round — includes win_percent_rank,
 #     which also reverted to the builtin window in r8 after the
-#     two-level variant measured slower at both scales);
-# (c) 1 fill from the oldest r05 row (agg_audience_overlap).
-# 6 + 43 + 1 = 50, the window exactly. After this round no
-# registered operator's latest binding driver check is older than
-# r05. Every entry remains present and locally value-equal-gated
-# (tests/test_oracle_parity.py covers all 185, with a vacuity guard)
-# regardless of window position.
+#     two-level variant measured slower at both scales).
+# 7 + 43 = 50, the window exactly. Displaced to make room for the
+# late conversions: stream_foreach_batch_land / stream_dedup /
+# stream_watermark_late (r8 staging-cache plumbing changes with
+# UNCHANGED output semantics, pass-r7 bindings, value-equal-gated by
+# the final local sweep) and the agg_audience_overlap r05 fill —
+# first-ever hash gates for changed outputs outrank re-checks of
+# pass-r7 rows. After this round no registered operator's latest
+# binding driver check is older than r05. Every entry remains present
+# and locally value-equal-gated (tests/test_oracle_parity.py covers
+# all 185, with a vacuity guard) regardless of window position.
 _ROUND8_FRONT = [
     "ns_dedup_simhash",
+    "ns_dedup_minhash",
     "win_ntile_dist",
     "ns_dedup_embedding",
-    "stream_foreach_batch_land",
-    "stream_dedup",
-    "stream_watermark_late",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_hll_sketch_merge",
     "agg_bitmap_distinct",
     "agg_count_min",
     "agg_incremental_merge",
@@ -99,11 +107,10 @@ _ROUND8_FRONT = [
     "win_row_number",
     "win_running_frame",
     "win_topk_per_group",
-    "agg_audience_overlap",
 ]
 # Displaced to positions 51+: everything checked r05-r07 (fresh).
-# The oldest survivors (the remaining 44 r05 rows) rotate forward
-# next round.
+# The oldest survivors (the r05 rows, now including
+# agg_audience_overlap) rotate forward next round.
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
 FRONT = _ROUND8_FRONT
@@ -119,10 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query. The 5 names
-    absent here get rows-only checks: agg_approx_distinct,
-    agg_approx_percentile, agg_count_min, agg_hll_sketch_merge
-    (engine-internal sketch states) and ns_similarity_ann_ivf
-    (data-dependent centroid selection). MinHash/SimHash/ANN-LSH
-    left this list in r8 (md5-based hashes replay in DuckDB)."""
+    """DuckDB twins for every SQL-expressible query. ONE name is
+    absent (rows-only check): ns_similarity_ann_ivf (data-dependent
+    centroid selection). MinHash/SimHash/ANN-LSH left the rows-only
+    list in r8 (md5-based hashes replay in DuckDB); the four sketch
+    aggregates (agg_approx_distinct, agg_approx_percentile,
+    agg_count_min, agg_hll_sketch_merge) followed via the r7
+    verdict's tolerance-band pattern — their hashable outputs carry
+    cross-engine-exact columns plus Spark-side error-envelope flags
+    the oracle pins to TRUE, so sketch drift breaks the hash gate
+    (raw estimates stay exposed via *_estimates/probe helpers)."""
     return dict(_ops.ORACLE)

@@ -175,14 +175,49 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimate has no exact oracle
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Checked by a pytest relative-
-    error bound vs the exact count instead of the DuckDB oracle
-    (SURVEY.md §7 hard-parts note (c))."""
+def approx_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate next to the exact distinct count, one scan.
+    The raw estimate is engine-specific (HLL++ register layout), so
+    it is not part of the registered hashable output — the band check
+    below and tests/test_properties.py::test_approx_distinct_error_
+    bound consume this frame instead."""
     ev = tbl(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=2%) with a value-bounded
+    oracle: the registered output carries the exact distinct count
+    (cross-engine-hashable) plus `hll_ok` — the Spark-side assertion
+    that the HLL estimate sits inside its error envelope (3·rsd
+    relative, small absolute floor for tiny groups). The oracle emits
+    TRUE, so an out-of-band estimate breaks the hash gate — the
+    rows-only r1-r7 status upgraded to value-bounded per the r7
+    verdict's tolerance-band suggestion (#4). The exact count next to
+    the sketch is the verification harness, not the production plan —
+    at 100 TB you run the mergeable HLL alone (that IS this operator's
+    point; `agg_bitmap_distinct` is the bounded-state exact twin)."""
+    est = approx_distinct_estimates(spark, sf_dir)
+    band = F.greatest(F.ceil(F.col("n_exact") * 0.06), F.lit(4))
+    return est.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.abs(F.col("approx_users") - F.col("n_exact")) <= band).alias(
+            "hll_ok"
+        ),
     )
 
 
@@ -314,31 +349,100 @@ def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: sketch-based by design
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles per group via the KLL-style sketch
-    (`approx_percentile`, relative error 1/accuracy). The sketch
-    aggregate is mergeable — partial sketches combine map-side
-    exactly like partial sums, which is why it scales where exact
-    `percentile` (full sort state per group) does not. Error bound vs
-    the exact percentile is property-tested."""
+_APCT_QS = ((0.25, "25"), (0.5, "50"), (0.75, "75"))
+_APCT_ACC = 1000
+
+
+def approx_percentile_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Raw KLL-style sketch percentiles per group (the pre-r8
+    registered output). Sketch-internal values — not cross-engine-
+    hashable; the rank-band check below and tests/test_properties.py
+    ::test_approx_percentile_error_bound consume this frame."""
     li = tbl(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_percentile(
                 F.col("l_orderkey"),
-                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-                F.lit(1000),
+                F.array(*[F.lit(q) for q, _ in _APCT_QS]),
+                F.lit(_APCT_ACC),
             ).alias("_pcts")
         )
         .select(
             "l_returnflag",
-            F.col("_pcts")[0].alias("approx_p25"),
-            F.col("_pcts")[1].alias("approx_p50"),
-            F.col("_pcts")[2].alias("approx_p75"),
+            *[
+                F.col("_pcts")[i].alias(f"approx_p{n}")
+                for i, (_, n) in enumerate(_APCT_QS)
+            ],
         )
     )
+
+
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_vals,
+           TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group via the KLL-style sketch
+    (`approx_percentile`, deterministic rank error ≤ n/accuracy).
+    The sketch aggregate is mergeable — partial sketches combine
+    map-side exactly like partial sums, which is why it scales where
+    exact `percentile` (full sort state per group) does not.
+
+    Value-bounded oracle (r7 verdict #4's tolerance-band suggestion,
+    upgrading the r1-r7 rows-only status) via RANK COUNTS, not
+    values-at-rank — no sort anywhere: pass 2 broadcast-joins the
+    ≤|groups|-row estimates back to lineitem and counts rows
+    strictly-below / at-or-below each estimate (map-side-combinable
+    sums). ok_q asserts the estimate's rank interval
+    [cnt_lt+1, cnt_le] intersects [q·n − ε·n, q·n + ε·n] (+2 slack
+    for rank-convention off-by-ones); the oracle emits TRUE, so a
+    sketch outside its documented envelope breaks the hash gate. An
+    all-NULL group degrades gracefully: n_vals=0, NULL estimates
+    contribute 0 to both counts, the band is trivially satisfied —
+    matching the builtin's NULL percentiles. Raw estimates stay
+    exposed via `approx_percentile_estimates`."""
+    est = approx_percentile_estimates(spark, sf_dir).select(
+        F.struct("l_returnflag").alias("fk"),
+        *[F.col(f"approx_p{n}") for _, n in _APCT_QS],
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.struct("l_returnflag").alias("fk"), "l_orderkey"
+    )
+    aggs = [F.count("l_orderkey").alias("n_vals")]
+    for _, n in _APCT_QS:
+        a = F.col(f"approx_p{n}")
+        aggs.append(
+            F.sum(
+                F.when(F.col("l_orderkey") < a, 1).otherwise(0)
+            ).alias(f"lt{n}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("l_orderkey") <= a, 1).otherwise(0)
+            ).alias(f"le{n}")
+        )
+    g = li.join(F.broadcast(est), "fk").groupBy("fk").agg(*aggs)
+    cols = [
+        F.col("fk.l_returnflag").alias("l_returnflag"),
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+    ]
+    for q, n in _APCT_QS:
+        margin = F.col("n_vals") / _APCT_ACC + F.lit(2.0)
+        target = F.col("n_vals") * F.lit(q)
+        ok = (F.col(f"lt{n}") <= target + margin) & (
+            F.col(f"le{n}") >= target - margin
+        )
+        cols.append(F.coalesce(ok, F.lit(False)).alias(f"ok{n}"))
+    return g.select(*cols)
 
 
 @query(
@@ -411,7 +515,77 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_count_min")  # rows-only: sketch layout is seed/impl-specific
+_CMS_EPS = 0.001
+_CMS_PROBES = 5
+
+
+def count_min_probe_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """(event_type, user_id, est_count, true_count, group_rows) for
+    the 5 probe users — the raw CMS estimates next to exact counts.
+    est_count is sketch-impl-specific (Spark's CountMinSketch), so it
+    stays out of the registered hashable output; the band check below
+    and tests/test_properties.py::test_count_min_error_bound consume
+    these rows."""
+    ev = tbl(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_min_sketch(
+                "user_id", F.lit(_CMS_EPS), F.lit(0.99), F.lit(42)
+            ).alias("sketch"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    )
+    probes = list(range(_CMS_PROBES))
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.filter(F.col("user_id").isin(probes))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    jvm = spark.sparkContext._jvm
+    out = []
+    for r in rows:
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r.sketch)
+        )
+        for u in probes:
+            out.append(
+                (
+                    r.event_type,
+                    u,
+                    int(cms.estimateCount(u)),
+                    int(exact.get((r.event_type, u), 0)),
+                    r.n_rows,
+                )
+            )
+    return sorted(out)
+
+
+@query(
+    "agg_count_min",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS group_rows
+      FROM events GROUP BY event_type
+    ), p AS (
+      SELECT CAST(u AS BIGINT) AS user_id
+      FROM (VALUES (0), (1), (2), (3), (4)) t(u)
+    ), c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events WHERE user_id BETWEEN 0 AND {_CMS_PROBES - 1}
+      GROUP BY event_type, user_id
+    )
+    SELECT g.event_type, p.user_id,
+           CAST(COALESCE(c.true_count, 0) AS BIGINT) AS true_count,
+           g.group_rows,
+           TRUE AS cms_ok
+    FROM g CROSS JOIN p
+    LEFT JOIN c ON c.event_type = g.event_type AND c.user_id = p.user_id
+    """,
+)
 def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates: per event_type, sketch
     the user_id stream (eps=0.1%, confidence 99%, fixed seed) and
@@ -425,31 +599,23 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch per group reaches the driver regardless of input size.
     Only the estimation of the 5 probe keys is driver-side
     (deserializing the merged sketch), bounded by groups × probes.
-    The estimate-vs-exact error bound is property-tested
-    (tests/test_properties.py::test_count_min_error_bound)."""
-    ev = tbl(spark, sf_dir, "events")
-    rows = (
-        ev.groupBy("event_type")
-        .agg(
-            F.count_min_sketch(
-                "user_id", F.lit(0.001), F.lit(0.99), F.lit(42)
-            ).alias("sketch"),
-            F.count("*").alias("n_rows"),
-        )
-        .collect()
-    )
-    jvm = spark.sparkContext._jvm
-    probes = list(range(5))
+
+    Value-bounded oracle (r7 verdict #4's tolerance-band pattern,
+    upgrading the r1-r7 rows-only status): the hashable output is the
+    exact probe counts + group sizes (cross-engine) plus `cms_ok` —
+    the CMS guarantee true ≤ est ≤ true + ⌈eps·N⌉ asserted Spark-side;
+    the oracle emits TRUE, so a violated envelope breaks the hash
+    gate. The exact probe counts are a 5-key pushed-filter aggregate
+    (the verification harness is itself cheap at scale); the raw
+    estimates remain exposed via `count_min_probe_rows`."""
     out = []
-    for r in rows:
-        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            bytes(r.sketch)
-        )
-        for u in probes:
-            out.append((r.event_type, u, int(cms.estimateCount(u)), r.n_rows))
+    for t, u, est, true, n_rows in count_min_probe_rows(spark, sf_dir):
+        margin = max(1, int(n_rows * _CMS_EPS) + 1)
+        out.append((t, u, true, n_rows, true <= est <= true + margin))
     return spark.createDataFrame(
-        sorted(out),
-        "event_type string, user_id bigint, est_count bigint, group_rows bigint",
+        out,
+        "event_type string, user_id bigint, true_count bigint,"
+        " group_rows bigint, cms_ok boolean",
     )
 
 
@@ -513,7 +679,50 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge")  # rows-only: sketch internals engine-specific
+def hll_sketch_merge_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-shard DataSketches HLL estimate next to the exact
+    distinct count per event_type. approx_users is sketch-binary-
+    specific, so it stays out of the registered hashable output; the
+    band check below and tests/test_properties.py::test_hll_sketch_
+    merge_accuracy consume this frame."""
+    e = tbl(spark, sf_dir, "events")
+    shard_sketches = (
+        e.withColumn("shard", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    )
+    merged = shard_sketches.groupBy(
+        F.struct("event_type").alias("tk")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("approx_users"),
+        F.count("*").cast("bigint").alias("n_sketches"),
+    )
+    # 1-field-struct key: struct equality keeps a NULL group through
+    # the equi-join (house rule; event_type is non-NULL in practice)
+    exact = e.groupBy(F.struct("event_type").alias("tk")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return merged.join(F.broadcast(exact), "tk").select(
+        F.col("tk.event_type").alias("event_type"),
+        "approx_users",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "n_sketches",
+    )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(COUNT(DISTINCT event_id % 16) AS BIGINT) AS n_sketches,
+           TRUE AS merge_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-sketch distinct counting — the incremental/at-scale
     shape of `agg_approx_distinct`: stage 1 builds a DataSketches HLL
@@ -522,24 +731,28 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     only rebuilds its own shard — stage 2 merges shard sketches with
     `hll_union_agg` and estimates. Sketch state is bytes, mergeable,
     and retry-safe; the second stage shuffles |groups|·|shards| tiny
-    binary blobs, never data rows. Estimate accuracy vs the exact
-    count is asserted in tests/test_properties.py::test_hll_sketch_
-    merge_accuracy (rows-only here: sketch binaries are
-    engine-specific, so no DuckDB twin exists)."""
-    e = tbl(spark, sf_dir, "events")
-    shard_sketches = (
-        e.withColumn("shard", F.pmod(F.col("event_id"), F.lit(16)))
-        .groupBy("event_type", "shard")
-        .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
-    )
-    return (
-        shard_sketches.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .cast("bigint")
-            .alias("approx_users"),
-            F.count("*").cast("bigint").alias("n_sketches"),
-        )
+    binary blobs, never data rows.
+
+    Value-bounded oracle (r7 verdict #4's tolerance-band pattern,
+    upgrading the r1-r7 rows-only status): the hashable output is the
+    exact distinct count + shard count (both cross-engine; n_sketches
+    replays as COUNT(DISTINCT event_id % 16) since stage 1 emits one
+    sketch row per present shard) plus `merge_ok` — the Spark-side
+    assertion that the merged estimate sits inside the lgK=14 error
+    envelope (rsd ≈ 0.81%; band 3·rsd with a small absolute floor).
+    The oracle emits TRUE, so an out-of-band merge breaks the hash
+    gate. The exact count is the verification harness — production
+    runs the mergeable sketches alone; raw estimates stay exposed via
+    `hll_sketch_merge_estimates`."""
+    est = hll_sketch_merge_estimates(spark, sf_dir)
+    band = F.greatest(F.ceil(F.col("n_exact") * 0.03), F.lit(4))
+    return est.select(
+        "event_type",
+        "n_exact",
+        "n_sketches",
+        (F.abs(F.col("approx_users") - F.col("n_exact")) <= band).alias(
+            "merge_ok"
+        ),
     )
 
 

@@ -289,25 +289,24 @@ def test_dpp_prunes_partitions(spark):
 def test_count_min_error_bound(spark):
     """CMS guarantees est ≥ true and est ≤ true + eps·N with prob ≥
     confidence; with eps=0.001 and these group sizes the additive
-    slack rounds to ~0, so estimates must equal exact counts."""
-    from flume_hive_batched_sink_spark.catalog import load_table
+    slack rounds to ~0, so estimates must equal exact counts. Also
+    pins that the registered band check (cms_ok, the value-bounded
+    oracle column) agrees."""
+    from flume_hive_batched_sink_spark.operators.aggregates import (
+        count_min_probe_rows,
+    )
 
-    est = {
-        (r.event_type, r.user_id): (r.est_count, r.group_rows)
-        for r in QUERIES["agg_count_min"](spark, SF_SMALL).collect()
-    }
-    ev = load_table(spark, SF_SMALL, "events")
-    exact = {
-        (r.event_type, r.user_id): r.n
-        for r in ev.filter(F.col("user_id") < 5)
-        .groupBy("event_type", "user_id")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    assert est
-    for key, (e, n_rows) in est.items():
-        true = exact.get(key, 0)
-        assert true <= e <= true + max(1, int(0.001 * n_rows)), (key, e, true)
+    rows = count_min_probe_rows(spark, SF_SMALL)
+    assert rows
+    for event_type, user_id, est, true, n_rows in rows:
+        assert true <= est <= true + max(1, int(0.001 * n_rows)), (
+            event_type,
+            user_id,
+            est,
+            true,
+        )
+    flags = QUERIES["agg_count_min"](spark, SF_SMALL).collect()
+    assert flags and all(r.cms_ok for r in flags)
 
 
 def test_landing_file_naming(spark, tmp_path):
@@ -683,18 +682,24 @@ def test_ann_ivf_planted_twin_recall(spark, tmp_path):
 def test_approx_percentile_error_bound(spark):
     """Sketch percentiles must be within rank error of the exact ones
     (accuracy=1000 → ~0.1% rank error; allow generous slack)."""
+    from flume_hive_batched_sink_spark.operators.aggregates import (
+        approx_percentile_estimates,
+    )
+
     exact = {
         r.l_returnflag: (r.p25, r.p50, r.p75)
         for r in QUERIES["agg_percentile"](spark, SF_SMALL).collect()
     }
     approx = {
         r.l_returnflag: (r.approx_p25, r.approx_p50, r.approx_p75)
-        for r in QUERIES["agg_approx_percentile"](spark, SF_SMALL).collect()
+        for r in approx_percentile_estimates(spark, SF_SMALL).collect()
     }
     assert set(exact) == set(approx)
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(e - a) <= max(100.0, 0.05 * abs(e)), (flag, e, a)
+    flags = QUERIES["agg_approx_percentile"](spark, SF_SMALL).collect()
+    assert flags and all(r.ok25 and r.ok50 and r.ok75 for r in flags)
 
 
 def test_topk_plans_take_ordered(spark):
@@ -835,9 +840,13 @@ def test_hll_sketch_merge_accuracy(spark):
     distinct count within the sketch's error envelope (lgK=14 →
     rsd ≈ 0.81%; the bound below is generous because the test strata
     are small)."""
+    from flume_hive_batched_sink_spark.operators.aggregates import (
+        hll_sketch_merge_estimates,
+    )
+
     est = {
-        r.event_type: r.approx_users
-        for r in QUERIES["agg_hll_sketch_merge"](spark, SF_SMALL).collect()
+        r.event_type: (r.approx_users, r.n_exact)
+        for r in hll_sketch_merge_estimates(spark, SF_SMALL).collect()
     }
     exact = {
         r.event_type: r.exact
@@ -848,7 +857,11 @@ def test_hll_sketch_merge_accuracy(spark):
     }
     assert set(est) == set(exact)
     for t, e in exact.items():
-        assert abs(est[t] - e) <= max(3, 0.05 * e), (t, est[t], e)
+        a, n_exact_col = est[t]
+        assert n_exact_col == e, (t, n_exact_col, e)
+        assert abs(a - e) <= max(3, 0.05 * e), (t, a, e)
+    flags = QUERIES["agg_hll_sketch_merge"](spark, SF_SMALL).collect()
+    assert flags and all(r.merge_ok for r in flags)
 
 
 def test_funnel_matches_python_reference(spark):
