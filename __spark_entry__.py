@@ -126,14 +126,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query. ONE name is
-    absent (rows-only check): ns_similarity_ann_ivf (data-dependent
-    centroid selection). MinHash/SimHash/ANN-LSH left the rows-only
-    list in r8 (md5-based hashes replay in DuckDB); the four sketch
-    aggregates (agg_approx_distinct, agg_approx_percentile,
-    agg_count_min, agg_hll_sketch_merge) followed via the r7
-    verdict's tolerance-band pattern — their hashable outputs carry
+    """DuckDB twins for EVERY registered query — 185/185 as of r8;
+    the rows-only category is empty. How the last eight left it:
+    MinHash/SimHash/ANN-LSH switched to md5-derived hashes DuckDB
+    replays exactly; the four sketch aggregates (agg_approx_distinct,
+    agg_approx_percentile, agg_count_min, agg_hll_sketch_merge) got
+    the r7 verdict's tolerance-band pattern — hashable outputs carry
     cross-engine-exact columns plus Spark-side error-envelope flags
     the oracle pins to TRUE, so sketch drift breaks the hash gate
-    (raw estimates stay exposed via *_estimates/probe helpers)."""
+    (raw estimates stay exposed via *_estimates/probe helpers); and
+    ns_similarity_ann_ivf's assignment ranking (a left-fold double
+    dot) replays bit-exactly via DuckDB list_reduce (similarity.py
+    _IVF_ORACLE)."""
     return dict(_ops.ORACLE)

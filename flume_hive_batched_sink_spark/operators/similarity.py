@@ -818,7 +818,85 @@ def ivf_topk(
     )
 
 
-@query("ns_similarity_ann_ivf")  # rows-only: approximate by design
+# DuckDB twin of the IVF path. The only piece the LSH oracle above
+# didn't already prove out is the ASSIGNMENT ranking, which Spark
+# computes with `_dot_dbl` — an unrolled LEFT-FOLD double sum
+# (((t1+t2)+t3)+…). IEEE addition is deterministic for a fixed
+# sequence, so DuckDB replays it bit-exactly with
+# list_reduce(list(term ORDER BY i), (a,b) -> a+b) — same fold, same
+# doubles, same (cdot DESC, cent_id) row_number choice. Norms and the
+# output cosine reuse the exact-decimal-via-VARCHAR patterns from the
+# ann_lsh oracle verbatim.
+_IVF_ORACLE = f"""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id % 50 = 0
+      ORDER BY vec_id LIMIT {_IVF_MAX_CELLS}
+    ),
+    adot AS (
+      SELECT e.vec_id, c.cent_id,
+             list_reduce(
+               list(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(c.cent_emb[i.i] AS DOUBLE) ORDER BY i.i),
+               (a, b) -> a + b) AS cdot
+      FROM embeddings e CROSS JOIN cent c CROSS JOIN idx i
+      GROUP BY e.vec_id, c.cent_id
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, cent_id) AS rn
+        FROM adot) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                AS VARCHAR)
+                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      GROUP BY vec_id
+    ),
+    probe_cells AS (
+      SELECT vec_id AS query_id, cent_id AS cell_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, cent_id) AS rn
+        FROM adot WHERE vec_id < 5) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT pc.query_id, a.vec_id AS neighbor_id
+      FROM probe_cells pc JOIN assigned a ON a.cell_id = pc.cell_id
+      WHERE a.vec_id != pc.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(CAST(CAST(CAST(q.embedding[i.i] AS DOUBLE)
+                                * CAST(n.embedding[i.i] AS DOUBLE)
+                                AS VARCHAR)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+      CROSS JOIN idx i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / (nq.nrm * nn.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nn.nrm) DESC, d.neighbor_id
+             ) AS rn
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nn ON nn.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 3
+"""
+
+
+@query("ns_similarity_ann_ivf", _IVF_ORACLE)
 def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 via IVF (inverted-file index): coarse-quantize every
     vector to its nearest centroid cell, then search only the probe's
@@ -832,6 +910,13 @@ def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe work is |cell| · nprobe instead of |corpus|. This is
     the same partition-pruning shape an IVF index gives FAISS, done
     with joins (core: `ivf_topk`, recall@3-tested on planted twins).
+
+    Oracle-backed since r8 (the LAST rows-only conversion — the
+    registry is now 185/185): "approximate" here was always
+    deterministic — centroids are a fixed id-subset, assignment ranks
+    a left-fold double dot DuckDB replays bit-exactly (see
+    _IVF_ORACLE), and the output cosine is the exact-decimal fold
+    both engines evaluate identically.
 
     The cell count is CAPPED at a fixed geometry (_IVF_MAX_CELLS) so
     the N·C assignment cost stays linear in the corpus — an uncapped

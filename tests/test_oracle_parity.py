@@ -13,6 +13,9 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare, duck_connection
 
 WITH_ORACLE = sorted(n for n in ops.QUERIES if n in ops.ORACLE)
+# Empty since r8 (185/185 oracle-backed); kept so any future operator
+# registered without a twin still gets at least the runs-and-has-
+# schema check (the parametrize auto-skips while the list is empty).
 ROWS_ONLY = sorted(n for n in ops.QUERIES if n not in ops.ORACLE)
 
 # Queries allowed to return 0 rows at the test SF (vacuity guard
