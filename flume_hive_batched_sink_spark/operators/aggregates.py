@@ -16,6 +16,8 @@ set lattice map-side (no extra shuffle rounds).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -212,12 +214,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     point; `agg_bitmap_distinct` is the bounded-state exact twin)."""
     est = approx_distinct_estimates(spark, sf_dir)
     band = F.greatest(F.ceil(F.col("n_exact") * 0.06), F.lit(4))
+    # coalesce: a NULL estimate (unreachable with non-null user_ids)
+    # reads as a clean False, not a NULL-vs-TRUE cell mismatch —
+    # same guard as the percentile ok flags
     return est.select(
         "event_type",
         F.col("n_exact").cast("bigint").alias("n_exact"),
-        (F.abs(F.col("approx_users") - F.col("n_exact")) <= band).alias(
-            "hll_ok"
-        ),
+        F.coalesce(
+            F.abs(F.col("approx_users") - F.col("n_exact")) <= band,
+            F.lit(False),
+        ).alias("hll_ok"),
     )
 
 
@@ -519,6 +525,15 @@ _CMS_EPS = 0.001
 _CMS_PROBES = 5
 
 
+def cms_margin(n_rows: int) -> int:
+    """The ONE definition of the CMS additive envelope: the sketch
+    guarantees true ≤ est ≤ true + ⌈eps·N⌉ (w.p. ≥ confidence; fixed
+    seed makes it deterministic here). Shared by the registered
+    cms_ok gate and tests/test_properties.py::test_count_min_error_
+    bound so the two can never assert different envelopes."""
+    return max(1, math.ceil(n_rows * _CMS_EPS))
+
+
 def count_min_probe_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """(event_type, user_id, est_count, true_count, group_rows) for
     the 5 probe users — the raw CMS estimates next to exact counts.
@@ -572,7 +587,7 @@ def count_min_probe_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
       FROM events GROUP BY event_type
     ), p AS (
       SELECT CAST(u AS BIGINT) AS user_id
-      FROM (VALUES (0), (1), (2), (3), (4)) t(u)
+      FROM (VALUES {", ".join(f"({i})" for i in range(_CMS_PROBES))}) t(u)
     ), c AS (
       SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS true_count
       FROM events WHERE user_id BETWEEN 0 AND {_CMS_PROBES - 1}
@@ -610,8 +625,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates remain exposed via `count_min_probe_rows`."""
     out = []
     for t, u, est, true, n_rows in count_min_probe_rows(spark, sf_dir):
-        margin = max(1, int(n_rows * _CMS_EPS) + 1)
-        out.append((t, u, true, n_rows, true <= est <= true + margin))
+        out.append((t, u, true, n_rows, true <= est <= true + cms_margin(n_rows)))
     return spark.createDataFrame(
         out,
         "event_type string, user_id bigint, true_count bigint,"
@@ -746,13 +760,15 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     `hll_sketch_merge_estimates`."""
     est = hll_sketch_merge_estimates(spark, sf_dir)
     band = F.greatest(F.ceil(F.col("n_exact") * 0.03), F.lit(4))
+    # coalesce: same NULL-estimate guard as hll_ok / the ok flags
     return est.select(
         "event_type",
         "n_exact",
         "n_sketches",
-        (F.abs(F.col("approx_users") - F.col("n_exact")) <= band).alias(
-            "merge_ok"
-        ),
+        F.coalesce(
+            F.abs(F.col("approx_users") - F.col("n_exact")) <= band,
+            F.lit(False),
+        ).alias("merge_ok"),
     )
 
 
