@@ -77,6 +77,11 @@ PLAN_QUERIES = [
     # md5-based minhash (ReusedExchange across band self-join sides).
     "win_ntile_dist",
     "ns_dedup_minhash",
+    # round 8 value-bounded sketch conversions: the band harnesses
+    # must not bend the scale shape (sort-free rank-count check,
+    # single-scan estimate+exact).
+    "agg_approx_percentile",
+    "agg_approx_distinct",
 ]
 
 
@@ -375,6 +380,41 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         f"InMemoryTableScan={'InMemoryTableScan' in p} "
         f"ReusedExchange={'ReusedExchange' in p} "
         f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
+
+    # agg_approx_percentile (r8 value-bounded conversion): the rank
+    # band check must stay sort-free — it validates the sketch by
+    # COUNTING rows below each estimate (map-side-combinable sums
+    # after broadcasting the ≤|groups|-row estimates), never by
+    # ranking values-at-rank. A Sort or Window node here would mean
+    # the harness reintroduced the per-group-sort shape the sketch
+    # exists to avoid.
+    import re as _re
+
+    p = _formatted(ops.QUERIES["agg_approx_percentile"](spark, sf_dir))
+    nodes = set(_re.findall(r"\b(Sort|Window)\b", p))
+    add("agg_approx_percentile",
+        "band check is sort-free (no Sort/Window; rank counts only)",
+        not nodes,
+        f"forbidden nodes found: {sorted(nodes)}" if nodes
+        else "no Sort/Window in formatted plan")
+    add("agg_approx_percentile",
+        "sketch estimates broadcast back to the corpus (no shuffle "
+        "of lineitem for the band pass)",
+        "BroadcastExchange" in p,
+        "BroadcastExchange present" if "BroadcastExchange" in p
+        else "BroadcastExchange MISSING")
+
+    # agg_approx_distinct (r8): the exact count and the HLL estimate
+    # must come from ONE scan of events (the band harness may not
+    # double-scan the fact table).
+    p = _formatted(ops.QUERIES["agg_approx_distinct"](spark, sf_dir))
+    # count the numbered detail headings, not raw substrings — the
+    # formatted output names each scan twice (tree line + details)
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", p))
+    add("agg_approx_distinct",
+        "HLL estimate and exact count share one events scan",
+        n_scans == 1,
+        f"{n_scans} parquet scan detail sections in formatted plan")
     return checks
 
 
