@@ -213,17 +213,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you run the mergeable HLL alone (that IS this operator's
     point; `agg_bitmap_distinct` is the bounded-state exact twin)."""
     est = approx_distinct_estimates(spark, sf_dir)
-    band = F.greatest(F.ceil(F.col("n_exact") * 0.06), F.lit(4))
-    # coalesce: a NULL estimate (unreachable with non-null user_ids)
-    # reads as a clean False, not a NULL-vs-TRUE cell mismatch —
-    # same guard as the percentile ok flags
     return est.select(
         "event_type",
         F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.coalesce(
-            F.abs(F.col("approx_users") - F.col("n_exact")) <= band,
-            F.lit(False),
-        ).alias("hll_ok"),
+        within_band("approx_users", "n_exact", 0.06, 4).alias("hll_ok"),
     )
 
 
@@ -423,6 +416,17 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select(
         F.struct("l_returnflag").alias("fk"), "l_orderkey"
     )
+    return percentile_rank_band(li, est)
+
+
+def percentile_rank_band(li: DataFrame, est: DataFrame) -> DataFrame:
+    """The rank-count band check, factored so the negative path is
+    testable: `li` is (fk struct, l_orderkey), `est` is (fk,
+    approx_p25/50/75). tests/test_properties.py::
+    test_percentile_band_flags_flip_on_drift feeds deliberately wrong
+    estimates through this exact code and asserts the flags go FALSE
+    — proving the envelope is finite and the oracle's pinned TRUE is
+    a real assertion, not a tautology."""
     aggs = [F.count("l_orderkey").alias("n_vals")]
     for _, n in _APCT_QS:
         a = F.col(f"approx_p{n}")
@@ -523,6 +527,20 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_EPS = 0.001
 _CMS_PROBES = 5
+
+
+def within_band(approx, exact, rel: float, floor_: int):
+    """Shared relative-error envelope for the HLL band flags:
+    |approx − exact| ≤ max(⌈rel·exact⌉, floor_), NULL-safe (a NULL
+    estimate reads as a clean False, not a NULL-vs-TRUE cell
+    mismatch). One definition so agg_approx_distinct and
+    agg_hll_sketch_merge can't drift apart, and so the negative path
+    is testable on literal rows (tests/test_properties.py::
+    test_hll_band_flags_flip_on_drift)."""
+    approx = F.col(approx) if isinstance(approx, str) else approx
+    exact = F.col(exact) if isinstance(exact, str) else exact
+    band = F.greatest(F.ceil(exact * rel), F.lit(floor_))
+    return F.coalesce(F.abs(approx - exact) <= band, F.lit(False))
 
 
 def cms_margin(n_rows: int) -> int:
@@ -759,16 +777,11 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the mergeable sketches alone; raw estimates stay exposed via
     `hll_sketch_merge_estimates`."""
     est = hll_sketch_merge_estimates(spark, sf_dir)
-    band = F.greatest(F.ceil(F.col("n_exact") * 0.03), F.lit(4))
-    # coalesce: same NULL-estimate guard as hll_ok / the ok flags
     return est.select(
         "event_type",
         "n_exact",
         "n_sketches",
-        F.coalesce(
-            F.abs(F.col("approx_users") - F.col("n_exact")) <= band,
-            F.lit(False),
-        ).alias("merge_ok"),
+        within_band("approx_users", "n_exact", 0.03, 4).alias("merge_ok"),
     )
 
 

@@ -678,6 +678,74 @@ def test_ann_ivf_planted_twin_recall(spark, tmp_path):
             assert ranked[0][0] > 0.99, (q, ranked[0])
 
 
+def test_percentile_band_flags_flip_on_drift(spark):
+    """Negative path for the value-bounded oracle pattern: the ok
+    flags must actually go FALSE for an estimate outside the rank
+    envelope — proving the band is finite and the oracle's pinned
+    TRUE is a real assertion, not a tautology. Feeds the REAL band
+    code (percentile_rank_band) planted estimates: the true median
+    (in band) vs the group maximum+1 (rank n, hopelessly out of band
+    for q=0.25/0.5), on 1000 distinct values."""
+    from flume_hive_batched_sink_spark.operators.aggregates import (
+        percentile_rank_band,
+    )
+
+    li = spark.range(1, 1001).select(
+        F.struct(F.lit("G").alias("l_returnflag")).alias("fk"),
+        F.col("id").alias("l_orderkey"),
+    )
+    good = spark.createDataFrame(
+        [("G", 250.0, 500.0, 750.0)],
+        "l_returnflag string, approx_p25 double, approx_p50 double,"
+        " approx_p75 double",
+    ).select(F.struct("l_returnflag").alias("fk"), "approx_p25",
+             "approx_p50", "approx_p75")
+    row = percentile_rank_band(li, good).collect()[0]
+    assert row.ok25 and row.ok50 and row.ok75, row
+    bad = spark.createDataFrame(
+        [("G", 1001.0, 1001.0, 0.0)],
+        "l_returnflag string, approx_p25 double, approx_p50 double,"
+        " approx_p75 double",
+    ).select(F.struct("l_returnflag").alias("fk"), "approx_p25",
+             "approx_p50", "approx_p75")
+    row = percentile_rank_band(li, bad).collect()[0]
+    assert not row.ok25 and not row.ok50 and not row.ok75, row
+
+
+def test_hll_band_flags_flip_on_drift(spark):
+    """Negative path for the shared relative-error envelope: out-of-
+    band and NULL estimates must read False; in-band (including the
+    small-group absolute floor) must read True."""
+    from flume_hive_batched_sink_spark.operators.aggregates import (
+        cms_margin,
+        within_band,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1000, 1030, True),   # 3% of 1000 = 30 → just in band
+            (1000, 1031, False),  # one past the band edge
+            (10, 14, True),       # absolute floor 4 covers tiny groups
+            (10, 15, False),
+            (1000, None, False),  # NULL estimate → clean False
+        ],
+        "exact bigint, approx bigint, expect boolean",
+    )
+    rows = df.select(
+        "expect", within_band("approx", "exact", 0.03, 4).alias("got")
+    ).collect()
+    assert all(r.got == r.expect for r in rows), rows
+    # CMS envelope boundary, via the same predicate agg_count_min
+    # applies per probe: est=true+margin passes, +margin+1 fails,
+    # any undercount fails (CMS can never undercount)
+    n_rows, true = 12345, 100
+    m = cms_margin(n_rows)
+    assert m == 13
+    ok = lambda est: true <= est <= true + m  # noqa: E731
+    assert ok(true) and ok(true + m)
+    assert not ok(true + m + 1) and not ok(true - 1)
+
+
 def test_approx_percentile_error_bound(spark):
     """Sketch percentiles must be within rank error of the exact ones
     (accuracy=1000 → ~0.1% rank error; allow generous slack)."""
