@@ -1,0 +1,117 @@
+"""Global anti-pattern plan sweep → PLANSWEEP.json.
+
+PLANCHECK.json asserts deep per-query plan properties for the
+scale-critical operators; this sweep asserts ONE property globally:
+no registered batch operator's plan contains a
+BroadcastNestedLoopJoin or CartesianProduct over data-scaled inputs —
+the two operators that turn 100 TB into |A|·|B| comparisons — unless
+the query is on the explicit allowlist below with a reason (the
+operator IS a cross product, or the nested-loop side is a bounded
+literal/constant frame that never scales with the corpus).
+
+Streaming operators are skipped: building their DataFrame replays the
+staged micro-batches (execution, not planning), and their plans are
+micro-batch-internal. Their scale behavior is covered by the decade
+table and the replay oracles instead.
+
+Usage: python scripts/plan_sweep.py [sf_dir]   (default sf0.01)
+Writes PLANSWEEP.json: {query: {bnlj: n, cartesian: n, allowed: bool,
+reason}} plus a summary; exits non-zero on any unallowed hit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flume_hive_batched_sink_spark import operators as ops
+from flume_hive_batched_sink_spark.session import get_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# name -> why a nested-loop/cartesian is legitimate THERE. Every
+# entry was adjudicated by reading the executed plan: in each case
+# the BNLJ's BuildRight side is a BROADCAST of a bounded frame — a
+# 1-row global aggregate or a fixed probe/centroid set — so the
+# nested loop is O(N·k) with k a constant, which is exactly the
+# "join the corpus with a scalar" pattern, not an |A|·|B| blowup.
+ALLOWED = {
+    "join_cross": "the operator IS the cross product (bounded dims: "
+    "region x nation audit grid)",
+    "ns_similarity_topk": "brute-force exact top-k baseline BY "
+    "DESIGN: corpus x fixed 5-probe frame; the scale paths are "
+    "ann_lsh / ann_ivf",
+    "ns_similarity_ann_ivf": "keyless joins against the broadcast "
+    "centroid frame, capped at _IVF_MAX_CELLS=64 rows — the linear "
+    "N*C assignment the cap exists to bound",
+    "ns_embedding_filter_join": "corpus x fixed 5-probe broadcast "
+    "frame (the probe screen is the operator)",
+    "ns_tfidf_topterms": "1-row broadcast n_sources scalar joined "
+    "for the IDF denominator",
+    "agg_histogram_equidepth": "1-row broadcast of the 9 global "
+    "quantile boundaries (percentile aggregate) bucketing the scan",
+    "ns_domain_mixture": "1-row broadcast corpus-total scalar for "
+    "share normalization",
+    "ns_mix_plan": "1-row broadcast totals scalar for mixture "
+    "weights",
+    "ns_vocab_coverage": "1-row broadcast total-token scalar for "
+    "coverage shares",
+    "ts_seasonality_profile": "1-row broadcast global-mean scalar "
+    "for the seasonality index",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="plan-sweep")
+    results: dict[str, dict] = {}
+    bad: list[str] = []
+    for name, fn in ops.QUERIES.items():
+        if name.startswith("stream_"):
+            results[name] = {"skipped": "streaming (replay executes)"}
+            continue
+        try:
+            df = fn(spark, SF)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # pragma: no cover - sweep robustness
+            results[name] = {"error": str(exc)[:200]}
+            bad.append(name)
+            continue
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        cart = plan.count("CartesianProduct")
+        hit = bnlj + cart > 0
+        ok = (not hit) or name in ALLOWED
+        results[name] = {
+            "bnlj": bnlj,
+            "cartesian": cart,
+            "allowed": name in ALLOWED,
+            "reason": ALLOWED.get(name, ""),
+        }
+        if not ok:
+            bad.append(name)
+        print(f"{name:32s} bnlj={bnlj} cart={cart} "
+              f"{'ALLOWED' if name in ALLOWED and hit else ('BAD' if not ok else 'ok')}",
+              flush=True)
+    summary = {
+        "sf_dir": SF,
+        "n_swept": sum(1 for r in results.values() if "bnlj" in r),
+        "n_skipped_streaming": sum(
+            1 for r in results.values() if "skipped" in r
+        ),
+        "unallowed": sorted(bad),
+        "queries": results,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANSWEEP.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"wrote PLANSWEEP.json: {summary['n_swept']} swept, "
+          f"unallowed={bad}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
