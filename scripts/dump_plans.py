@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -388,8 +389,6 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
     # ranking values-at-rank. A Sort or Window node here would mean
     # the harness reintroduced the per-group-sort shape the sketch
     # exists to avoid.
-    import re as _re
-
     p = _formatted(ops.QUERIES["agg_approx_percentile"](spark, sf_dir))
     nodes = set(_re.findall(r"\b(Sort|Window)\b", p))
     add("agg_approx_percentile",

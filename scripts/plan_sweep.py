@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flume_hive_batched_sink_spark import operators as ops
 from flume_hive_batched_sink_spark.session import get_spark
+from scripts.dump_plans import _formatted
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -68,22 +69,26 @@ def main() -> None:
     spark = get_spark(app_name="plan-sweep")
     results: dict[str, dict] = {}
     bad: list[str] = []
+    errors: list[str] = []
+    hit_names: set[str] = set()
     for name, fn in ops.QUERIES.items():
         if name.startswith("stream_"):
             results[name] = {"skipped": "streaming (replay executes)"}
             continue
         try:
-            df = fn(spark, SF)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = _formatted(fn(spark, SF))
         except Exception as exc:  # pragma: no cover - sweep robustness
+            # a build failure is NOT a policy violation — record it
+            # separately so "unallowed" stays exactly what README
+            # says it is (observed nested loops off the allowlist)
             results[name] = {"error": str(exc)[:200]}
-            bad.append(name)
+            errors.append(name)
             continue
         bnlj = plan.count("BroadcastNestedLoopJoin")
         cart = plan.count("CartesianProduct")
         hit = bnlj + cart > 0
+        if hit:
+            hit_names.add(name)
         ok = (not hit) or name in ALLOWED
         results[name] = {
             "bnlj": bnlj,
@@ -96,6 +101,10 @@ def main() -> None:
         print(f"{name:32s} bnlj={bnlj} cart={cart} "
               f"{'ALLOWED' if name in ALLOWED and hit else ('BAD' if not ok else 'ok')}",
               flush=True)
+    # allowlist rot guard: an entry that no longer hits is stale —
+    # surface it so a future regression can't hide under a reason
+    # written for a plan that no longer exists
+    stale_allowlist = sorted(set(ALLOWED) - hit_names)
     summary = {
         "sf_dir": SF,
         "n_swept": sum(1 for r in results.values() if "bnlj" in r),
@@ -103,14 +112,17 @@ def main() -> None:
             1 for r in results.values() if "skipped" in r
         ),
         "unallowed": sorted(bad),
+        "build_errors": sorted(errors),
+        "stale_allowlist": stale_allowlist,
         "queries": results,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANSWEEP.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(f"wrote PLANSWEEP.json: {summary['n_swept']} swept, "
-          f"unallowed={bad}")
-    sys.exit(1 if bad else 0)
+          f"unallowed={bad}, build_errors={errors}, "
+          f"stale_allowlist={stale_allowlist}")
+    sys.exit(1 if (bad or errors or stale_allowlist) else 0)
 
 
 if __name__ == "__main__":

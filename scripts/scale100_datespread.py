@@ -44,8 +44,10 @@ def build_datespread(spark, k: int) -> str:
     out = os.path.join(SCRATCH, f"scale{k}x_datespread")
     for t in ("orders", "lineitem"):
         dst = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(dst):
-            continue  # idempotent across reruns
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue  # idempotent across reruns — but ONLY on a dir
+            # Spark committed (_SUCCESS); a crashed build's partial
+            # dir must be rebuilt, not silently timed against
         base = load_table(spark, BASE_SF, t)
         parts = []
         for i in range(k):
