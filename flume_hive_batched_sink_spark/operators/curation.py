@@ -1,0 +1,575 @@
+"""[NS] — model-based corpus curation (the r9 additions).
+
+The four operators modern LLM data pipelines run between "clean text"
+and "training shards", each re-expressed Spark-first and each with an
+exact DuckDB twin:
+
+- `ns_quality_perplexity`: CCNet-shape LM filtering — train an
+  add-one-smoothed bigram LM on a reference slice, score every doc's
+  avg negative log-likelihood, flag high-NLL docs. (CCNet filters on
+  a wikipedia-trained KenLM; the engine keeps the exact pipeline
+  shape — n-gram counting pass, model join, per-doc NLL — with the
+  LM order reduced to bigrams so the oracle can replay it.)
+- `ns_sample_importance`: DSIR-shape importance resampling — hashed
+  unigram features, per-feature log-likelihood-ratio between a target
+  slice and the raw pool, per-doc importance log-weight, keep flag.
+- `ns_dedup_bloom`: bloom-filter incremental chunk dedup with exact
+  false-positive accounting (the cheap pre-screen ahead of
+  ns_dedup_incremental's exact index probe).
+- `ns_cluster_kmeans` / `ns_semdedup` (clustering.py): fixed-iteration
+  Lloyd over the embedding corpus, and SemDeDup within-cluster cosine
+  near-dup pruning on top of it.
+
+Cross-engine determinism: every score is a sum of natural logs of
+INTEGER counts, computed with `registry.det_ln_int` — the
+range-reduced truncated-atanh series both engines evaluate
+bit-identically (native ln() differs by 1 ulp on ~1% of inputs; see
+registry.py). Sums go through the usual exact-decimal `dsum`.
+
+Reference parity: the reference (a Flume→Hive ETL sink) has no
+model-based curation surface; these are [NS] north-star rows per
+SURVEY §2 Part B / BASELINE.json. Closest reference seam is the
+pluggable serde classloader (HiveBatchedSink.scala:244-257) — the
+"bring your own scorer" extension point these operators standardize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import (
+    det_ln_int,
+    dsum,
+    query,
+    sql_det_ln_ctes,
+    sql_dsum,
+    tbl,
+)
+
+# ---------- bigram-LM perplexity filter (CCNet shape) ----------
+
+# Reference slice the LM is trained on (a "known-good corpus" stand-in,
+# like CCNet's wikipedia). src1 is arbitrary but FIXED: the whole point
+# of the filter is that every engine scores against the same model.
+_PPL_REF_SOURCE = "src1"
+# NLL threshold (nats/token): ln-perplexity above this flags the doc.
+# Sits inside the observed spread (sf0.001/0.01/0.1 all span ~3.0-3.8
+# with median ~3.52) so the flag varies at every oracle SF (the
+# negative-path tests assert both values occur — a constant flag would
+# make the hash gate vacuous for this column).
+_PPL_NLL_HI = 3.52
+
+# Spark-side bigram derivation, ROW-LOCAL (no per-doc window shuffle:
+# adjacent pairs come straight out of the token array; out-of-bounds
+# array access yields NULL, filtered once). DuckDB mirrors with a
+# LATERAL range join over 1-based list indexing.
+_PAIRS = (
+    "transform(sequence(0, greatest(size(t) - 2, 0)),"
+    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+)
+
+
+@query(
+    "ns_quality_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM pairs
+      WHERE source = '{_PPL_REF_SOURCE}' GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    voc AS (SELECT COUNT(*) AS v FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             COALESCE(b.c2, 0) + 1 AS num,
+             COALESCE(u.c1, 0) + voc.v AS den,
+             CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+      FROM pairs p
+      LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN uni u ON p.w1 = u.w1
+      CROSS JOIN voc
+    ),
+    {sql_det_ln_ctes("lnx", "scored", {"num": "ln_num", "den": "ln_den"})},
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS nb, CAST(SUM(unseen) AS BIGINT) AS nu,
+             {sql_dsum("ln_den - ln_num", "nll")}
+      FROM lnx GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.nu, 0) AS BIGINT) AS n_unseen,
+           p.nll AS nll,
+           p.nll / CAST(p.nb AS DOUBLE) AS avg_nll,
+           CASE WHEN p.nll / CAST(p.nb AS DOUBLE)
+                     > CAST({_PPL_NLL_HI!r} AS DOUBLE)
+                THEN 1 ELSE 0 END AS high_nll
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    """,
+)
+def ns_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter (CCNet pipeline shape): add-one
+    bigram LM trained on the `src1` reference slice; every doc scored
+    by average NLL (nats/token = ln perplexity); `high_nll` flags the
+    docs CCNet would route to its "tail" bucket.
+
+    Per-bigram probability p(w2|w1) = (c(w1,w2)+1) / (c(w1,.)+V) — all
+    integer counts, so each token's surprisal is det_ln(den) -
+    det_ln(num), bit-identical cross-engine (registry.det_ln_int).
+
+    Scale: bigram derivation is ROW-LOCAL (array transform in the scan
+    projection — no per-doc window shuffle). The model is one hash agg
+    over the reference slice's bigrams (map-side combine absorbs hot
+    pairs); scoring is two keyed joins of the corpus bigram stream
+    against model tables that are vocab-sized, not corpus-sized — AQE
+    broadcasts them at oracle SFs, and at 100 TB they stay orders of
+    magnitude below the corpus (sort-merge on (w1,w2), skew absorbed
+    by AQE). Per-doc reduce is ONE doc_id-keyed agg. Nothing is ever
+    all-pairs; the only O(corpus) passes are the scan and the two
+    keyed shuffles."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    pairs = (
+        d.select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.trim("text")), " ").alias("t"),
+        )
+        .select("doc_id", "source", F.explode(F.expr(_PAIRS)).alias("bg"))
+        .select("doc_id", "source", "bg.w1", "bg.w2")
+        .filter(F.col("w2").isNotNull())
+    )
+    big = (
+        pairs.filter(F.col("source") == _PPL_REF_SOURCE)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    uni = big.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    voc = uni.agg(F.count("*").alias("v"))
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            (F.coalesce("c2", F.lit(0)) + F.lit(1)).alias("num"),
+            (F.coalesce("c1", F.lit(0)) + F.col("v")).alias("den"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("nb"),
+        F.sum("unseen").cast("bigint").alias("nu"),
+        dsum(det_ln_int(F.col("den")) - det_ln_int(F.col("num")), "nll"),
+    )
+    avg = F.col("nll") / F.col("nb").cast("double")
+    return d.select("doc_id").join(perdoc, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("nu", F.lit(0)).cast("bigint").alias("n_unseen"),
+        F.col("nll").alias("nll"),
+        avg.alias("avg_nll"),
+        F.when(avg > F.lit(_PPL_NLL_HI), 1).otherwise(0).alias("high_nll"),
+    )
+
+
+# ---------- DSIR importance resampling ----------
+
+# Target slice whose distribution the raw pool is resampled toward
+# (DSIR's "target domain"); distinct from the perplexity reference and
+# the contamination eval slice so the three stand-ins don't conflate.
+_DSIR_TARGET_SOURCE = "src2"
+_DSIR_BUCKETS = 256  # hashed-unigram feature space (DSIR uses 10^4)
+
+# bucket(w) = first 16 bits of md5(w) mod B — md5 is byte-identical in
+# both engines; DuckDB rebuilds the 16-bit value with a nibble
+# polynomial (same trick as dedup._h32_sql).
+_DSIR_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(w), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + f") % {_DSIR_BUCKETS}"
+)
+
+
+def _dsir_bucket(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+
+
+@query(
+    "ns_sample_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             {_DSIR_BUCKET_SQL} AS f
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents
+      )
+    ),
+    model0 AS (
+      SELECT f,
+             CAST(SUM(CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+                           THEN 1 ELSE 0 END) + 1 AS BIGINT) AS ct1,
+             CAST(SUM(CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+                           THEN 0 ELSE 1 END) + 1 AS BIGINT) AS cr1
+      FROM toks GROUP BY f
+    ),
+    tot0 AS (
+      SELECT CAST(SUM(ct1 - 1) + {_DSIR_BUCKETS} AS BIGINT) AS tb,
+             CAST(SUM(cr1 - 1) + {_DSIR_BUCKETS} AS BIGINT) AS rb
+      FROM model0
+    ),
+    {sql_det_ln_ctes("tot", "tot0", {"tb": "ln_tb", "rb": "ln_rb"})},
+    {sql_det_ln_ctes(
+        "model", "model0", {"ct1": "ln_t", "cr1": "ln_r"}
+    )},
+    lam AS (
+      SELECT m.f,
+             (m.ln_t - t.ln_tb) - (m.ln_r - t.ln_rb) AS lam
+      FROM model m CROSS JOIN tot t
+    ),
+    perdoc AS (
+      SELECT k.doc_id, COUNT(*) AS n_tokens,
+             {sql_dsum("l.lam", "log_weight")}
+      FROM toks k JOIN lam l ON k.f = l.f
+      WHERE k.source <> '{_DSIR_TARGET_SOURCE}'
+      GROUP BY k.doc_id
+    ),
+    mu AS (
+      SELECT CAST(SUM(CAST(log_weight / CAST(n_tokens AS DOUBLE)
+                           AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS mean_alw
+      FROM perdoc
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_weight,
+           log_weight / CAST(n_tokens AS DOUBLE) AS avg_log_weight,
+           CASE WHEN log_weight / CAST(n_tokens AS DOUBLE) > mean_alw
+                THEN 1 ELSE 0 END AS keep
+    FROM perdoc CROSS JOIN mu
+    """,
+)
+def ns_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023 pipeline shape):
+    hashed-unigram features (md5 16-bit → 256 buckets),
+    per-feature log-likelihood ratio between the `src2` target slice
+    and the raw pool (add-one smoothing both sides), per-raw-doc
+    importance log-weight = Σ_tokens λ(bucket). `keep` = per-token
+    evidence above the corpus mean — a threshold computed by ONE
+    1-row aggregate and broadcast, not a global sort (production
+    note: DSIR's gumbel-top-k also reduces to a per-doc score
+    threshold, so nothing here changes shape at 100 TB; smoothing
+    biases raw-pool scores slightly negative, which is why the cut is
+    mean-relative rather than at 0).
+
+    Every λ is a difference of det_ln over integer counts —
+    bit-identical cross-engine; doc sums go through exact decimal.
+
+    Scale: ONE token-keyed hash agg builds the 256-row model
+    (map-side combine); λ is computed on the model rows (256
+    det_ln evaluations, not per token); scoring joins the token stream
+    to the broadcast model and reduces per doc_id. No global sort, no
+    all-pairs, model size independent of corpus size."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"),
+    ).select("doc_id", "source", _dsir_bucket(F.col("w")).alias("f"))
+    is_t = F.col("source") == _DSIR_TARGET_SOURCE
+    model0 = toks.groupBy("f").agg(
+        (F.sum(F.when(is_t, 1).otherwise(0)) + 1).cast("bigint").alias("ct1"),
+        (F.sum(F.when(is_t, 0).otherwise(1)) + 1).cast("bigint").alias("cr1"),
+    )
+    tot = model0.agg(
+        (F.sum(F.col("ct1") - 1) + _DSIR_BUCKETS).cast("bigint").alias("tb"),
+        (F.sum(F.col("cr1") - 1) + _DSIR_BUCKETS).cast("bigint").alias("rb"),
+    ).select(
+        det_ln_int(F.col("tb")).alias("ln_tb"),
+        det_ln_int(F.col("rb")).alias("ln_rb"),
+    )
+    lam = model0.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (
+            (det_ln_int(F.col("ct1")) - F.col("ln_tb"))
+            - (det_ln_int(F.col("cr1")) - F.col("ln_rb"))
+        ).alias("lam"),
+    )
+    perdoc = (
+        toks.filter(~is_t)
+        .join(F.broadcast(lam), ["f"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), dsum("lam", "log_weight"))
+    )
+    avg = F.col("log_weight") / F.col("n_tokens").cast("double")
+    mu = perdoc.agg(
+        (
+            F.sum(avg.cast("decimal(28,6)")).cast("double") / F.count("*")
+        ).alias("mean_alw")
+    )
+    return perdoc.crossJoin(F.broadcast(mu)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "log_weight",
+        avg.alias("avg_log_weight"),
+        F.when(avg > F.col("mean_alw"), 1).otherwise(0).alias("keep"),
+    )
+
+
+# ---------- bloom-filter incremental chunk dedup ----------
+
+# Delta slice (the "new batch" in the incremental pipeline); everything
+# else is the already-ingested base corpus whose chunk keys feed the
+# filter. Chunking matches ns_chunk_dedup (16-token non-overlapping
+# passages) so the two operators describe the same key space.
+_BLOOM_DELTA = ("src16", "src17", "src18", "src19")
+_BLOOM_CHUNK = 16
+_BLOOM_BPK = 6  # filter bits per base key -> ~6% FPR at k=3
+_BLOOM_K = 3  # hash count; 3 x 10 md5 nibbles = 30 of 32 used
+_BLOOM_WORD = 63  # bits per bigint word (sign bit unused)
+
+_BLOOM_DELTA_SQL = ", ".join(f"'{s}'" for s in _BLOOM_DELTA)
+
+
+def _bloom_h40_sql(ck: str, j: int) -> str:
+    """DuckDB twin of the j-th 40-bit position hash: a nibble
+    polynomial over md5 hex chars [1+10j, 10+10j] (same trick as
+    dedup._h32_sql, widened to 10 nibbles so positions cover filters
+    up to 2^40 bits)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef',"
+            f" substring({ck}, {1 + 10 * j + i}, 1)) - 1)"
+            f" * {16 ** (9 - i)}"
+            for i in range(10)
+        )
+        + ")"
+    )
+
+
+def _bloom_h40(ck: Column, j: int) -> Column:
+    return F.conv(F.substring(ck, 1 + 10 * j, 10), 16, 10).cast("bigint")
+
+
+_BLOOM_CHUNKS_SQL = f"""
+    toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source, i.i AS chunk_id,
+             md5(array_to_string(
+               t[(i.i * {_BLOOM_CHUNK} + 1):((i.i + 1) * {_BLOOM_CHUNK})],
+               ' ')) AS ck
+      FROM toks,
+           (SELECT unnest(range(0,
+              (SELECT MAX(len(t)) FROM toks) // {_BLOOM_CHUNK} + 1))
+              AS i) i
+      WHERE i.i * {_BLOOM_CHUNK} < len(t)
+    )"""
+
+
+@query(
+    "ns_dedup_bloom",
+    f"""
+    WITH {_BLOOM_CHUNKS_SQL},
+    basek AS (
+      SELECT DISTINCT ck FROM chunks
+      WHERE source NOT IN ({_BLOOM_DELTA_SQL})
+    ),
+    geom AS (
+      SELECT ((COUNT(*) * {_BLOOM_BPK} + {_BLOOM_WORD - 1})
+              // {_BLOOM_WORD}) * {_BLOOM_WORD} AS m_bits
+      FROM basek
+    ),
+    setbits AS (
+      SELECT p.pos // {_BLOOM_WORD} AS word,
+             bit_or(1::BIGINT << (p.pos % {_BLOOM_WORD})::INT) AS wv
+      FROM basek b CROSS JOIN geom g,
+           LATERAL (SELECT unnest([
+             {", ".join(
+                 f"{_bloom_h40_sql('b.ck', j)} % g.m_bits"
+                 for j in range(_BLOOM_K))}
+           ]) AS pos) p
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT c.doc_id, c.chunk_id, c.ck,
+             p.pos // {_BLOOM_WORD} AS word,
+             (p.pos % {_BLOOM_WORD})::INT AS bit
+      FROM chunks c CROSS JOIN geom g,
+           LATERAL (SELECT unnest([
+             {", ".join(
+                 f"{_bloom_h40_sql('c.ck', j)} % g.m_bits"
+                 for j in range(_BLOOM_K))}
+           ]) AS pos) p
+      WHERE c.source IN ({_BLOOM_DELTA_SQL})
+    ),
+    perchunk AS (
+      SELECT p.doc_id, p.chunk_id, p.ck,
+             MIN(CASE WHEN s.wv IS NOT NULL
+                       AND ((s.wv >> p.bit) & 1) = 1
+                      THEN 1 ELSE 0 END) AS maybe
+      FROM probe p LEFT JOIN setbits s ON p.word = s.word
+      GROUP BY 1, 2, 3
+    ),
+    verdicts AS (
+      SELECT pc.doc_id, pc.maybe,
+             CASE WHEN b.ck IS NULL THEN 0 ELSE 1 END AS seen
+      FROM perchunk pc LEFT JOIN basek b ON pc.ck = b.ck
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe_seen,
+           CAST(SUM(seen) AS BIGINT) AS n_seen_exact,
+           CAST(SUM(maybe) - SUM(seen) AS BIGINT) AS n_false_pos,
+           CASE WHEN SUM(seen) * 2 >= COUNT(*) THEN 1 ELSE 0 END
+             AS mostly_dup
+    FROM verdicts GROUP BY doc_id
+    """,
+)
+def ns_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: the base corpus's distinct
+    16-token chunk keys populate a bloom filter (auto-sized at
+    {bpk} bits/key from the EXACT base key count — integer math both
+    engines replay — k={k} md5-derived 40-bit hashes, 63-bit bigint
+    words); the delta batch ({delta}) probes it per chunk. Verdicts
+    carry the exact membership too, so the output quantifies the
+    filter's false positives against ground truth — the go/no-go
+    audit before trusting the filter as the cheap pre-screen in a
+    production incremental pipeline (ns_dedup_incremental is the
+    exact post-screen it gates).
+
+    No-false-negative invariant (a seen chunk always probes
+    all-bits-set, because positions are deterministic functions of
+    the key) is property-tested and implied hash-exactly by
+    n_false_pos = n_maybe - n_seen >= 0 per doc.
+
+    Scale: the filter is ~6 bits per base KEY — at 100 TB the words
+    table is corpus/10^5-sized and broadcast (here: ~n*6/63 rows);
+    building it is one distinct + one bit_or hash agg (both keyed,
+    map-side combined); probing is a broadcast join, zero shuffle on
+    the delta stream beyond the per-doc rollup. The 40-bit position
+    hash caps the filter at 2^40 bits (~20 G keys at 6 b/k); beyond
+    that, widen to more md5 nibbles (documented, not silent)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = F.split(F.col("text"), " ")
+    n_chunks_doc = F.ceil(F.size(toks) / F.lit(_BLOOM_CHUNK))
+    chunks = (
+        d.select(
+            "doc_id",
+            "source",
+            toks.alias("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(n_chunks_doc - 1, F.lit(0))
+                )
+            ).alias("chunk_id"),
+        )
+        .filter(F.col("chunk_id") * _BLOOM_CHUNK < F.size("t"))
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "t",
+                        F.col("chunk_id") * _BLOOM_CHUNK + 1,
+                        _BLOOM_CHUNK,
+                    ),
+                    " ",
+                )
+            ).alias("ck"),
+        )
+    )
+    is_delta = F.col("source").isin(*_BLOOM_DELTA)
+    basek = chunks.filter(~is_delta).select("ck").distinct()
+    geom = basek.agg(
+        (
+            F.expr(
+                f"(count(*) * {_BLOOM_BPK} + {_BLOOM_WORD - 1})"
+                f" div {_BLOOM_WORD}"
+            )
+            * _BLOOM_WORD
+        ).alias("m_bits")
+    )
+    pos_arr = lambda ck: F.array(  # noqa: E731
+        *[_bloom_h40(ck, j) % F.col("m_bits") for j in range(_BLOOM_K)]
+    )
+    setbits = (
+        basek.crossJoin(F.broadcast(geom))
+        .select(F.explode(pos_arr(F.col("ck"))).alias("pos"))
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {_BLOOM_WORD} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("wv"))
+    )
+    probe = (
+        chunks.filter(is_delta)
+        .crossJoin(F.broadcast(geom))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "ck",
+            F.explode(pos_arr(F.col("ck"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "ck",
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+            (F.col("pos") % _BLOOM_WORD).cast("int").alias("bit"),
+        )
+    )
+    perchunk = (
+        probe.join(F.broadcast(setbits), ["word"], "left")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "ck",
+            F.when(
+                F.col("wv").isNotNull()
+                & (F.expr("shiftright(wv, bit) & 1") == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "chunk_id", "ck")
+        .agg(F.min("hit").alias("maybe"))
+    )
+    verdicts = perchunk.join(
+        basek.withColumn("seen1", F.lit(1)), ["ck"], "left"
+    ).select("doc_id", "maybe", F.coalesce("seen1", F.lit(0)).alias("seen"))
+    return verdicts.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("maybe").cast("bigint").alias("n_maybe_seen"),
+        F.sum("seen").cast("bigint").alias("n_seen_exact"),
+        (F.sum("maybe") - F.sum("seen")).cast("bigint").alias("n_false_pos"),
+        F.when(F.sum("seen") * 2 >= F.count("*"), 1)
+        .otherwise(0)
+        .alias("mostly_dup"),
+    )
+
+
+ns_dedup_bloom.__doc__ = ns_dedup_bloom.__doc__.format(
+    bpk=_BLOOM_BPK, k=_BLOOM_K, delta="/".join(_BLOOM_DELTA)
+)

@@ -82,6 +82,86 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+# --- cross-engine deterministic natural log (integer domain) ---
+#
+# Native ln() is NOT bit-identical between the JVM and DuckDB: ~1% of
+# integer inputs over 1..2e6 differ by 1 ulp (measured in r9 — Java's
+# Math.log and libm's log are each only 1-ulp-accurate, not correctly
+# rounded), so ln can never feed a hash-compared column directly.
+# `det_ln_int` replaces it for integer arguments n >= 1 using ONLY
+# operations IEEE 754 requires to be correctly rounded (+ - * /),
+# which therefore ARE bit-identical in both engines:
+#
+#   n = m * 2^e,  e = length(bin(n)) - 1      (exact integer),
+#                 m = n / 2^e in [1, 2)       (power-of-two division
+#                                              is exact),
+#   ln n = e*ln2 + 2*atanh(t),  t = (m-1)/(m+1) in [0, 1/3),
+#   atanh truncated at t^15/15, Horner form, double-literal
+#   coefficients (both engines parse shortest-round-trip decimal
+#   strings to the nearest double; the DuckDB twin must CAST every
+#   literal to DOUBLE because DuckDB parses bare decimal literals as
+#   DECIMAL and decimal-typed intermediates round differently).
+#
+# Truncation error < t^17/17 <= 4.6e-10 absolute (~2e-10 relative;
+# property-tested); bit parity over 1..1e6 verified mechanically in
+# tests/test_properties.py. Used by the LM-perplexity and DSIR
+# importance-weight operators, whose scores are sums of logs of
+# integer counts.
+DET_LN2 = 0.6931471805599453
+_ATANH_C = [1.0 / (2 * j + 1) for j in range(8)]
+
+
+def det_ln_int(n: Column) -> Column:
+    """ln(n) for an integer column n >= 1, bit-identical cross-engine."""
+    nb = n.cast("long")
+    e = (F.length(F.bin(nb)) - F.lit(1)).cast("double")
+    m = nb.cast("double") / F.pow(F.lit(2.0), e)
+    t = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    t2 = t * t
+    poly = F.lit(_ATANH_C[-1])
+    for c in reversed(_ATANH_C[:-1]):
+        poly = F.lit(c) + t2 * poly
+    return e * F.lit(DET_LN2) + F.lit(2.0) * t * poly
+
+
+def sql_det_ln_ctes(name: str, src: str, cols: dict[str, str]) -> str:
+    """DuckDB twin of `det_ln_int` as a CTE chain.
+
+    Emits CTEs `{name}_a`..`{name}_c` and a final CTE `{name}` that
+    carries every column of `src` plus, per (in_expr -> out_name) in
+    `cols`, a DOUBLE column `out_name` = det_ln(in_expr). Intermediate
+    helper columns `{out}__e/__m/__t/__t2` leak into `{name}`'s scope;
+    downstream SELECTs must project explicitly. Inputs must be
+    integer-typed and >= 1."""
+    a = ", ".join(
+        f"CAST(length(bin(CAST({i} AS BIGINT))) - 1 AS DOUBLE) AS {o}__e, "
+        f"CAST({i} AS DOUBLE) / (CAST(2.0 AS DOUBLE)"
+        f" ** (length(bin(CAST({i} AS BIGINT))) - 1)) AS {o}__m"
+        for i, o in cols.items()
+    )
+    b = ", ".join(
+        f"({o}__m - CAST(1.0 AS DOUBLE)) /"
+        f" ({o}__m + CAST(1.0 AS DOUBLE)) AS {o}__t"
+        for o in cols.values()
+    )
+    c = ", ".join(f"{o}__t * {o}__t AS {o}__t2" for o in cols.values())
+    fins = []
+    for o in cols.values():
+        poly = f"CAST({_ATANH_C[-1]!r} AS DOUBLE)"
+        for coef in reversed(_ATANH_C[:-1]):
+            poly = f"(CAST({coef!r} AS DOUBLE) + {o}__t2 * {poly})"
+        fins.append(
+            f"{o}__e * CAST({DET_LN2!r} AS DOUBLE)"
+            f" + CAST(2.0 AS DOUBLE) * {o}__t * {poly} AS {o}"
+        )
+    return f"""
+    {name}_a AS (SELECT *, {a} FROM {src}),
+    {name}_b AS (SELECT *, {b} FROM {name}_a),
+    {name}_c AS (SELECT *, {c} FROM {name}_b),
+    {name} AS (SELECT *, {", ".join(fins)} FROM {name}_c)
+    """
+
+
 # --- shared table access ---
 
 

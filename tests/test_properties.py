@@ -1532,3 +1532,97 @@ def test_stage_cache_keys_isolate_directories(spark):
     assert spark.read.parquet(d2).count() == 7
     for k in ("isolate|sfA", "isolate|sfB"):
         _STAGE_CACHE.pop(k, None)
+
+
+def test_det_ln_parity_and_accuracy(spark):
+    """The deterministic logarithm (registry.det_ln_int) must be
+    (a) bit-identical between Spark and DuckDB over a dense integer
+    range — the property the curation operators' hash gates stand on
+    (native ln() fails this on ~1% of inputs), and (b) within the
+    documented 5e-10 relative error of the true ln."""
+    import math
+
+    import duckdb
+
+    from flume_hive_batched_sink_spark.operators.registry import (
+        det_ln_int,
+        sql_det_ln_ctes,
+    )
+
+    n = 50_000
+    got = (
+        spark.range(1, n + 1)
+        .select("id", det_ln_int(F.col("id")).alias("lnv"))
+        .toPandas()
+        .sort_values("id")["lnv"]
+        .to_numpy()
+    )
+    frag = sql_det_ln_ctes("lnx", "base", {"id": "lnv"})
+    duck = (
+        duckdb.connect()
+        .execute(
+            f"WITH base AS (SELECT unnest(range(1, {n + 1})) AS id),"
+            f"{frag} SELECT lnv FROM lnx ORDER BY id"
+        )
+        .df()["lnv"]
+        .to_numpy()
+    )
+    import numpy as np
+
+    mism = (got.view(np.int64) != duck.view(np.int64)).sum()
+    assert mism == 0, f"{mism} of {n} values differ bitwise"
+    for k in (1, 2, 3, 7, 1000, 49_999):
+        rel = abs(got[k - 1] - math.log(k)) / max(math.log(k), 1e-12)
+        assert rel < 5e-10 or k == 1, (k, got[k - 1], math.log(k))
+    assert got[0] == 0.0  # ln(1) exactly (e=0, t=0)
+
+
+def test_curation_flags_flip(spark):
+    """Negative path for the curation operators' decision columns:
+    high_nll and keep must take BOTH values at the oracle SF —
+    otherwise their hash-gated thresholds are vacuously green."""
+    from .conftest import SF_ORACLE
+
+    ppl = QUERIES["ns_quality_perplexity"](spark, SF_ORACLE)
+    agg = ppl.agg(
+        F.sum("high_nll").alias("hi"),
+        F.count("*").alias("n"),
+        F.sum("n_unseen").alias("unseen"),
+        F.min("nll").alias("mn"),
+    ).collect()[0]
+    assert 0 < agg.hi < agg.n, agg
+    assert agg.unseen > 0  # OOV bigrams exist (the smoothing matters)
+    assert agg.mn > 0  # NLL is positive (probabilities < 1)
+
+    imp = QUERIES["ns_sample_importance"](spark, SF_ORACLE)
+    agg = imp.agg(
+        F.sum("keep").alias("k"), F.count("*").alias("n")
+    ).collect()[0]
+    assert 0 < agg.k < agg.n, agg
+    # the target slice itself is excluded from the resampled pool
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    n_raw = docs.filter(F.col("source") != "src2").count()
+    assert agg.n == n_raw
+
+
+def test_bloom_no_false_negatives_and_audit(spark):
+    """ns_dedup_bloom invariants: (a) probing the filter with the
+    exact keys that built it can NEVER miss (positions are
+    deterministic functions of the key) — checked per-doc as
+    n_seen_exact <= n_maybe_seen and corpus-wide as every exactly-
+    seen chunk counting toward maybe; (b) the audit must be
+    non-vacuous at the oracle SF: true cross-split dups exist AND
+    false positives exist (the filter is sized to ~6% FPR so the
+    false-positive accounting column actually accounts)."""
+    from .conftest import SF_ORACLE
+
+    out = QUERIES["ns_dedup_bloom"](spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows, "delta slice produced no docs"
+    for r in rows:
+        assert r.n_maybe_seen >= r.n_seen_exact, r
+        assert r.n_false_pos == r.n_maybe_seen - r.n_seen_exact, r
+        assert 0 <= r.n_maybe_seen <= r.n_chunks, r
+    assert sum(r.n_seen_exact for r in rows) > 0, "no true dups planted"
+    assert sum(r.n_false_pos for r in rows) > 0, "FPR audit vacuous"
+    assert any(r.mostly_dup == 0 for r in rows)
