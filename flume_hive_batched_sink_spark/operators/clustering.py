@@ -1,0 +1,372 @@
+"""[NS] — embedding-space clustering curation (r9).
+
+- `ns_cluster_kmeans`: fixed-iteration Lloyd's k-means over the
+  embedding corpus — the clustering pass behind SemDeDup, IVF index
+  training, and corpus cartography. Deterministic end to end: init
+  centroids are the k smallest vec_ids, every distance is a LEFT-FOLD
+  double chain (codegen'd in Spark, replayed bit-exactly by DuckDB
+  `list_reduce` — the ns_similarity_ann_ivf precedent), per-cluster
+  means are exact-decimal sums divided once in double. The oracle
+  replays both iterations in SQL.
+- `ns_semdedup`: SemDeDup (Abbas et al. 2023) — within each k-means
+  cluster, cosine >= tau pairs mark the higher vec_id a duplicate;
+  one representative per near-dup neighborhood survives. Reuses the
+  SAME kmeans assignment (shared fragment on both engines, so the
+  eval can't drift from the clustering).
+
+Iterative-algorithm shape on Spark: each Lloyd iteration is ONE
+corpus scan (row-local assignment against k*64 broadcast literals —
+no join, no shuffle) + ONE k-row wide aggregate; the k x 64 means
+make a bounded driver collect (the MLlib pattern). At 100 TB, k
+scales with the corpus (SemDeDup uses cell-bounded k ~ n/1000) and
+the only shuffles stay k-keyed; k is pinned here (like
+similarity._IVF_MAX_CELLS) so the oracle geometry is fixed while
+cells grow linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, sql_dsum, tbl
+from .similarity import _dot_dbl
+
+_KM_K = 8  # clusters (fixed oracle geometry; production scales with n)
+_KM_DIM = 64
+# SemDeDup cosine threshold — matches similarity._DEDUP_TAU: the test
+# corpus is near-orthogonal random vectors (max corpus cosine ~0.5),
+# so the production-style 0.95 bar would select nothing; 0.40 keeps
+# the operator's selection logic exercised at every SF.
+_SEM_TAU = 0.40
+
+# ---- shared SQL fragment: 2-iteration Lloyd over `embeddings` ----
+# Left-fold double distances via list_reduce(ORDER BY i) — identical
+# to Spark's unrolled left-associated chain; per-dim means via
+# VARCHAR-routed exact-decimal sums (the ns_embedding_profile cast
+# rule) divided once in double.
+
+_SQL_SQDIFF = (
+    "(CAST({e}[i.i] AS DOUBLE) - CAST({c}[i.i] AS DOUBLE))"
+    " * (CAST({e}[i.i] AS DOUBLE) - CAST({c}[i.i] AS DOUBLE))"
+)
+
+_KM_SQL_PREFIX = f"""
+    idx AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    kd1 AS (
+      SELECT e.vec_id, c.j,
+             list_reduce(
+               list({_SQL_SQDIFF.format(e="e.embedding", c="c.c")}
+                    ORDER BY i.i),
+               (a, b) -> a + b) AS d2
+      FROM embeddings e CROSS JOIN c0 c CROSS JOIN idx i
+      GROUP BY e.vec_id, c.j
+    ),
+    ka1 AS (
+      SELECT vec_id, j AS cl FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, j) AS rn
+        FROM kd1) WHERE rn = 1
+    ),
+    km1 AS (
+      SELECT a.cl, i.i AS dim,
+             CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                                AS VARCHAR) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS mu
+      FROM ka1 a JOIN embeddings e ON a.vec_id = e.vec_id
+      CROSS JOIN idx i
+      GROUP BY 1, 2
+    ),
+    kc1 AS (SELECT cl AS j, list(mu ORDER BY dim) AS c FROM km1 GROUP BY cl),
+    kd2 AS (
+      SELECT e.vec_id, c.j,
+             list_reduce(
+               list({_SQL_SQDIFF.format(e="e.embedding", c="c.c")}
+                    ORDER BY i.i),
+               (a, b) -> a + b) AS d2
+      FROM embeddings e CROSS JOIN kc1 c CROSS JOIN idx i
+      GROUP BY e.vec_id, c.j
+    ),
+    ka2 AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT vec_id, j AS cl, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, j) AS rn
+        FROM kd2) WHERE rn = 1
+    )"""
+
+
+def _sqdiff_chain(x: Column, cvals: list[float]) -> Column:
+    """Left-fold squared euclidean distance of an array column against
+    64 literal centroid coordinates, as a zip_with/aggregate HOF —
+    left-associated double adds, bit-identical to the oracle's
+    list_reduce fold (the 0.0 seed is exact: squared diffs are never
+    -0.0, so 0.0 + t1 == t1 bitwise). HOF over unrolled chain is the
+    measured _dot_dec tradeoff: k=8 unrolled 64-term projections blew
+    Janino compile to ~15 s PER PLAN at any corpus size, while the
+    interpreted fold costs ~nothing to plan and its per-row penalty is
+    bounded by k*dim; on a long-running 100 TB job flip to the
+    unrolled chain (compile amortizes to zero)."""
+    carr = F.array(*[F.lit(float(v)) for v in cvals])
+    prods = F.zip_with(
+        x,
+        carr,
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def _assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Row-local nearest-centroid assignment: one projection, zero
+    shuffle — each row min-reduces an array of (d2, j) structs built
+    from literal centroids (ties break to the smallest j, mirroring
+    the oracle's ORDER BY d2, j)."""
+    cands = F.array(
+        *[
+            F.struct(
+                _sqdiff_chain(F.col("embedding"), c).alias("d"),
+                F.lit(int(j)).alias("j"),
+            )
+            for j, c in cents
+        ]
+    )
+    m = F.array_min(cands)
+    return em.select(
+        "vec_id",
+        "embedding",
+        m.getField("j").alias("cl"),
+        m.getField("d").alias("d2"),
+    )
+
+
+def auto_k(n: int, target_cell: int = 256) -> int:
+    """Corpus-sized cluster count for the at-scale path (the
+    auto_planes_per_band treatment): k grows with n so cells stay
+    ~target_cell and SemDeDup's within-cell pair work stays LINEAR in
+    the corpus (n/k cells of ~target_cell ⇒ pairs ≈ n·target_cell/2).
+    The registered operators pin k=_KM_K so the oracle geometry is
+    fixed; scale runs pass k=auto_k(n)."""
+    return max(_KM_K, n // target_cell)
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int = _KM_K
+) -> DataFrame:
+    """Shared 2-iteration Lloyd assignment (vec_id, embedding, cl,
+    d2) used by ns_cluster_kmeans and ns_semdedup. Two bounded driver
+    collects: the k init rows and the k x 64 iteration-1 means (the
+    classic driver-coordinated Lloyd loop — MLlib's shape; each
+    iteration is one corpus scan)."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    init = em.orderBy("vec_id").limit(k).collect()
+    cents0 = [
+        (j, [float(v) for v in row.embedding])
+        for j, row in enumerate(init)
+    ]
+    a1 = _assign(em, cents0)
+    x = F.col("embedding")
+    means1 = (
+        a1.groupBy("cl")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(x.getItem(i).cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                .alias(f"s{i}")
+                for i in range(_KM_DIM)
+            ],
+        )
+        .select(
+            "cl",
+            *[
+                (F.col(f"s{i}") / F.col("n").cast("double")).alias(f"m{i}")
+                for i in range(_KM_DIM)
+            ],
+        )
+        .collect()
+    )
+    cents1 = [
+        (row.cl, [float(row[f"m{i}"]) for i in range(_KM_DIM)])
+        for row in means1
+    ]
+    return _assign(em, cents1)
+
+
+@query(
+    "ns_cluster_kmeans",
+    f"""
+    WITH {_KM_SQL_PREFIX}
+    SELECT cl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_dsum("d2", "inertia")},
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+    FROM ka2 GROUP BY cl
+    """,
+)
+def ns_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd, k=8, 2 iterations, init = k smallest vec_ids)
+    over the embedding corpus: per-cluster membership, exact-decimal
+    inertia, id span. The iterative-ML workload expressed in
+    DataFrames — and, since every arithmetic step is a correctly-
+    rounded IEEE op or an exact decimal, the DuckDB oracle replays
+    BOTH iterations and hash-matches the result (believed to be the
+    first oracle-checked iterative operator in this engine alongside
+    ns_dedup_clusters' fixpoint).
+
+    Scale: assignment is row-local against k*64 broadcast literals
+    (zero shuffle, whole-stage codegen); the update step is one
+    k-row wide aggregate (map-side combine) + a bounded k x 64
+    driver collect per iteration. Iterations are a driver loop —
+    checkpointing between them (localCheckpoint, the
+    ns_dedup_clusters pattern) caps lineage if k or the iteration
+    count grows. Empty clusters simply drop their row (both engines
+    agree; with init-by-id and 2 iterations none occur at test SFs,
+    and the property test pins total membership = corpus)."""
+    a2 = kmeans_assign(spark, sf_dir)
+    return a2.groupBy(F.col("cl").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("inertia"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        F.max("vec_id").cast("bigint").alias("max_vec_id"),
+    )
+
+
+@query(
+    "ns_semdedup",
+    f"""
+    WITH {_KM_SQL_PREFIX},
+    nrm AS (
+      SELECT e.vec_id,
+             sqrt(list_reduce(
+               list(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(e.embedding[i.i] AS DOUBLE) ORDER BY i.i),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings e CROSS JOIN idx i GROUP BY e.vec_id
+    ),
+    prs AS (
+      SELECT x.vec_id AS va, y.vec_id AS vb
+      FROM ka2 x JOIN ka2 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+    ),
+    pdot AS (
+      SELECT p.va, p.vb,
+             list_reduce(
+               list(CAST(ea.embedding[i.i] AS DOUBLE)
+                    * CAST(eb.embedding[i.i] AS DOUBLE) ORDER BY i.i),
+               (a, b) -> a + b) AS dot
+      FROM prs p
+      JOIN embeddings ea ON ea.vec_id = p.va
+      JOIN embeddings eb ON eb.vec_id = p.vb
+      CROSS JOIN idx i
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT d.va, d.vb, d.dot / (na.nrm * nb.nrm) AS cosv
+      FROM pdot d
+      JOIN nrm na ON na.vec_id = d.va
+      JOIN nrm nb ON nb.vec_id = d.vb
+      WHERE d.dot / (na.nrm * nb.nrm) >= CAST({_SEM_TAU!r} AS DOUBLE)
+    ),
+    nbr AS (
+      SELECT va AS vec_id, vb AS nb, cosv FROM near
+      UNION ALL
+      SELECT vb AS vec_id, va AS nb, cosv FROM near
+    ),
+    per AS (
+      SELECT vec_id, COUNT(*) AS ndn, MAX(cosv) AS best_cos,
+             MIN(CASE WHEN nb < vec_id THEN nb END) AS dup_of
+      FROM nbr GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cl AS cluster_id,
+           CAST(COALESCE(p.ndn, 0) AS BIGINT) AS n_dup_neighbors,
+           p.best_cos AS best_cos,
+           CAST(p.dup_of AS BIGINT) AS dup_of,
+           CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+    FROM ka2 a LEFT JOIN per p ON a.vec_id = p.vec_id
+    """,
+)
+def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means the embedding corpus (the SHARED
+    kmeans_assign — same clustering the ns_cluster_kmeans hash gate
+    pins), then within each cluster mark cosine >= {tau} pairs and
+    drop every vector that has a smaller-id near-duplicate neighbor
+    (one representative per neighborhood survives). Output: every
+    vector with its cluster, near-dup degree, best duplicate cosine,
+    the keeper it duplicates, and the keep verdict — the manifest the
+    filtered corpus export consumes (doc-text analogue:
+    ns_dedup_canonical).
+
+    Determinism: pair cosines are left-fold double dots over
+    left-fold double norms (sqrt is IEEE-correctly-rounded) — every
+    emitted value replays bit-exactly in the oracle.
+
+    Scale: the candidate set is WITHIN-CLUSTER pairs — the whole
+    point of SemDeDup vs all-pairs dedup. Here k is pinned to the
+    oracle geometry (8), so cells grow with the corpus; production
+    sizes k ~ n/target_cell (the auto_planes_per_band treatment),
+    keeping per-cell pair work bounded while the join stays keyed on
+    cl. The pair join is an equi-join on cl (sort-merge/shuffled
+    hash — never a nested loop), parallelism = k."""
+    return semdedup_frame(spark, sf_dir)
+
+
+def semdedup_frame(
+    spark: SparkSession, sf_dir: str, k: int = _KM_K
+) -> DataFrame:
+    """k-parameterized SemDeDup body — the registered operator pins
+    k=_KM_K (the fixed oracle geometry); scale runs pass k=auto_k(n)
+    so cells stay ~256 and pair work stays linear in the corpus."""
+    a2 = kmeans_assign(spark, sf_dir, k)
+    nrm = F.sqrt(_dot_dbl(F.col("embedding"), F.col("embedding")))
+    base = a2.select("vec_id", "cl", "embedding", nrm.alias("nrm"))
+    x = base.select(
+        F.col("vec_id").alias("va"),
+        F.col("cl").alias("cl"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cl").alias("cl"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosv = _dot_dbl(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    near = (
+        x.join(y, ["cl"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cosv.alias("cosv"))
+        .filter(F.col("cosv") >= F.lit(_SEM_TAU))
+    )
+    nbr = near.select(
+        F.col("va").alias("vec_id"), F.col("vb").alias("nb"), "cosv"
+    ).unionAll(
+        near.select(
+            F.col("vb").alias("vec_id"), F.col("va").alias("nb"), "cosv"
+        )
+    )
+    per = nbr.groupBy("vec_id").agg(
+        F.count("*").alias("ndn"),
+        F.max("cosv").alias("best_cos"),
+        F.min(F.when(F.col("nb") < F.col("vec_id"), F.col("nb"))).alias(
+            "dup_of"
+        ),
+    )
+    return a2.select("vec_id", "cl").join(per, ["vec_id"], "left").select(
+        "vec_id",
+        F.col("cl").alias("cluster_id"),
+        F.coalesce("ndn", F.lit(0)).cast("bigint").alias("n_dup_neighbors"),
+        "best_cos",
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("keep"),
+    )
+
+
+ns_semdedup.__doc__ = ns_semdedup.__doc__.format(tau=_SEM_TAU)

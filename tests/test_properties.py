@@ -1626,3 +1626,61 @@ def test_bloom_no_false_negatives_and_audit(spark):
     assert sum(r.n_seen_exact for r in rows) > 0, "no true dups planted"
     assert sum(r.n_false_pos for r in rows) > 0, "FPR audit vacuous"
     assert any(r.mostly_dup == 0 for r in rows)
+
+
+def test_kmeans_lloyd_monotone_and_partition(spark):
+    """ns_cluster_kmeans invariants: (a) every vector lands in
+    exactly one cluster (Σ n_members = corpus), (b) Lloyd descent —
+    total inertia after the update+reassign step is <= the inertia of
+    the initial assignment (J(a2,c1) <= J(a1,c1) <= J(a1,c0)), and
+    (c) cluster ids stay within the fixed k geometry."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _KM_K,
+        _assign,
+        kmeans_assign,
+    )
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    out = QUERIES["ns_cluster_kmeans"](spark, SF_ORACLE)
+    rows = out.collect()
+    em = tbl(spark, SF_ORACLE, "embeddings")
+    n = em.count()
+    assert sum(r.n_members for r in rows) == n
+    assert all(0 <= r.cluster_id < _KM_K for r in rows)
+    assert all(r.min_vec_id <= r.max_vec_id for r in rows)
+    j2 = sum(r.inertia for r in rows)
+    init = em.orderBy("vec_id").limit(_KM_K).collect()
+    cents0 = [
+        (j, [float(v) for v in r.embedding]) for j, r in enumerate(init)
+    ]
+    j1 = (
+        _assign(em, cents0)
+        .agg(F.sum(F.col("d2").cast("decimal(28,6)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert j2 <= j1 + 1e-9, (j2, j1)
+    # and the shared assignment the ops build on partitions the corpus
+    assert kmeans_assign(spark, SF_ORACLE).count() == n
+
+
+def test_semdedup_verdict_consistency(spark):
+    """ns_semdedup invariants: keep flips at the oracle SF; every
+    dropped vector names a SMALLER-id duplicate in its own cluster;
+    near-dup degree is symmetric (sum over vecs is even, each pair
+    counted from both ends)."""
+    from .conftest import SF_ORACLE
+
+    out = QUERIES["ns_semdedup"](spark, SF_ORACLE)
+    rows = out.collect()
+    by_id = {r.vec_id: r for r in rows}
+    drops = [r for r in rows if r.keep == 0]
+    keeps = [r for r in rows if r.keep == 1]
+    assert drops and keeps, "keep flag vacuous at oracle SF"
+    for r in drops:
+        assert r.dup_of is not None and r.dup_of < r.vec_id, r
+        assert by_id[r.dup_of].cluster_id == r.cluster_id, r
+        assert r.n_dup_neighbors >= 1 and r.best_cos is not None, r
+    for r in keeps:
+        assert r.dup_of is None, r
+    assert sum(r.n_dup_neighbors for r in rows) % 2 == 0
