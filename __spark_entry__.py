@@ -23,40 +23,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 185 queries are registered (SURVEY §2 Part B, which matches the
+# 190 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); the union
-# of CORRECTNESS_r01-r07 covers all of them with zero failures ever
-# recorded, and none's latest binding check is older than r04.
-# Round 8 rotates the window onto the r04 cohort per the r7 verdict
-# (#3: "after r8 no binding check should be older than r05"):
-# (a) the 7 operators whose OUTPUT changed in r8 and therefore need
-#     their first hash-gated driver check under the new output path —
-#     ns_dedup_simhash and ns_dedup_minhash (token hashes switched to
-#     md5 nibbles; both left the rows-only list), win_ntile_dist
-#     (NaN-price cell fix + the shared two_level_rank refactor),
-#     ns_dedup_embedding (band geometry now auto-sized; provably
-#     still 8 planes at oracle SFs), and the three sketch aggregates
-#     converted to value-bounded oracles late in r8
-#     (agg_approx_distinct, agg_approx_percentile,
-#     agg_hll_sketch_merge — exact columns + envelope flags;
-#     agg_count_min converted too but already sits in the r04 cohort
-#     below);
-# (b) ALL 43 operators whose latest driver check is r04 (computed by
-#     scripts/staleness.py this round — includes win_percent_rank,
-#     which also reverted to the builtin window in r8 after the
-#     two-level variant measured slower at both scales).
-# 7 + 43 = 50, the window exactly. Displaced to make room for the
-# late conversions: stream_foreach_batch_land / stream_dedup /
-# stream_watermark_late (r8 staging-cache plumbing changes with
-# UNCHANGED output semantics, pass-r7 bindings, value-equal-gated by
-# the final local sweep) and the agg_audience_overlap r05 fill —
-# first-ever hash gates for changed outputs outrank re-checks of
-# pass-r7 rows. After this round no registered operator's latest
-# binding driver check is older than r05. Every entry remains present
-# and locally value-equal-gated (tests/test_oracle_parity.py covers
-# all 185, with a vacuity guard) regardless of window position.
-_ROUND8_FRONT = [
+# tests/test_properties.py::test_survey_registry_lockstep); all 190
+# carry exact DuckDB oracles and the local sweep value-equal-gates
+# every one each round.
+#
+# Round 9 rotation. The driver produced no CORRECTNESS_r08 artifact,
+# so the r8 front (output-changed ops + the r04 cohort) never got its
+# driver check — the r04 cohort remains the stale edge and the seven
+# r8 output-changed operators still await their FIRST hash-gated
+# driver check under the new output paths. The r9 window therefore
+# holds, in priority order (first-ever gates outrank re-checks):
+# (a) the 5 operators NEW in r9 (never driver-checked): the curation
+#     suite — ns_quality_perplexity / ns_sample_importance (det_ln-
+#     based scores), ns_dedup_bloom, and the clustering pair
+#     ns_cluster_kmeans / ns_semdedup;
+# (b) the 7 ops whose OUTPUT changed in r8 (md5-nibble hash switch,
+#     NaN cell fix, auto band geometry, value-bounded sketch
+#     envelopes): ns_dedup_simhash, ns_dedup_minhash, win_ntile_dist,
+#     ns_dedup_embedding, agg_approx_distinct, agg_approx_percentile,
+#     agg_hll_sketch_merge;
+# (c) 38 of the 43 r04-stale ops (scripts/staleness.py this round).
+# 5 + 7 + 38 = 50. Displaced to r10: the remaining five r04 rows
+# (agg_weighted_avg, f_bitwise, f_regexp, ingest_csv_serde,
+# ingest_jsonl — scalar/ingest surfaces whose outputs are unchanged
+# since r04 and value-equal-gated locally every round) and the
+# r05 cohort. After a clean r9 driver run, no operator's latest
+# binding check is older than r04, and those five plus the r05 rows
+# rotate forward in r10.
+_ROUND9_FRONT = [
+    # (a) new in r9 — first driver check
+    "ns_quality_perplexity",
+    "ns_sample_importance",
+    "ns_dedup_bloom",
+    "ns_cluster_kmeans",
+    "ns_semdedup",
+    # (b) output changed in r8 — first check under the new path
     "ns_dedup_simhash",
     "ns_dedup_minhash",
     "win_ntile_dist",
@@ -64,14 +67,10 @@ _ROUND8_FRONT = [
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_hll_sketch_merge",
+    # (c) r04-stale cohort
     "agg_bitmap_distinct",
     "agg_count_min",
     "agg_incremental_merge",
-    "agg_weighted_avg",
-    "f_bitwise",
-    "f_regexp",
-    "ingest_csv_serde",
-    "ingest_jsonl",
     "join_range_bucketed",
     "ns_bigram_stats",
     "ns_contamination_ngram",
@@ -108,34 +107,30 @@ _ROUND8_FRONT = [
     "win_running_frame",
     "win_topk_per_group",
 ]
-# Displaced to positions 51+: everything checked r05-r07 (fresh).
-# The oldest survivors (the r05 rows, now including
-# agg_audience_overlap) rotate forward next round.
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND8_FRONT
+FRONT = _ROUND9_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND8_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND9_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 185/185 as of r8;
-    the rows-only category is empty. How the last eight left it:
-    MinHash/SimHash/ANN-LSH switched to md5-derived hashes DuckDB
-    replays exactly; the four sketch aggregates (agg_approx_distinct,
-    agg_approx_percentile, agg_count_min, agg_hll_sketch_merge) got
-    the r7 verdict's tolerance-band pattern — hashable outputs carry
-    cross-engine-exact columns plus Spark-side error-envelope flags
-    the oracle pins to TRUE, so sketch drift breaks the hash gate
-    (raw estimates stay exposed via *_estimates/probe helpers); and
-    ns_similarity_ann_ivf's assignment ranking (a left-fold double
-    dot) replays bit-exactly via DuckDB list_reduce (similarity.py
-    _IVF_ORACLE)."""
+    """DuckDB twins for EVERY registered query — 190/190 as of r9;
+    the rows-only category is empty. r8 emptied it (md5-derived
+    hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
+    the four sketch aggregates; list_reduce replay of the IVF
+    left-fold assignment dot). The five r9 additions were oracle-
+    backed from birth: the perplexity and DSIR scores ride the
+    deterministic integer logarithm (registry.det_ln_int — native
+    ln() is NOT cross-engine bit-stable), the bloom filter's geometry
+    and positions are exact integer/md5 arithmetic, and the k-means /
+    SemDeDup pair replays both Lloyd iterations via list_reduce
+    distance folds and VARCHAR-routed decimal means."""
     return dict(_ops.ORACLE)

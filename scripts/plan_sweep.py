@@ -62,6 +62,17 @@ ALLOWED = {
     "coverage shares",
     "ts_seasonality_profile": "1-row broadcast global-mean scalar "
     "for the seasonality index",
+    "ns_quality_perplexity": "1-row broadcast vocab-size scalar (V "
+    "in the add-one denominator) joined onto the bigram stream",
+    "ns_sample_importance": "two 1-row broadcast scalars: smoothed "
+    "token totals (lambda normalization) and the corpus-mean keep "
+    "threshold",
+    "ns_dedup_bloom": "1-row broadcast filter-geometry scalar "
+    "(m_bits, derived from the exact base key count) joined onto "
+    "build and probe streams",
+    # ns_cluster_kmeans / ns_semdedup need NO entries: assignment is
+    # row-local against literal centroids (no join at all) and the
+    # semdedup pair join is cl-keyed — the sweep verifies both clean.
 }
 
 
