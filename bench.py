@@ -76,6 +76,16 @@ HEADLINE = [
     # header-decoder roundtrip.
     "sql_exists_subquery",
     "ns_multimodal_headers",
+    # round 9 additions (the 36-query set above stays frozen — it is
+    # the sf1_anchor frozen-36 group, pinned there by name; the
+    # 15/20/24-query subtotals remain the round-over-round
+    # comparables and a frozen-36 subtotal is stamped from r9 on):
+    # the model-based curation suite.
+    "ns_quality_perplexity",
+    "ns_sample_importance",
+    "ns_dedup_bloom",
+    "ns_cluster_kmeans",
+    "ns_semdedup",
 ]
 
 
@@ -137,14 +147,15 @@ def main() -> None:
                 timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    # `value` is the total over the CURRENT headline set (34 queries
-    # as of r5) and is NOT round-over-round comparable once the set
+    # `value` is the total over the CURRENT headline set (41 queries
+    # as of r9) and is NOT round-over-round comparable once the set
     # grows. The comparable numbers are the frozen-prefix subtotals:
     # first 15 = the r01 set, first 20 = frozen since r02, first 24 =
     # frozen since r04.
     r01_subtotal = round(sum(timings[n] for n in HEADLINE[:15]), 3)
     r02_subtotal = round(sum(timings[n] for n in HEADLINE[:20]), 3)
     r04_subtotal = round(sum(timings[n] for n in HEADLINE[:24]), 3)
+    r06_subtotal = round(sum(timings[n] for n in HEADLINE[:36]), 3)
     print(
         json.dumps(
             {
@@ -156,6 +167,11 @@ def main() -> None:
                 "r01_comparable_subtotal": r01_subtotal,
                 "r02_comparable_subtotal": r02_subtotal,
                 "r04_comparable_subtotal": r04_subtotal,
+                # first 36 = the r6-era HEADLINE, same names the
+                # sf1_anchor frozen-36 group pins; comparable to the
+                # frozen-36 sf0.1 runs from r9 on (caveat: timed in
+                # a shared JVM whose additions tail grew in r9).
+                "r06_comparable_subtotal": r06_subtotal,
                 # concurrent JVMs at launch (should be 0 for a clean
                 # run) and 1-min load average: the noise context for
                 # reading the subtotals above.

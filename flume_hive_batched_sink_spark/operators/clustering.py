@@ -229,7 +229,9 @@ def ns_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree; with init-by-id and 2 iterations none occur at test SFs,
     and the property test pins total membership = corpus)."""
     a2 = kmeans_assign(spark, sf_dir)
-    return a2.groupBy(F.col("cl").alias("cluster_id")).agg(
+    return a2.groupBy(
+        F.col("cl").cast("bigint").alias("cluster_id")
+    ).agg(
         F.count("*").cast("bigint").alias("n_members"),
         F.sum(F.col("d2").cast("decimal(28,6)"))
         .cast("double")
@@ -361,7 +363,7 @@ def semdedup_frame(
     )
     return a2.select("vec_id", "cl").join(per, ["vec_id"], "left").select(
         "vec_id",
-        F.col("cl").alias("cluster_id"),
+        F.col("cl").cast("bigint").alias("cluster_id"),
         F.coalesce("ndn", F.lit(0)).cast("bigint").alias("n_dup_neighbors"),
         "best_cos",
         F.col("dup_of").cast("bigint").alias("dup_of"),

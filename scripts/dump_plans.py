@@ -83,6 +83,14 @@ PLAN_QUERIES = [
     # single-scan estimate+exact).
     "agg_approx_percentile",
     "agg_approx_distinct",
+    # round 9: the curation suite — row-local bigrams (no Window),
+    # broadcast model joins, join-free literal-centroid assignment,
+    # keyed within-cluster pairs.
+    "ns_quality_perplexity",
+    "ns_sample_importance",
+    "ns_dedup_bloom",
+    "ns_cluster_kmeans",
+    "ns_semdedup",
 ]
 
 
@@ -414,6 +422,65 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "HLL estimate and exact count share one events scan",
         n_scans == 1,
         f"{n_scans} parquet scan detail sections in formatted plan")
+
+    # ns_quality_perplexity (r9): bigram derivation must be ROW-LOCAL
+    # (array transform in the projection) — a per-doc lead() would
+    # plan a Window + doc_id Exchange before the model joins.
+    p = _formatted(ops.QUERIES["ns_quality_perplexity"](spark, sf_dir))
+    add("ns_quality_perplexity",
+        "bigram derivation is row-local (no Window operator)",
+        "Window" not in p,
+        "no Window node" if "Window" not in p else "Window FOUND")
+
+    # ns_sample_importance (r9): the keep threshold is a broadcast
+    # 1-row aggregate, never a global sort/rank of the corpus.
+    p = _formatted(ops.QUERIES["ns_sample_importance"](spark, sf_dir))
+    nodes = {n for n in ("Window", "TakeOrdered") if n in p}
+    glob_sort = bool(_re.search(r"Exchange rangepartitioning", p))
+    add("ns_sample_importance",
+        "keep threshold via broadcast mean (no global sort/window)",
+        not nodes and not glob_sort,
+        f"forbidden nodes: {sorted(nodes)} rangepartitioning="
+        f"{glob_sort}" if (nodes or glob_sort)
+        else "no Window/TakeOrdered/rangepartitioning")
+
+    # ns_dedup_bloom (r9): the filter build is a two-phase bit_or
+    # aggregate and the probe joins the word table via broadcast.
+    p = _formatted(ops.QUERIES["ns_dedup_bloom"](spark, sf_dir))
+    add("ns_dedup_bloom",
+        "filter build is a partial (map-side) bit_or aggregate",
+        "partial_bit_or" in p or
+        bool(_re.search(r"HashAggregate.*bit_or", p)),
+        "bit_or partial aggregate present"
+        if ("partial_bit_or" in p
+            or _re.search(r"HashAggregate.*bit_or", p))
+        else "bit_or partial MISSING")
+    add("ns_dedup_bloom",
+        "probe side joins the word table via BroadcastHashJoin",
+        "BroadcastHashJoin" in p,
+        "BroadcastHashJoin present" if "BroadcastHashJoin" in p
+        else "BroadcastHashJoin MISSING")
+
+    # ns_cluster_kmeans (r9): assignment is row-local against literal
+    # centroids — the final plan must contain NO join of any kind
+    # (the k x 64 means travel via bounded driver collects).
+    p = _formatted(ops.QUERIES["ns_cluster_kmeans"](spark, sf_dir))
+    joins = _re.findall(r"(\w*Join\w*)", p)
+    add("ns_cluster_kmeans",
+        "assignment is join-free (literal centroids, row-local)",
+        not joins, f"join nodes: {sorted(set(joins))}" if joins
+        else "no join nodes in formatted plan")
+
+    # ns_semdedup (r9): the pair join is keyed on cl — never a
+    # nested loop / cartesian over the corpus.
+    p = _formatted(ops.QUERIES["ns_semdedup"](spark, sf_dir))
+    bad = {n for n in ("BroadcastNestedLoopJoin", "CartesianProduct")
+           if n in p}
+    add("ns_semdedup",
+        "within-cluster pair join is keyed (no nested loop)",
+        not bad and "Join" in p,
+        f"forbidden: {sorted(bad)}" if bad
+        else "keyed join present, no BNLJ/cartesian")
     return checks
 
 
