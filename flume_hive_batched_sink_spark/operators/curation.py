@@ -19,6 +19,10 @@ exact DuckDB twin:
 - `ns_cluster_kmeans` / `ns_semdedup` (clustering.py): fixed-iteration
   Lloyd over the embedding corpus, and SemDeDup within-cluster cosine
   near-dup pruning on top of it.
+- `ns_sample_weighted_topk`: exact-size weighted sampling without
+  replacement (Efraimidis-Spirakis exponential race keys).
+- `ns_split_group_folds`: leakage-safe k-fold assignment keyed by the
+  dedup family's canonical group key, with the naive-split leak audit.
 
 Cross-engine determinism: every score is a sum of natural logs of
 INTEGER counts, computed with `registry.det_ln_int` — the
@@ -573,3 +577,183 @@ def ns_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 ns_dedup_bloom.__doc__ = ns_dedup_bloom.__doc__.format(
     bpk=_BLOOM_BPK, k=_BLOOM_K, delta="/".join(_BLOOM_DELTA)
 )
+
+
+# ---------- weighted sampling without replacement (E-S keys) ----------
+
+_WTK_K = 100
+_WTK_C = 1 << 32  # md5-32 hash range; u = h / 2^32 in (0, 1]
+
+
+def _md5_poly_sql(expr: str, start: int, n: int) -> str:
+    """Nibble polynomial over md5 hex chars [start, start+n) — the
+    DuckDB twin of conv(substring(md5(x), start, n), 16, 10)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef',"
+            f" substring(md5({expr}), {start + i}, 1)) - 1)"
+            f" * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+@query(
+    "ns_sample_weighted_topk",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             {_md5_poly_sql("CAST(doc_id AS VARCHAR)", 1, 8)} + 1 AS h,
+             CAST({_WTK_C} AS BIGINT) AS c
+      FROM documents
+    ),
+    {sql_det_ln_ctes("lnx", "base", {"h": "ln_h", "c": "ln_c"})},
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             (ln_c - ln_h) / CAST(n_chars AS DOUBLE) AS sample_key
+      FROM lnx
+    ),
+    top AS (
+      SELECT * FROM keyed ORDER BY sample_key, doc_id LIMIT {_WTK_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sample_key, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, source, n_chars, sample_key
+    FROM top
+    """,
+)
+def ns_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential race
+    keys (Efraimidis-Spirakis): each doc draws u = (md5_32(doc_id)+1)
+    / 2^32 and races with key -ln(u)/w, w = n_chars; the k smallest
+    keys ARE a weight-proportional sample without replacement. The
+    reproducible heavy-tail downsampling step (ns_sample_weighted is
+    the Bernoulli per-doc variant; this one hits an EXACT sample
+    size).
+
+    -ln(u) = det_ln(2^32) - det_ln(h) — integer det_ln again, so the
+    race keys are bit-identical cross-engine and the oracle replays
+    the exact winner set and order.
+
+    Scale: row-local key derivation in the scan projection; selection
+    is TakeOrderedAndProject (per-partition top-k, k-row final merge
+    on the driver) — no global sort, no shuffle of the corpus. The
+    final rank window runs on k rows."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+        + 1
+    )
+    key = (
+        (det_ln_int(F.lit(_WTK_C)) - det_ln_int(h))
+        / F.col("n_chars").cast("double")
+    )
+    top = (
+        d.select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(_WTK_K)
+    )
+    from pyspark.sql.window import Window as W
+
+    return top.select(
+        F.row_number()
+        .over(W.orderBy("sample_key", "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        "sample_key",
+    )
+
+
+# ---------- leakage-safe fold assignment ----------
+
+_FOLDS = 5
+
+
+@query(
+    "ns_split_group_folds",
+    f"""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             array_to_string(string_split(lower(trim(text)), ' ')[1:3],
+                             ' ') AS ckey
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars, ckey,
+             {_md5_poly_sql("ckey", 1, 4)} % {_FOLDS} AS fold,
+             doc_id % {_FOLDS} AS naive_fold
+      FROM g
+    ),
+    groups AS (
+      SELECT ckey, COUNT(*) AS gsize,
+             COUNT(DISTINCT naive_fold) AS naive_spread
+      FROM assigned GROUP BY ckey
+    )
+    SELECT a.fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.ckey) AS BIGINT) AS n_groups,
+           CAST(SUM(a.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN g.gsize > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_in_dup_groups,
+           CAST(SUM(CASE WHEN g.naive_spread > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_naive_would_leak
+    FROM assigned a JOIN groups g ON a.ckey = g.ckey
+    GROUP BY a.fold
+    """,
+)
+def ns_split_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold split: the fold is a hash of the dedup
+    family's canonical GROUP key (the 3-token normalized prefix,
+    dedup._CKEY), so every near-duplicate group lands wholly inside
+    one fold — eval can never see a training doc's twin. Per fold:
+    volume stats plus the audit that justifies the design —
+    `docs_naive_would_leak` counts docs whose dup group straddles
+    folds under the naive doc_id %% k split (group-aware spread is 0
+    by construction).
+
+    Scale: fold assignment is row-local (md5 of the short group key);
+    the audit is one ckey-keyed agg joined back on the same key (one
+    shuffle, reused partitioning). The 64-hex/3-token key bounds
+    skew the same way the dedup family does."""
+    from .dedup import _ckey_col
+
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        _ckey_col().alias("ckey"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "ckey",
+        (
+            F.conv(F.substring(F.md5("ckey"), 1, 4), 16, 10).cast("bigint")
+            % _FOLDS
+        ).alias("fold"),
+        (F.col("doc_id") % _FOLDS).alias("naive_fold"),
+    )
+    groups = assigned.groupBy("ckey").agg(
+        F.count("*").alias("gsize"),
+        F.countDistinct("naive_fold").alias("naive_spread"),
+    )
+    return (
+        assigned.join(groups, ["ckey"])
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("ckey").cast("bigint").alias("n_groups"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.when(F.col("gsize") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_dup_groups"),
+            F.sum(F.when(F.col("naive_spread") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_naive_would_leak"),
+        )
+    )

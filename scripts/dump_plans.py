@@ -91,6 +91,7 @@ PLAN_QUERIES = [
     "ns_dedup_bloom",
     "ns_cluster_kmeans",
     "ns_semdedup",
+    "ns_sample_weighted_topk",
 ]
 
 
@@ -481,6 +482,17 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         not bad and "Join" in p,
         f"forbidden: {sorted(bad)}" if bad
         else "keyed join present, no BNLJ/cartesian")
+
+    # ns_sample_weighted_topk (r9): E-S selection must be
+    # TakeOrderedAndProject (per-partition top-k + k-row driver
+    # merge), never a global range-partitioned sort of the corpus.
+    p = _formatted(ops.QUERIES["ns_sample_weighted_topk"](spark, sf_dir))
+    add("ns_sample_weighted_topk",
+        "winner selection is TakeOrderedAndProject (no global sort)",
+        "TakeOrderedAndProject" in p
+        and not _re.search(r"Exchange rangepartitioning", p),
+        "TakeOrderedAndProject present, no rangepartitioning"
+        if "TakeOrderedAndProject" in p else "TakeOrdered MISSING")
     return checks
 
 

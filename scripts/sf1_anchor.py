@@ -61,6 +61,15 @@ FROZEN36 = [
 ]
 EXTRAS = ["stream_windowed_topk_state", "agg_audience_overlap"]
 
+# r9 curation suite, pinned by name (a THIRD anchor group — reported
+# as its own subtotal so the frozen-24/36 numbers stay comparable;
+# first anchored r9, band forms as future rounds re-run).
+CURATION7 = [
+    "ns_quality_perplexity", "ns_sample_importance", "ns_dedup_bloom",
+    "ns_cluster_kmeans", "ns_semdedup", "ns_sample_weighted_topk",
+    "ns_split_group_folds",
+]
+
 
 def main() -> None:
     assert HEADLINE[:36] == FROZEN36, (
@@ -79,6 +88,11 @@ def main() -> None:
         extras[name] = round(timed(spark, name, scaled), 3)
         spark.catalog.clearCache()
         print(f"{name:28s} {extras[name]:7.2f}s  (extra)", flush=True)
+    curation: dict[str, float] = {}
+    for name in CURATION7:
+        curation[name] = round(timed(spark, name, scaled), 3)
+        spark.catalog.clearCache()
+        print(f"{name:28s} {curation[name]:7.2f}s  (curation7)", flush=True)
     print(
         json.dumps(
             {
@@ -86,10 +100,14 @@ def main() -> None:
                     sum(times[n] for n in FROZEN36[:24]), 3
                 ),
                 "frozen36_sf1eq_subtotal_sec": round(sum(times.values()), 3),
+                "curation7_sf1eq_subtotal_sec": round(
+                    sum(curation.values()), 3
+                ),
                 "corpus": "scale_check K=10 blow-up of sf0.1 (~sf1)",
                 "method": "bench.py methodology: warmup + best-of-2, noop sink",
                 "queries": times,
                 "extras": extras,
+                "curation7": curation,
             }
         )
     )
