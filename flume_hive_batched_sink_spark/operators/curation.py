@@ -369,6 +369,81 @@ def _bloom_h40(ck: Column, j: int) -> Column:
     return F.conv(F.substring(ck, 1 + 10 * j, 10), 16, 10).cast("bigint")
 
 
+def bloom_chunk_frame(d: DataFrame) -> DataFrame:
+    """Row-local chunk derivation shared by ns_dedup_bloom and the
+    streaming probe (stream_dedup_bloom): (doc_id, source, chunk_id,
+    ck=md5(16-token chunk)). Works unchanged on a streaming source —
+    explode/slice/md5 are all stateless."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks_doc = F.ceil(F.size(toks) / F.lit(_BLOOM_CHUNK))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            toks.alias("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(n_chunks_doc - 1, F.lit(0))
+                )
+            ).alias("chunk_id"),
+        )
+        .filter(F.col("chunk_id") * _BLOOM_CHUNK < F.size("t"))
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "t",
+                        F.col("chunk_id") * _BLOOM_CHUNK + 1,
+                        _BLOOM_CHUNK,
+                    ),
+                    " ",
+                )
+            ).alias("ck"),
+        )
+    )
+
+
+def bloom_static_sides(spark: SparkSession, sf_dir: str):
+    """Batch-built static sides for the STREAMING bloom probe:
+    (m_bits literal, words table, base key set). The geometry becomes
+    a plain int (one bounded count) because a streaming plan can't
+    cross-join a batch scalar; the word/key tables are broadcast into
+    the stream-static joins. Identical arithmetic to ns_dedup_bloom's
+    build phase."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    chunks = bloom_chunk_frame(d)
+    basek = chunks.filter(
+        ~F.col("source").isin(*_BLOOM_DELTA)
+    ).select("ck").distinct()
+    n = basek.count()
+    m_bits = (
+        (n * _BLOOM_BPK + _BLOOM_WORD - 1) // _BLOOM_WORD
+    ) * _BLOOM_WORD
+    pos = F.explode(
+        F.array(
+            *[
+                _bloom_h40(F.col("ck"), j) % F.lit(m_bits)
+                for j in range(_BLOOM_K)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        basek.select(pos)
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {_BLOOM_WORD} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("wv"))
+    )
+    return m_bits, words, basek
+
+
 _BLOOM_CHUNKS_SQL = f"""
     toks AS (
       SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
@@ -470,36 +545,7 @@ def ns_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash caps the filter at 2^40 bits (~20 G keys at 6 b/k); beyond
     that, widen to more md5 nibbles (documented, not silent)."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    toks = F.split(F.col("text"), " ")
-    n_chunks_doc = F.ceil(F.size(toks) / F.lit(_BLOOM_CHUNK))
-    chunks = (
-        d.select(
-            "doc_id",
-            "source",
-            toks.alias("t"),
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.greatest(n_chunks_doc - 1, F.lit(0))
-                )
-            ).alias("chunk_id"),
-        )
-        .filter(F.col("chunk_id") * _BLOOM_CHUNK < F.size("t"))
-        .select(
-            "doc_id",
-            "source",
-            "chunk_id",
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        "t",
-                        F.col("chunk_id") * _BLOOM_CHUNK + 1,
-                        _BLOOM_CHUNK,
-                    ),
-                    " ",
-                )
-            ).alias("ck"),
-        )
-    )
+    chunks = bloom_chunk_frame(d)
     is_delta = F.col("source").isin(*_BLOOM_DELTA)
     basek = chunks.filter(~is_delta).select("ck").distinct()
     geom = basek.agg(

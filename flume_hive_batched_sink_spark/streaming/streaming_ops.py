@@ -967,3 +967,141 @@ def stream_windowed_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
     )
+
+
+from ..operators.curation import (  # noqa: E402  (bloom shared pieces)
+    _BLOOM_CHUNKS_SQL,
+    _BLOOM_DELTA,
+    _BLOOM_DELTA_SQL,
+    _BLOOM_BPK,
+    _BLOOM_K,
+    _BLOOM_WORD,
+    _bloom_h40,
+    _bloom_h40_sql,
+    bloom_chunk_frame,
+    bloom_static_sides,
+)
+
+
+@query(
+    "stream_dedup_bloom",
+    # Batch-semantics twin: the stream-static probe is stateless per
+    # chunk, so the streaming output equals the batch per-chunk
+    # verdict table restricted to the delta slice — the same CTEs as
+    # ns_dedup_bloom minus the per-doc rollup.
+    f"""
+    WITH {_BLOOM_CHUNKS_SQL},
+    basek AS (
+      SELECT DISTINCT ck FROM chunks
+      WHERE source NOT IN ({_BLOOM_DELTA_SQL})
+    ),
+    geom AS (
+      SELECT ((COUNT(*) * {_BLOOM_BPK} + {_BLOOM_WORD - 1})
+              // {_BLOOM_WORD}) * {_BLOOM_WORD} AS m_bits
+      FROM basek
+    ),
+    setbits AS (
+      SELECT p.pos // {_BLOOM_WORD} AS word,
+             bit_or(1::BIGINT << (p.pos % {_BLOOM_WORD})::INT) AS wv
+      FROM basek b CROSS JOIN geom g,
+           LATERAL (SELECT unnest([
+             {", ".join(
+                 _bloom_h40_sql("b.ck", j) + " % g.m_bits"
+                 for j in range(_BLOOM_K))}
+           ]) AS pos) p
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT c.doc_id, c.chunk_id, c.ck,
+             p.pos // {_BLOOM_WORD} AS word,
+             (p.pos % {_BLOOM_WORD})::INT AS bit
+      FROM chunks c CROSS JOIN geom g,
+           LATERAL (SELECT unnest([
+             {", ".join(
+                 _bloom_h40_sql("c.ck", j) + " % g.m_bits"
+                 for j in range(_BLOOM_K))}
+           ]) AS pos) p
+      WHERE c.source IN ({_BLOOM_DELTA_SQL})
+    ),
+    perchunk AS (
+      SELECT p.doc_id, p.chunk_id, p.ck,
+             MIN(CASE WHEN s.wv IS NOT NULL
+                       AND ((s.wv >> p.bit) & 1) = 1
+                      THEN 1 ELSE 0 END) AS maybe
+      FROM probe p LEFT JOIN setbits s ON p.word = s.word
+      GROUP BY 1, 2, 3
+    )
+    SELECT pc.doc_id, pc.chunk_id,
+           pc.maybe AS maybe_seen,
+           CASE WHEN b.ck IS NULL THEN 0 ELSE 1 END AS seen_exact,
+           pc.maybe - (CASE WHEN b.ck IS NULL THEN 0 ELSE 1 END)
+             AS false_pos
+    FROM perchunk pc LEFT JOIN basek b ON pc.ck = b.ck
+    """,
+)
+def stream_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup as a LIVE stream: the delta document batch
+    arrives as micro-batches and every 16-token chunk probes the
+    batch-built bloom filter via stream-static broadcast joins —
+    per-chunk verdicts (bloom maybe / exact seen / false positive)
+    with NO stream-side aggregation, state store, or watermark: the
+    probe is row-local, so verdict latency is one micro-batch and
+    state is zero regardless of stream length. This is the
+    production shape of ns_dedup_bloom (whose batch per-chunk output
+    it must equal — the oracle is the same SQL minus the per-doc
+    rollup): filter built nightly from the corpus index, new crawl
+    probed as it lands. The k position lookups are k scalar
+    broadcast joins (an explode→re-aggregate on the stream would
+    force a state store for nothing).
+
+    Scale: the word table is ~6 bits/base-key (broadcastable at
+    corpus/10^5 size); the exact-membership audit join against the
+    full base key set exists for the false-positive accounting and
+    is what production drops first (see ns_dedup_bloom's docstring
+    split)."""
+    m_bits, words, basek = bloom_static_sides(spark, sf_dir)
+    delta = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*_BLOOM_DELTA)
+    )
+    parts = [delta.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    staged, schema = stage_chunks(
+        "docs_delta", parts, cache_key=f"docs_delta|{sf_dir}"
+    )
+    seen_keys = basek.withColumn("seen1", F.lit(1))
+
+    def xform(src: DataFrame) -> DataFrame:
+        probe = bloom_chunk_frame(src)
+        hit = None
+        for j in range(_BLOOM_K):
+            wj = words.select(
+                F.col("word").alias(f"w{j}"), F.col("wv").alias(f"wv{j}")
+            )
+            probe = (
+                probe.withColumn(
+                    f"pos{j}", _bloom_h40(F.col("ck"), j) % F.lit(m_bits)
+                )
+                .withColumn(f"w{j}", F.expr(f"pos{j} div {_BLOOM_WORD}"))
+                .withColumn(
+                    f"b{j}", (F.col(f"pos{j}") % _BLOOM_WORD).cast("int")
+                )
+                .join(F.broadcast(wj), [f"w{j}"], "left")
+            )
+            hj = F.col(f"wv{j}").isNotNull() & (
+                F.expr(f"shiftright(wv{j}, b{j}) & 1") == 1
+            )
+            hit = hj if hit is None else (hit & hj)
+        return (
+            probe.withColumn("maybe_seen", F.when(hit, 1).otherwise(0))
+            .join(F.broadcast(seen_keys), ["ck"], "left")
+            .select(
+                "doc_id",
+                "chunk_id",
+                "maybe_seen",
+                F.coalesce("seen1", F.lit(0)).alias("seen_exact"),
+                (
+                    F.col("maybe_seen") - F.coalesce("seen1", F.lit(0))
+                ).alias("false_pos"),
+            )
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_dedup_bloom")
