@@ -23,6 +23,8 @@ exact DuckDB twin:
   replacement (Efraimidis-Spirakis exponential race keys).
 - `ns_split_group_folds`: leakage-safe k-fold assignment keyed by the
   dedup family's canonical group key, with the naive-split leak audit.
+- `ns_quality_entropy`: unigram Shannon-entropy diversity signal (the
+  third det_ln consumer).
 
 Cross-engine determinism: every score is a sum of natural logs of
 INTEGER counts, computed with `registry.det_ln_int` — the
@@ -802,4 +804,96 @@ def ns_split_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("docs_naive_would_leak"),
         )
+    )
+
+
+# ---------- unigram-entropy quality signal ----------
+
+# Normalized-entropy floor: repetitive docs (low token diversity per
+# length) sit below it. Calibrated inside the observed spread at the
+# oracle SFs (norm_entropy spans ~0.86-1.0 with median ~0.963 at
+# sf0.001/0.01/0.1) so the flag varies (see the flag-flip test).
+_ENT_LOW = 0.96
+
+
+@query(
+    "ns_quality_entropy",
+    f"""
+    WITH tc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    {sql_det_ln_ctes("lnc", "tc", {"c": "ln_c"})},
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             {sql_dsum("c * ln_c", "sclnc")}
+      FROM lnc GROUP BY doc_id
+    ),
+    {sql_det_ln_ctes(
+        "lnn", "agg", {"n_tokens": "ln_n", "n_distinct": "ln_d"}
+    )}
+    SELECT doc_id, n_tokens, n_distinct,
+           ln_n - sclnc / CAST(n_tokens AS DOUBLE) AS entropy,
+           CASE WHEN n_distinct > 1
+                THEN (ln_n - sclnc / CAST(n_tokens AS DOUBLE)) / ln_d
+                ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy,
+           CASE WHEN n_distinct > 1
+                 AND (ln_n - sclnc / CAST(n_tokens AS DOUBLE)) / ln_d
+                     < CAST({_ENT_LOW!r} AS DOUBLE)
+                THEN 1 ELSE 0 END AS low_entropy
+    FROM lnn
+    """,
+)
+def ns_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per doc (nats) — the
+    repetitiveness/diversity quality signal complementing the Gopher
+    shape rules (ns_quality_gopher counts dup n-grams;
+    entropy measures the whole distribution): H = ln(n) - (1/n)·Σ
+    c_w·ln(c_w) over within-doc token counts, normalized by the
+    maximum ln(n_distinct); `low_entropy` flags template/boilerplate
+    docs whose diversity is low for their length.
+
+    Both logs take INTEGER counts, so det_ln makes every emitted
+    value bit-identical cross-engine (the third det_ln consumer after
+    perplexity and DSIR).
+
+    Scale: one (doc_id, token)-keyed hash agg (map-side combine —
+    within-doc token counts never leave the mapper un-reduced) and
+    one doc_id agg; ~20 codegen'd double ops per distinct token for
+    the log. Zero joins, zero windows."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    tc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        dsum(F.col("c").cast("double") * det_ln_int(F.col("c")), "sclnc"),
+    )
+    ln_n = det_ln_int(F.col("n_tokens"))
+    ln_d = det_ln_int(F.col("n_distinct"))
+    ent = ln_n - F.col("sclnc") / F.col("n_tokens").cast("double")
+    norm = F.when(F.col("n_distinct") > 1, ent / ln_d).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ent.alias("entropy"),
+        norm.alias("norm_entropy"),
+        F.when(
+            (F.col("n_distinct") > 1) & (norm < F.lit(_ENT_LOW)), 1
+        )
+        .otherwise(0)
+        .alias("low_entropy"),
     )

@@ -1754,3 +1754,21 @@ def test_group_folds_leakage_audit(spark):
         .collect()[0][0]
     )
     assert spread == 1
+
+
+def test_entropy_flag_and_bounds(spark):
+    """ns_quality_entropy invariants: 0 <= H <= ln(n_distinct)
+    (within det_ln's 1e-9 tolerance), norm_entropy in [0, 1], and the
+    low_entropy flag takes both values at the oracle SF."""
+    import math
+
+    from .conftest import SF_ORACLE
+
+    out = QUERIES["ns_quality_entropy"](spark, SF_ORACLE)
+    rows = out.collect()
+    lo = sum(r.low_entropy for r in rows)
+    assert 0 < lo < len(rows), f"flag vacuous: {lo}/{len(rows)}"
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-9, r
+        assert -1e-9 <= r.norm_entropy <= 1 + 1e-9, r
+        assert r.n_distinct <= r.n_tokens, r
