@@ -92,6 +92,7 @@ PLAN_QUERIES = [
     "ns_cluster_kmeans",
     "ns_semdedup",
     "ns_sample_weighted_topk",
+    "ns_quality_entropy",
 ]
 
 
@@ -493,6 +494,16 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         and not _re.search(r"Exchange rangepartitioning", p),
         "TakeOrderedAndProject present, no rangepartitioning"
         if "TakeOrderedAndProject" in p else "TakeOrdered MISSING")
+
+    # ns_quality_entropy (r9): two hash aggregates, nothing else —
+    # no joins, no windows, no sorts anywhere in the plan.
+    p = _formatted(ops.QUERIES["ns_quality_entropy"](spark, sf_dir))
+    nodes = {n for n in ("Join", "Window", "Sort") if n in p}
+    add("ns_quality_entropy",
+        "pure two-aggregate plan (no Join/Window/Sort)",
+        not nodes,
+        f"forbidden nodes: {sorted(nodes)}" if nodes
+        else "only scans/projections/hash aggregates")
     return checks
 
 

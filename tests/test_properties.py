@@ -1772,3 +1772,48 @@ def test_entropy_flag_and_bounds(spark):
         assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-9, r
         assert -1e-9 <= r.norm_entropy <= 1 + 1e-9, r
         assert r.n_distinct <= r.n_tokens, r
+
+
+def test_det_ln_parity_large_domain(spark):
+    """det_ln parity beyond the dense 1..50k sweep: the weighted
+    sampler feeds h up to 2^32 and at-scale n-gram counts exceed 1e6,
+    so pin bit-parity at every bit-length transition up to 2^40
+    (2^e - 1, 2^e, 2^e + 1 — the range-reduction edges) plus fixed
+    large pseudo-random probes, and accuracy vs math.log."""
+    import math
+
+    import duckdb
+
+    from flume_hive_batched_sink_spark.operators.registry import (
+        det_ln_int,
+        sql_det_ln_ctes,
+    )
+
+    vals = []
+    for e in range(1, 41):
+        vals += [(1 << e) - 1, 1 << e, (1 << e) + 1]
+    vals += [(1664525 * i + 1013904223) % (1 << 40) or 1
+             for i in range(1, 200)]
+    vals = sorted(set(vals))
+    df = spark.createDataFrame([(v,) for v in vals], "id long")
+    got = {
+        r.id: r.lnv
+        for r in df.select(
+            "id", det_ln_int(F.col("id")).alias("lnv")
+        ).collect()
+    }
+    frag = sql_det_ln_ctes("lnx", "base", {"id": "lnv"})
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base AS SELECT unnest(?::BIGINT[]) AS id", [vals]
+    )
+    duck = dict(
+        con.execute(f"WITH {frag} SELECT id, lnv FROM lnx").fetchall()
+    )
+    import struct
+
+    for v in vals:
+        a, b = got[v], duck[v]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
+        rel = abs(a - math.log(v)) / max(math.log(v), 1e-12)
+        assert rel < 5e-10 or v == 1, (v, a, math.log(v))
