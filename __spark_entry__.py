@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 194 queries are registered (SURVEY §2 Part B, which matches the
+# 195 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 194
+# tests/test_properties.py::test_survey_registry_lockstep); all 195
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -35,26 +35,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8 output-changed operators still await their FIRST hash-gated
 # driver check under the new output paths. The r9 window therefore
 # holds, in priority order (first-ever gates outrank re-checks):
-# (a) the 9 operators NEW in r9 (never driver-checked): the curation
+# (a) the 10 operators NEW in r9 (never driver-checked): the curation
 #     suite — ns_quality_perplexity / ns_sample_importance (det_ln-
 #     based scores), ns_dedup_bloom and its streaming twin
 #     stream_dedup_bloom, the clustering pair ns_cluster_kmeans /
 #     ns_semdedup, E-S weighted sampling, the leakage-safe fold
-#     split, and the entropy quality signal;
+#     split, the entropy quality signal, and web-markup extraction;
 # (b) the 7 ops whose OUTPUT changed in r8 (md5-nibble hash switch,
 #     NaN cell fix, auto band geometry, value-bounded sketch
 #     envelopes): ns_dedup_simhash, ns_dedup_minhash, win_ntile_dist,
 #     ns_dedup_embedding, agg_approx_distinct, agg_approx_percentile,
 #     agg_hll_sketch_merge;
-# (c) 34 of the 43 r04-stale ops (scripts/staleness.py this round).
-# 9 + 7 + 34 = 50 (weighted-topk, group-folds, stream_dedup_bloom
-# and ns_quality_entropy joined group (a) late in the round).
-# Displaced to r10: nine r04 rows (agg_weighted_avg, f_bitwise, f_regexp,
+# (c) 33 of the 43 r04-stale ops (scripts/staleness.py this round).
+# 10 + 7 + 33 = 50 (weighted-topk, group-folds, stream_dedup_bloom,
+# ns_quality_entropy and ns_html_extract joined group (a) late in
+# the round). Displaced to r10: ten r04 rows (agg_weighted_avg, f_bitwise, f_regexp,
 # ingest_csv_serde, ingest_jsonl, win_row_number, win_running_frame,
 # win_rank — scalar/ingest/window surfaces whose outputs are
 # unchanged since r04 and value-equal-gated locally every round) and
 # the r05 cohort. After a clean r9 driver run, no operator's latest
-# binding check is older than r04, and those nine plus the r05 rows
+# binding check is older than r04, and those ten plus the r05 rows
 # rotate forward in r10.
 _ROUND9_FRONT = [
     # (a) new in r9 — first driver check
@@ -67,6 +67,7 @@ _ROUND9_FRONT = [
     "ns_split_group_folds",
     "stream_dedup_bloom",
     "ns_quality_entropy",
+    "ns_html_extract",
     # (b) output changed in r8 — first check under the new path
     "ns_dedup_simhash",
     "ns_dedup_minhash",
@@ -107,7 +108,6 @@ _ROUND9_FRONT = [
     "stream_stream_join",
     "ts_gapfill",
     "ts_resample_ohlc",
-    "udtf_python_lateral",
     "win_percent_rank",
     "win_topk_per_group",
 ]
@@ -126,11 +126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 194/194 as of r9;
+    """DuckDB twins for EVERY registered query — 195/195 as of r9;
     the rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF
-    left-fold assignment dot). The nine r9 additions were oracle-
+    left-fold assignment dot). The ten r9 additions were oracle-
     backed from birth: the perplexity / DSIR / weighted-sampling
     scores ride the deterministic integer logarithm
     (registry.det_ln_int — native ln() is NOT cross-engine

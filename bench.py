@@ -90,6 +90,7 @@ HEADLINE = [
     "ns_split_group_folds",
     "ns_quality_entropy",
     "stream_dedup_bloom",
+    "ns_html_extract",
 ]
 
 
@@ -151,7 +152,7 @@ def main() -> None:
                 timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    # `value` is the total over the CURRENT headline set (45 queries
+    # `value` is the total over the CURRENT headline set (46 queries
     # as of r9) and is NOT round-over-round comparable once the set
     # grows. The comparable numbers are the frozen-prefix subtotals:
     # first 15 = the r01 set, first 20 = frozen since r02, first 24 =

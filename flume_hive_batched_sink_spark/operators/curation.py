@@ -25,6 +25,8 @@ exact DuckDB twin:
   dedup family's canonical group key, with the naive-split leak audit.
 - `ns_quality_entropy`: unigram Shannon-entropy diversity signal (the
   third det_ln consumer).
+- `ns_html_extract`: web-markup extraction with a planted-malformed
+  roundtrip audit (pipeline step zero).
 
 Cross-engine determinism: every score is a sum of natural logs of
 INTEGER counts, computed with `registry.det_ln_int` — the
@@ -896,4 +898,154 @@ def ns_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("low_entropy"),
+    )
+
+
+# ---------- web-markup extraction (the pipeline's step zero) ----------
+
+# Deterministic markup synthesized from doc fields (the
+# ns_url_canonicalize fixture trick): every 7th doc gets a MALFORMED
+# body tag (its '>' dropped), so the tag-stripper swallows the body
+# and the roundtrip audit actually exercises its failure path.
+_HTML = (
+    "'<html><head><title>' || {title} || '</title>"
+    '<meta charset="utf-8"></head><body>'
+    "<nav>Home | About | ' || upper(source) || '</nav>"
+    "<h1>' || {title} || '</h1>"
+    "<p{brk}>' || text || '</p>"
+    "<footer>(c) 2024 ' || source || '</footer></body></html>'"
+)
+_HTML_TITLE = "source || ' #' || CAST(doc_id AS VARCHAR)"
+_HTML_WELL = _HTML.format(title=_HTML_TITLE, brk="")
+_HTML_BROKEN = _HTML.format(title=_HTML_TITLE, brk=' class="x"')
+
+
+@query(
+    "ns_html_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0
+                  THEN {_HTML_BROKEN}
+                  ELSE {_HTML_WELL}
+             END AS html
+      FROM documents
+    ),
+    fixed AS (
+      SELECT doc_id, text, html,
+             CASE WHEN doc_id % 7 = 0
+                  THEN replace(html, '<p class="x">', '<p class="x"')
+                  ELSE html END AS raw
+      FROM pages
+    ),
+    ext AS (
+      SELECT doc_id, text, raw,
+             regexp_extract(raw, '<title>([^<]*)</title>', 1) AS title,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(raw,
+                     '<head>.*</head>', ' ', 'g'),
+                     '<nav>[^<]*</nav>', ' ', 'g'),
+                     '<footer>[^<]*</footer>', ' ', 'g'),
+                     '<[^>]*>', ' ', 'g'),
+                 ' +', ' ', 'g')) AS extracted
+      FROM fixed
+    )
+    SELECT doc_id, title,
+           CAST(length(raw) AS BIGINT) AS n_chars_html,
+           CAST(length(extracted) AS BIGINT) AS n_chars_text,
+           CAST(length(raw) - length(extracted) AS DOUBLE)
+             / CAST(length(raw) AS DOUBLE) AS markup_ratio,
+           CASE WHEN extracted =
+                     trim(regexp_replace(title || ' ' || text,
+                                         ' +', ' ', 'g'))
+                THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM ext
+    """,
+)
+def ns_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-markup text extraction — step zero of a web-corpus
+    pipeline (the trafilatura/resiliparse stage, regex-scale):
+    boilerplate elements (head/nav/footer) are removed as ELEMENTS,
+    remaining tags stripped, whitespace normalized; emits the title,
+    size accounting (markup_ratio = the crawl bytes extraction
+    reclaims), and a roundtrip audit against the known source text.
+    Markup is synthesized deterministically from doc fields (the
+    ns_url_canonicalize fixture pattern) and every 7th page is
+    MALFORMED (an unclosed body tag swallows the text), so
+    roundtrip_ok varies and the failure path is exercised — the
+    audit shape for validating an extractor before trusting it on a
+    crawl.
+
+    Scale: entirely row-local regexp codegen in the scan projection —
+    zero shuffles, zero joins; the regexes stay in the RE2⊂Java
+    subset both engines compile identically (the ns_pii_scrub
+    rule)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    title = F.concat(
+        F.col("source"), F.lit(" #"), F.col("doc_id").cast("string")
+    )
+    well = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><meta charset="utf-8"></head><body>'),
+        F.lit("<nav>Home | About | "), F.upper("source"),
+        F.lit("</nav><h1>"), title, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><footer>(c) 2024 "), F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    broken = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><meta charset="utf-8"></head><body>'),
+        F.lit("<nav>Home | About | "), F.upper("source"),
+        F.lit('</nav><h1>'), title, F.lit('</h1><p class="x"'),
+        F.col("text"),
+        F.lit("</p><footer>(c) 2024 "), F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    raw = F.when(F.col("doc_id") % 7 == 0, broken).otherwise(well)
+    base = d.select("doc_id", "source", "text", raw.alias("raw"))
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("raw"), "<head>.*</head>", " "
+                        ),
+                        "<nav>[^<]*</nav>", " ",
+                    ),
+                    "<footer>[^<]*</footer>", " ",
+                ),
+                "<[^>]*>", " ",
+            ),
+            " +", " ",
+        )
+    )
+    # content = the h1 title plus the body (the extractor KEEPS the
+    # in-page heading — that's content, not boilerplate)
+    norm_src = F.trim(
+        F.regexp_replace(
+            F.concat(title, F.lit(" "), F.col("text")), " +", " "
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_extract("raw", "<title>([^<]*)</title>", 1).alias(
+            "title"
+        ),
+        F.length("raw").cast("bigint").alias("n_chars_html"),
+        extracted.alias("_ex"),
+        norm_src.alias("_ns"),
+    ).select(
+        "doc_id",
+        "title",
+        "n_chars_html",
+        F.length("_ex").cast("bigint").alias("n_chars_text"),
+        (
+            (F.col("n_chars_html") - F.length("_ex")).cast("double")
+            / F.col("n_chars_html").cast("double")
+        ).alias("markup_ratio"),
+        F.when(F.col("_ex") == F.col("_ns"), 1).otherwise(0).alias(
+            "roundtrip_ok"
+        ),
     )

@@ -1817,3 +1817,21 @@ def test_det_ln_parity_large_domain(spark):
         assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
         rel = abs(a - math.log(v)) / max(math.log(v), 1e-12)
         assert rel < 5e-10 or v == 1, (v, a, math.log(v))
+
+
+def test_html_extract_audit_separates(spark):
+    """ns_html_extract invariants: the roundtrip audit must PERFECTLY
+    separate the planted malformed pages (unclosed body tag swallows
+    the text -> roundtrip_ok = 0) from well-formed ones (= 1), and
+    markup_ratio must sit strictly inside (0, 1)."""
+    from .conftest import SF_ORACLE
+
+    out = QUERIES["ns_html_extract"](spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        expect = 0 if r.doc_id % 7 == 0 else 1
+        assert r.roundtrip_ok == expect, r
+        assert 0.0 < r.markup_ratio < 1.0, r
+        assert r.title.endswith(f"#{r.doc_id}"), r
+    assert any(r.doc_id % 7 == 0 for r in rows)
