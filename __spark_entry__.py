@@ -29,98 +29,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
-# Round 9 rotation. The driver produced no CORRECTNESS_r08 artifact,
-# so the r8 front (output-changed ops + the r04 cohort) never got its
-# driver check — the r04 cohort remains the stale edge and the seven
-# r8 output-changed operators still await their FIRST hash-gated
-# driver check under the new output paths. The r9 window therefore
-# holds, in priority order (first-ever gates outrank re-checks):
-# (a) the 10 operators NEW in r9 (never driver-checked): the curation
-#     suite — ns_quality_perplexity / ns_sample_importance (det_ln-
-#     based scores), ns_dedup_bloom and its streaming twin
-#     stream_dedup_bloom, the clustering pair ns_cluster_kmeans /
-#     ns_semdedup, E-S weighted sampling, the leakage-safe fold
-#     split, the entropy quality signal, and web-markup extraction;
-# (b) the 7 ops whose OUTPUT changed in r8 (md5-nibble hash switch,
-#     NaN cell fix, auto band geometry, value-bounded sketch
-#     envelopes): ns_dedup_simhash, ns_dedup_minhash, win_ntile_dist,
-#     ns_dedup_embedding, agg_approx_distinct, agg_approx_percentile,
-#     agg_hll_sketch_merge;
-# (c) 33 of the 43 r04-stale ops (scripts/staleness.py this round).
-# 10 + 7 + 33 = 50 (weighted-topk, group-folds, stream_dedup_bloom,
-# ns_quality_entropy and ns_html_extract joined group (a) late in
-# the round). Displaced to r10: ten r04 rows (agg_weighted_avg, f_bitwise, f_regexp,
-# ingest_csv_serde, ingest_jsonl, win_row_number, win_running_frame,
-# win_rank — scalar/ingest/window surfaces whose outputs are
-# unchanged since r04 and value-equal-gated locally every round) and
-# the r05 cohort. After a clean r9 driver run, no operator's latest
-# binding check is older than r04, and those ten plus the r05 rows
-# rotate forward in r10.
-_ROUND9_FRONT = [
-    # (a) new in r9 — first driver check
-    "ns_quality_perplexity",
-    "ns_sample_importance",
-    "ns_dedup_bloom",
-    "ns_cluster_kmeans",
-    "ns_semdedup",
-    "ns_sample_weighted_topk",
-    "ns_split_group_folds",
-    "stream_dedup_bloom",
-    "ns_quality_entropy",
-    "ns_html_extract",
-    # (b) output changed in r8 — first check under the new path
-    "ns_dedup_simhash",
-    "ns_dedup_minhash",
-    "win_ntile_dist",
-    "ns_dedup_embedding",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_hll_sketch_merge",
-    # (c) r04-stale cohort
-    "agg_bitmap_distinct",
-    "agg_count_min",
-    "agg_incremental_merge",
-    "join_range_bucketed",
-    "ns_bigram_stats",
-    "ns_contamination_ngram",
-    "ns_corpus_report",
-    "ns_domain_mixture",
-    "ns_embedding_filter_join",
-    "ns_embedding_profile",
-    "ns_lsh_bucket_stats",
-    "ns_quality_gopher",
-    "ns_repetition",
-    "ns_shard_plan",
-    "ns_similarity_ann_ivf",
-    "ns_similarity_ann_lsh",
-    "ns_url_canonicalize",
-    "ns_url_dedup",
-    "scan_dpp_join",
-    "scan_file_lineage",
-    "scan_schema_evolution",
-    "scan_static_prune",
-    "set_except",
-    "sink_compact_small_files",
-    "sink_overwrite_dynamic",
-    "sink_sorted_layout",
-    "stream_stateful_counter",
-    "stream_static_join",
-    "stream_stream_join",
-    "ts_gapfill",
-    "ts_resample_ohlc",
-    "win_percent_rank",
-    "win_topk_per_group",
+# Round 10 rotation (scripts/staleness.py is the mechanical input).
+# After the clean 50/50 r9 driver run, the stale pool is exactly the
+# rows r9 displaced: the ten r04 rows (agg_weighted_avg, f_bitwise,
+# f_regexp, ingest_csv_serde, ingest_jsonl, udtf_python_lateral,
+# win_lag_lead, win_rank, win_row_number, win_running_frame — the r9
+# rotation note listed only 8 of these; udtf_python_lateral and
+# win_lag_lead were also displaced, per the r9 ADVICE audit) and the
+# 44-row r05 cohort. The r10 window, in priority order:
+# (a) 1 operator NEW in r10 (never driver-checked): ns_semdedup_auto
+#     — the production auto-k SemDeDup geometry, the r9 verdict's #1;
+# (b) the 10 r04 rows — the oldest binding checks in the repo;
+# (c) 39 of the 44 r05 rows (alphabetical; outputs unchanged since
+#     r05 and value-equal-gated locally every round).
+# 1 + 10 + 39 = 50. Displaced to r11: the five-row r05 alphabetical
+# tail — ts_window_funnel, udf_scalar_iter, udtf_arrow_map,
+# unpivot_melt, win_streaks. After a clean r10 run no operator's
+# latest driver gate is older than r05, and those five plus the r06
+# cohort rotate forward in r11.
+_ROUND10_FRONT = [
+    # (a) new in r10 — first driver check
+    "ns_semdedup_auto",
+    # (b) r04-stale rows (oldest in the repo)
+    "agg_weighted_avg",
+    "f_bitwise",
+    "f_regexp",
+    "ingest_csv_serde",
+    "ingest_jsonl",
+    "udtf_python_lateral",
+    "win_lag_lead",
+    "win_rank",
+    "win_row_number",
+    "win_running_frame",
+    # (c) r05-stale cohort (first 39 alphabetically)
+    "agg_audience_overlap",
+    "agg_bool_family",
+    "agg_histogram_equidepth",
+    "agg_listagg",
+    "join_anti",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_bloom_runtime",
+    "join_multiway",
+    "join_scd2",
+    "join_theta_range",
+    "ns_blocklist_filter",
+    "ns_chunk_dedup",
+    "ns_dedup_canonical",
+    "ns_dedup_cluster_stats",
+    "ns_dedup_clusters",
+    "ns_dedup_containment",
+    "ns_dedup_exact_substring",
+    "ns_dedup_incremental",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_soft_weights",
+    "ns_doc_chunk",
+    "ns_embedding_quantize",
+    "ns_filter_attrition",
+    "ns_lang_confusion",
+    "ns_mix_plan",
+    "ns_quality_scriptmix",
+    "ns_sample_reservoir",
+    "ns_sample_weighted",
+    "ns_token_commonness",
+    "ns_tokenize_encode",
+    "ns_vocab_coverage",
+    "scan_agg_pushdown",
+    "scan_profile_stats",
+    "stream_restart_recovery",
+    "stream_windowed_topk",
+    "ts_cumulative_uniques",
+    "ts_retention_cohort",
+    "ts_seasonality_profile",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND9_FRONT
+FRONT = _ROUND10_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND9_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND10_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 

@@ -51,11 +51,21 @@ _SQL_SQDIFF = (
     " * (CAST({e}[i.i] AS DOUBLE) - CAST({c}[i.i] AS DOUBLE))"
 )
 
-_KM_SQL_PREFIX = f"""
+
+def _km_sql_prefix(k_expr: str) -> str:
+    """The 2-iteration Lloyd CTE chain with the cluster count left as
+    a SQL expression — `{_KM_K}` for the pinned-geometry operators, a
+    count(*)-derived scalar subquery for ns_semdedup_auto (the
+    ns_dedup_bloom m_bits precedent: geometry DERIVED inside the
+    oracle, so the derivation itself is hash-gated)."""
+    return f"""
     idx AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
-      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+      SELECT j, c FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+               embedding AS c
+        FROM embeddings
+      ) WHERE j < {k_expr}
     ),
     kd1 AS (
       SELECT e.vec_id, c.j,
@@ -101,6 +111,20 @@ _KM_SQL_PREFIX = f"""
     )"""
 
 
+_KM_SQL_PREFIX = _km_sql_prefix(str(_KM_K))
+
+# Registered auto-geometry: k derived from the corpus count with
+# cells pinned small enough (32) that the derivation is NON-TRIVIAL
+# at the sf0.01 gate (k=15 there vs the fixed 8 — a broken derivation
+# cannot hide behind the fallback max). Production default stays
+# auto_k's target_cell=256 (SemDeDup's n/cell sizing); both are the
+# same code path, only the cell target differs.
+_AUTO_CELL = 32
+_AUTO_K_SQL = (
+    f"(SELECT greatest({_KM_K}, count(*) // {_AUTO_CELL}) FROM embeddings)"
+)
+
+
 def _sqdiff_chain(x: Column, cvals: list[float]) -> Column:
     """Left-fold squared euclidean distance of an array column against
     64 literal centroid coordinates, as a zip_with/aggregate HOF —
@@ -121,11 +145,84 @@ def _sqdiff_chain(x: Column, cvals: list[float]) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
+# Assignment strategy flip: above this k, nearest-centroid assignment
+# switches from the literal-projection form (k HOF folds per row —
+# per-row cost AND plan size grow with k; measured 2.3x slower than
+# k=8 already at k=62/sf0.1) to the broadcast-join form (_assign_join:
+# ONE codegen'd 64-term distance per (row, centroid) join row). Set
+# BELOW the sf0.01 auto-k (15) so the scale path itself is what the
+# ns_semdedup_auto hash gate checks, and ABOVE the pinned oracle k=8
+# so ns_cluster_kmeans / ns_semdedup keep their audited zero-shuffle
+# plans bit-for-bit.
+_JOIN_ASSIGN_MIN_K = 12
+
+
+def _sqdiff_cols(a: Column, b: Column, dim: int = _KM_DIM) -> Column:
+    """Unrolled left-associated squared-euclidean chain over two
+    array COLUMNS. One small all-double method (the _dot_dbl
+    precedent: tiny codegen, no Janino blowup — unlike unrolling k
+    copies of it into one projection, which is exactly what
+    _sqdiff_chain's docstring measured at ~15 s compile). Term order
+    and associativity match list_reduce's left fold, and the adds are
+    IEEE doubles, so the value is bit-identical to the oracle's."""
+    terms = [
+        (a.getItem(i).cast("double") - b.getItem(i).cast("double"))
+        * (a.getItem(i).cast("double") - b.getItem(i).cast("double"))
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _assign_join(
+    em: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment for LARGE k: broadcast the k-row
+    centroid table, compute one codegen'd distance per (vector,
+    centroid) join row, take the per-vector min of the (d2, j) struct
+    (lexicographic struct ordering = ORDER BY d2, j — ties to the
+    smallest j, same as the literal form and the oracle), then map
+    the winner back onto the corpus with a 1:1 vec_id join.
+
+    Scale shape: the corpus never replicates — the n x k expansion is
+    rows of (vec_id, j, d2) only (embedding dropped before the
+    explode), the min is a map-side-combined agg keyed on vec_id, and
+    the centroid side is k x 64 doubles broadcast once. This is the
+    MLlib assignment shape; it holds while k x 64 fits a broadcast
+    (~48 MB at k=100k), far past any literal-projection plan."""
+    spark = em.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(j), [float(v) for v in c]) for j, c in cents],
+        "j int, c array<double>",
+    )
+    d2 = _sqdiff_cols(F.col("embedding"), F.col("c"))
+    best = (
+        em.select("vec_id", "embedding")
+        .join(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            F.struct(d2.alias("d"), F.col("j").alias("j")).alias("dj"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dj").alias("m"))
+    )
+    return em.join(best, ["vec_id"]).select(
+        "vec_id",
+        "embedding",
+        F.col("m.j").alias("cl"),
+        F.col("m.d").alias("d2"),
+    )
+
+
 def _assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Row-local nearest-centroid assignment: one projection, zero
     shuffle — each row min-reduces an array of (d2, j) structs built
     from literal centroids (ties break to the smallest j, mirroring
-    the oracle's ORDER BY d2, j)."""
+    the oracle's ORDER BY d2, j). For k >= _JOIN_ASSIGN_MIN_K the
+    caller uses _assign_join instead — per-row cost here is k
+    interpreted HOF folds, linear in k."""
     cands = F.array(
         *[
             F.struct(
@@ -163,12 +260,13 @@ def kmeans_assign(
     classic driver-coordinated Lloyd loop — MLlib's shape; each
     iteration is one corpus scan)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    assign = _assign_join if k >= _JOIN_ASSIGN_MIN_K else _assign
     init = em.orderBy("vec_id").limit(k).collect()
     cents0 = [
         (j, [float(v) for v in row.embedding])
         for j, row in enumerate(init)
     ]
-    a1 = _assign(em, cents0)
+    a1 = assign(em, cents0)
     x = F.col("embedding")
     means1 = (
         a1.groupBy("cl")
@@ -194,7 +292,7 @@ def kmeans_assign(
         (row.cl, [float(row[f"m{i}"]) for i in range(_KM_DIM)])
         for row in means1
     ]
-    return _assign(em, cents1)
+    return assign(em, cents1)
 
 
 @query(
@@ -241,10 +339,12 @@ def ns_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ns_semdedup",
-    f"""
-    WITH {_KM_SQL_PREFIX},
+def _sem_sql(k_expr: str, k_col: str = "") -> str:
+    """SemDeDup oracle body over the `k_expr`-cluster Lloyd prefix;
+    `k_col` optionally prepends a derived-k output column (the auto
+    variant gates the derivation value itself)."""
+    return f"""
+    WITH {_km_sql_prefix(k_expr)},
     nrm AS (
       SELECT e.vec_id,
              sqrt(list_reduce(
@@ -286,20 +386,31 @@ def ns_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(CASE WHEN nb < vec_id THEN nb END) AS dup_of
       FROM nbr GROUP BY vec_id
     )
-    SELECT a.vec_id, a.cl AS cluster_id,
+    SELECT {k_col}a.vec_id, a.cl AS cluster_id,
            CAST(COALESCE(p.ndn, 0) AS BIGINT) AS n_dup_neighbors,
            p.best_cos AS best_cos,
            CAST(p.dup_of AS BIGINT) AS dup_of,
            CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS keep
     FROM ka2 a LEFT JOIN per p ON a.vec_id = p.vec_id
-    """,
-)
+    """
+
+
+@query("ns_semdedup", _sem_sql(str(_KM_K)))
 def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means the embedding corpus (the SHARED
     kmeans_assign — same clustering the ns_cluster_kmeans hash gate
     pins), then within each cluster mark cosine >= {tau} pairs and
-    drop every vector that has a smaller-id near-duplicate neighbor
-    (one representative per neighborhood survives). Output: every
+    drop every vector that has a smaller-id near-duplicate neighbor.
+    NOTE the drop rule is per-EDGE, not per-component: in a
+    transitive chain a~b, b~c (a!~c) both b and c are dropped and c's
+    dup_of names the already-dropped b — stricter than "one keeper
+    per connected component" (which would keep c, whose only near
+    neighbor died) and than the greedy scan-against-kept-set variant
+    (which would also keep c). The per-edge rule is chosen because it
+    is ONE self-join + aggregate (no iteration) and errs toward
+    over-pruning — acceptable for dedup, identical on both engines;
+    consumers wanting component-level keepers should resolve dup_of
+    through ns_dedup_clusters' fixpoint instead. Output: every
     vector with its cluster, near-dup degree, best duplicate cosine,
     the keeper it duplicates, and the keep verdict — the manifest the
     filtered corpus export consumes (doc-text analogue:
@@ -372,3 +483,42 @@ def semdedup_frame(
 
 
 ns_semdedup.__doc__ = ns_semdedup.__doc__.format(tau=_SEM_TAU)
+
+
+@query(
+    "ns_semdedup_auto",
+    _sem_sql(_AUTO_K_SQL, k_col=f"CAST({_AUTO_K_SQL} AS BIGINT) AS k, "),
+)
+def ns_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the PRODUCTION auto-k geometry: k =
+    auto_k(corpus count) instead of the pinned oracle k — the r9
+    verdict's one weak component (pinned k=8 means cells grow with
+    the corpus and within-cell pair work goes quadratic; auto-k keeps
+    cells ~target_cell so pair work stays LINEAR, SCALING.md's
+    measured 53.3x → ~1x flip at the 100x decade).
+
+    The derivation itself is oracle-gated (the ns_dedup_bloom m_bits
+    precedent): BOTH engines compute k = max({k0}, n // {cell}) from
+    the same corpus count — DuckDB as a scalar subquery inside the
+    Lloyd prefix, Spark as one bounded count() before the driver-
+    coordinated iterations — and the derived k is an output column,
+    so a broken derivation hash-mismatches instead of hiding behind
+    the fallback max (at sf0.01, n=500 ⇒ k=15 ≠ the fixed 8; the
+    registered cell target 32 is deliberately small so the gate is
+    non-trivial at test SFs — production uses auto_k's default 256).
+
+    Everything downstream is the SHARED semdedup_frame /
+    kmeans_assign path ns_semdedup pins at k=8 — same Lloyd
+    iterations, same exact-decimal means, same within-cluster pair
+    join keyed on cl."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    k = auto_k(em.count(), _AUTO_CELL)
+    out = semdedup_frame(spark, sf_dir, k)
+    return out.select(
+        F.lit(int(k)).cast("bigint").alias("k"), *out.columns
+    )
+
+
+ns_semdedup_auto.__doc__ = ns_semdedup_auto.__doc__.format(
+    k0=_KM_K, cell=_AUTO_CELL
+)

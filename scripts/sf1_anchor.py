@@ -70,6 +70,12 @@ CURATION7 = [
     "ns_split_group_folds",
 ]
 
+# r10: the production auto-k SemDeDup — reported as its own row (NOT
+# folded into curation7, whose subtotal must stay comparable to the
+# r9 band). The r9 verdict's expectation: ~32 s vs ns_semdedup's
+# ~96 s pinned-k term at this scale.
+CURATION_EXTRAS = ["ns_semdedup_auto"]
+
 
 def main() -> None:
     assert HEADLINE[:36] == FROZEN36, (
@@ -93,6 +99,12 @@ def main() -> None:
         curation[name] = round(timed(spark, name, scaled), 3)
         spark.catalog.clearCache()
         print(f"{name:28s} {curation[name]:7.2f}s  (curation7)", flush=True)
+    cur_extras: dict[str, float] = {}
+    for name in CURATION_EXTRAS:
+        cur_extras[name] = round(timed(spark, name, scaled), 3)
+        spark.catalog.clearCache()
+        print(f"{name:28s} {cur_extras[name]:7.2f}s  (curation extra)",
+              flush=True)
     print(
         json.dumps(
             {
@@ -108,6 +120,7 @@ def main() -> None:
                 "queries": times,
                 "extras": extras,
                 "curation7": curation,
+                "curation_extras": cur_extras,
             }
         )
     )

@@ -1686,6 +1686,64 @@ def test_semdedup_verdict_consistency(spark):
     assert sum(r.n_dup_neighbors for r in rows) % 2 == 0
 
 
+def test_assign_join_matches_literal_assign(spark):
+    """The two nearest-centroid assignment strategies — literal
+    projection (small k, the pinned-oracle path) and broadcast-join
+    (k >= _JOIN_ASSIGN_MIN_K, the ns_semdedup_auto scale path) — must
+    be BIT-identical on the same centroids: same unrolled
+    left-associated double arithmetic, same (d2, j) tie-break. Run
+    both at a k on the join side of the flip and compare exactly."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _JOIN_ASSIGN_MIN_K,
+        _assign,
+        _assign_join,
+    )
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    k = _JOIN_ASSIGN_MIN_K + 3
+    em = tbl(spark, SF_ORACLE, "embeddings", parallel=True)
+    cents = [
+        (j, [float(v) for v in row.embedding])
+        for j, row in enumerate(em.orderBy("vec_id").limit(k).collect())
+    ]
+    lit = {
+        r.vec_id: (r.cl, r.d2)
+        for r in _assign(em, cents).select("vec_id", "cl", "d2").collect()
+    }
+    jn = {
+        r.vec_id: (r.cl, r.d2)
+        for r in _assign_join(em, cents)
+        .select("vec_id", "cl", "d2")
+        .collect()
+    }
+    assert lit == jn  # exact: same cluster AND bit-equal distance
+
+
+def test_semdedup_auto_k_derivation(spark):
+    """ns_semdedup_auto's k column must equal the auto_k derivation
+    both engines state: max(8, n // 32) over the corpus count — and
+    at the oracle SF that is 15, NOT the fallback 8, so the gate is
+    non-trivial. Cluster count in the output must not exceed k."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _AUTO_CELL,
+        _KM_K,
+        auto_k,
+    )
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    n = tbl(spark, SF_ORACLE, "embeddings").count()
+    expect = auto_k(n, _AUTO_CELL)
+    assert expect == max(_KM_K, n // _AUTO_CELL) and expect > _KM_K
+    out = QUERIES["ns_semdedup_auto"](spark, SF_ORACLE)
+    ks = out.select("k").distinct().collect()
+    assert [r.k for r in ks] == [expect]
+    n_cl = out.select("cluster_id").distinct().count()
+    assert n_cl <= expect
+    assert out.count() == n  # every vector gets a verdict
+
+
 def test_weighted_topk_sample_properties(spark):
     """ns_sample_weighted_topk invariants: exactly k winners with
     dense unique ranks; race keys non-negative; and the sample is a
