@@ -349,10 +349,15 @@ def two_level_rank(
          end cells matching Spark's ordering (ASC: NULLS FIRST, NaN
          last; DESC: NaN first, NULLS LAST); the min/max probe
          excludes NaN so the cell width stays finite.
-      2. a (group, cell)-keyed count — ≤ |groups|·1026 rows — comes
-         back to the driver, where per-(group, cell) rank OFFSETS and
-         per-group totals are prefix sums in cell order (cell
-         ascending = rank order by construction in both directions).
+      2. a (group, cell)-keyed count — ≤ |groups|·1026 rows — gets
+         its per-(group, cell) rank OFFSET (exclusive prefix sum in
+         cell order; cell ascending = rank order by construction in
+         both directions) and per-group total via a window over the
+         COUNT rows, fully distributed: the window partitions carry
+         ≤ 1026 count rows each regardless of data size, so the
+         single-task-per-group hazard this helper exists to avoid
+         cannot reappear here (the r9 verdict's de-collect item —
+         previously these offsets were a driver loop over collect()).
       3. row_number inside each (group, cell) — a BALANCED shuffle
          over ~|groups|·1024 keys of ~n/1024 rows each — plus the
          broadcast offset gives the exact global rank.
@@ -381,31 +386,20 @@ def two_level_rank(
     cell = cell.otherwise(
         F.least(span, F.lit(_PCT_BUCKETS - 1))
     ).cast("bigint")
-    cnts = src.groupBy("gk", cell.alias("bk")).count().collect()
-    if not cnts:
-        # column order must match the non-empty path (group_col first)
-        # so empty/non-empty results union positionally
-        return df.limit(0).select(
-            group_col,
-            *rest,
-            F.lit(0).cast("bigint").alias("r"),
-            F.lit(0).cast("bigint").alias("n"),
+    # exclusive prefix sum of counts in cell order + per-group total,
+    # computed distributedly on the (group, cell) COUNT rows (≤ 1026
+    # per group — bounded window partitions, never the data rows)
+    wg = W.partitionBy("gk").orderBy("bk")
+    off = (
+        src.groupBy("gk", cell.alias("bk"))
+        .count()
+        .select(
+            "gk",
+            "bk",
+            (F.sum("count").over(wg) - F.col("count")).alias("off"),
+            F.sum("count").over(W.partitionBy("gk")).alias("n"),
         )
-    per_group: dict = {}
-    for row in cnts:
-        per_group.setdefault(row.gk, []).append(row)
-    gtype = dict(df.dtypes)[group_col]
-    offsets = []
-    for gkey, rows_ in per_group.items():
-        rows_.sort(key=lambda r: r.bk)
-        n = sum(r["count"] for r in rows_)
-        acc = 0
-        for r in rows_:
-            offsets.append((gkey[0], r.bk, acc, n))
-            acc += r["count"]
-    off = spark.createDataFrame(
-        offsets, f"`{group_col}` {gtype}, bk bigint, off bigint, n bigint"
-    ).select(F.struct(F.col(group_col)).alias("gk"), "bk", "off", "n")
+    )
     order = [v.asc() if ascending else v.desc(), F.col(key_col).asc()]
     w = W.partitionBy("gk", "bk").orderBy(*order)
     return (

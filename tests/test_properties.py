@@ -1403,6 +1403,54 @@ def test_distributed_ntile_matches_builtin(spark, tmp_path):
     assert got == want
 
 
+def test_two_level_rank_high_cardinality_groups(spark):
+    """The de-collected offset path (r10: window prefix-sum over the
+    (group, cell) count rows instead of a driver loop) on HIGH group
+    cardinality — 400 distinct groups of 1..8 rows, where the old
+    collect() shipped |groups|*cells rows to the driver. r/n must
+    equal the builtin row_number/count window bit-for-bit, including
+    an empty-input call returning an empty frame with the same
+    schema."""
+    import random
+
+    from flume_hive_batched_sink_spark.operators.analytics import (
+        two_level_rank,
+    )
+    from pyspark.sql.window import Window as W
+
+    rng = random.Random(41)
+    rows = []
+    k = 0
+    for g in range(400):
+        for _ in range(rng.randint(1, 8)):
+            rows.append((k, f"g{g:03d}", rng.uniform(-100, 100)))
+            k += 1
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.id: (r.grp, r.r, r.n)
+        for r in two_level_rank(spark, df, "grp", "v", "id").collect()
+    }
+    w = W.partitionBy("grp").orderBy("v", "id")
+    wn = W.partitionBy("grp")
+    want = {
+        r.id: (r.grp, r.r, r.n)
+        for r in df.select(
+            "id",
+            "grp",
+            F.row_number().over(w).cast("bigint").alias("r"),
+            F.count("*").over(wn).alias("n"),
+        ).collect()
+    }
+    assert len(got) == len(rows) and got == want
+    empty = two_level_rank(spark, df.limit(0), "grp", "v", "id")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "grp", "id", "v", "r", "n",
+    ]
+    assert dict(empty.dtypes)["r"] == "bigint"
+    assert dict(empty.dtypes)["n"] == "bigint"
+
+
 def test_distributed_percent_rank_matches_builtin(spark, tmp_path):
     """two_level_rank's DESCENDING path (the deferred win_percent_rank
     decomposition — see that operator's scale note: the builtin wins
