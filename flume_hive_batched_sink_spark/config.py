@@ -63,6 +63,15 @@ class SinkConfig:
     # work lives under _temporary and is never visible to readers.
     file_name_prefix: str = ""
     file_name_suffix: str = ""
+    # completion notification (↔ Config.scala:44
+    # hive.dte.updateLogDetailURL + hive.dte.logid,
+    # HiveBatchedSink.scala:93-94/289-290): when notify_url is set and
+    # no explicit on_complete callback is passed, the landing stream
+    # POSTs {notify_url}/{notify_logid}/{logdate} per finalized
+    # logdate (streaming/notify.py — retrying, error-swallowing like
+    # DTEUtils.scala:23-33).
+    notify_url: str = ""
+    notify_logid: int = 0
 
     @property
     def round_seconds(self) -> int:

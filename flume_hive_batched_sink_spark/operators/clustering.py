@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import query, sql_dsum, tbl
+from .registry import query, sql_dsum, tbl, unrolled_dot_enabled
 from .similarity import _dot_dbl
 
 _KM_K = 8  # clusters (fixed oracle geometry; production scales with n)
@@ -127,15 +127,29 @@ _AUTO_K_SQL = (
 
 def _sqdiff_chain(x: Column, cvals: list[float]) -> Column:
     """Left-fold squared euclidean distance of an array column against
-    64 literal centroid coordinates, as a zip_with/aggregate HOF —
+    64 literal centroid coordinates. Default: zip_with/aggregate HOF —
     left-associated double adds, bit-identical to the oracle's
     list_reduce fold (the 0.0 seed is exact: squared diffs are never
     -0.0, so 0.0 + t1 == t1 bitwise). HOF over unrolled chain is the
     measured _dot_dec tradeoff: k=8 unrolled 64-term projections blew
     Janino compile to ~15 s PER PLAN at any corpus size, while the
     interpreted fold costs ~nothing to plan and its per-row penalty is
-    bounded by k*dim; on a long-running 100 TB job flip to the
-    unrolled chain (compile amortizes to zero)."""
+    bounded by k*dim. On a long-running job set
+    SPARK_GRAFT_UNROLLED_DOT=1 (registry.unrolled_dot_enabled): the
+    chain unrolls into codegen, KEEPING left association (double adds
+    are order-sensitive — a balanced tree would drift low bits, so
+    unlike _dot_dec's exact-decimal tree this stays a left chain) —
+    values are bit-identical under either strategy, property-tested."""
+    if unrolled_dot_enabled():
+        terms = [
+            (x.getItem(i).cast("double") - F.lit(float(v)))
+            * (x.getItem(i).cast("double") - F.lit(float(v)))
+            for i, v in enumerate(cvals)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     carr = F.array(*[F.lit(float(v)) for v in cvals])
     prods = F.zip_with(
         x,

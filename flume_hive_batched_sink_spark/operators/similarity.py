@@ -24,28 +24,45 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import query, tbl
+from .registry import query, tbl, unrolled_dot_enabled
 
 # precision 25 keeps decimal addition below Spark's 38-digit cap, so
 # the fold never rescales (stays exact); |values| here are ≪ 10^13.
 _DEC = "decimal(25,12)"
 
 
-def _dot_dec(a: Column, b: Column) -> Column:
+def _dot_dec(a: Column, b: Column, dim: int = 64) -> Column:
     """Exact dot product: per-element double multiply (IEEE, identical
     in both engines) → decimal(25,12) → exact sum → double.
 
-    Measured alternative (rejected for now): unrolling the fixed
-    64-dim into a balanced GetArrayItem·multiply·decimal-add tree is
-    codegen'd and ~2× faster per row at steady state, but the
-    generated decimal method is large enough that Janino/JIT compile
-    dominates at local scale — end-to-end the similarity queries ran
-    3-5× SLOWER at sf0.1 (3.5 s first collect vs 0.2 s warm). The
-    interpreted fold costs no compile and the per-row penalty is
-    bounded by the candidate count (banded LSH keeps candidates ≪
-    |corpus|²). On a long-running 100 TB job the tree would win
-    (compile amortizes to zero); flip there if profiles show the dot
-    product hot."""
+    Two physical strategies behind `unrolled_dot_enabled()` (the
+    SPARK_GRAFT_UNROLLED_DOT=1 knob, registry.py):
+    - OFF (default): interpreted `zip_with`+`aggregate` HOF fold —
+      zero compile cost; per-row penalty bounded by the candidate
+      count (banded LSH keeps candidates ≪ |corpus|²). Right for
+      short local runs: the unrolled decimal tree's Janino compile
+      (~15 s per heavy plan, measured r9) made the similarity queries
+      3-5× slower END-TO-END at sf0.1 despite ~2× faster rows.
+    - ON: balanced GetArrayItem·multiply·decimal-add tree, fully
+      codegen'd. Decimal addition is EXACT, hence associative, so the
+      balanced tree returns the bit-identical value the left fold
+      does — oracle parity is knob-independent (property-tested).
+      Right for long-running 100 TB jobs where compile amortizes to
+      zero and the dot product is hot."""
+    if unrolled_dot_enabled():
+        terms = [
+            (a.getItem(i).cast("double") * b.getItem(i).cast("double"))
+            .cast(_DEC)
+            for i in range(dim)
+        ]
+        while len(terms) > 1:  # balanced: keeps codegen depth log(dim)
+            terms = [
+                (terms[i] + terms[i + 1]).cast(_DEC)
+                if i + 1 < len(terms)
+                else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0].cast("double")
     prods = F.zip_with(
         a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
     )

@@ -111,17 +111,30 @@ def land_batch(
         )
         batch_counts.write.mode("append").parquet(book_path)
 
-        # completeness epilogue (A17/A24): partition final once the
-        # batch watermark passes its window end (A11 semantics).
-        max_ts = routed.agg(F.max("ts")).collect()[0][0]
-        if max_ts is not None and on_complete is not None:
+        # completeness epilogue (A17/A18/A24): scan BOOKKEEPING for
+        # every not-yet-CHECKED logdate whose window end has passed
+        # the high-water event time, mark those CHECKED, then notify —
+        # the reference's leader loop (getFinishedLogdateList →
+        # updateCheckedState → REST, HiveBatchedSink.scala:205-227),
+        # which re-checks ALL open logdates every tick, not just the
+        # current batch's. Batch-local checking would never finalize a
+        # logdate whose window closes during a batch carrying none of
+        # its rows (caught by the r10 notifier integration test).
+        # CHECKED-marking also makes notification once-per-logdate; a
+        # LATE row for a checked logdate flips it back to NEW (higher
+        # batch_id wins) and it re-notifies when it re-finalizes —
+        # at-least-once, matching the reference's replay behavior.
+        if on_complete is not None:
+            book = read_bookkeeping(spark, cfg)
+            # high-water event time across ALL batches (updatetime is
+            # per-logdate max ts; the current batch is already merged)
+            wm = book.agg(F.max("updatetime")).collect()[0][0]
             finished = (
-                routed.select(cfg.partition_col)
-                .distinct()
+                book.filter(F.col("state") != "CHECKED")
                 .withColumn(
                     # logdate is a LOCAL wall time (cfg.timezone);
                     # shift back to the true instant before comparing
-                    # against the batch's max event time.
+                    # against the high-water event time.
                     "window_end",
                     F.to_utc_timestamp(
                         F.to_timestamp(
@@ -131,24 +144,46 @@ def land_batch(
                     )
                     + F.expr(f"INTERVAL {cfg.round_seconds} SECOND"),
                 )
-                .filter(F.col("window_end") <= F.lit(max_ts))
-                .select(cfg.partition_col)
-            )
-            logdates = [r[0] for r in finished.collect()]
-            if logdates:
-                on_complete(sorted(logdates))
+                .filter(F.col("window_end") <= F.lit(wm))
+            ) if wm is not None else None
+            rows = finished.collect() if finished is not None else []
+            if rows:
+                # A18: mark CHECKED before notifying (the reference's
+                # order); same batch_id — read_bookkeeping breaks the
+                # tie in CHECKED's favor within a batch.
+                spark.createDataFrame(
+                    [
+                        (
+                            r[cfg.partition_col],
+                            r["sinkcount"],
+                            r["updatetime"],
+                            batch_id,
+                            "CHECKED",
+                        )
+                        for r in rows
+                    ],
+                    batch_counts.schema,
+                ).write.mode("append").parquet(book_path)
+                on_complete(sorted(r[cfg.partition_col] for r in rows))
     finally:
         routed.unpersist()
 
 
 def read_bookkeeping(spark: SparkSession, cfg: SinkConfig) -> DataFrame:
     """Current bookkeeping state: last-write-wins over batch appends
-    (A20's upsert semantics reconstructed relationally)."""
+    (A20's upsert semantics reconstructed relationally). Within one
+    batch_id a CHECKED mark outranks the batch's own NEW row (the
+    epilogue marks in the same batch that landed the data); a LATER
+    batch's NEW row outranks an old CHECKED mark (late data reopens
+    the logdate)."""
     from pyspark.sql.window import Window as W
 
     book_path = os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping")
     raw = spark.read.parquet(book_path)
-    w = W.partitionBy(cfg.partition_col).orderBy(F.col("batch_id").desc())
+    w = W.partitionBy(cfg.partition_col).orderBy(
+        F.col("batch_id").desc(),
+        F.when(F.col("state") == "CHECKED", 1).otherwise(0).desc(),
+    )
     return (
         raw.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -164,7 +199,14 @@ def run_landing_stream(
     on_complete: Callable[[list[str]], None] | None = None,
 ) -> None:
     """The full streaming job: file source (stand-in for the Flume
-    channel) → foreachBatch(land_batch), AvailableNow one-shot."""
+    channel) → foreachBatch(land_batch), AvailableNow one-shot. With
+    no explicit `on_complete` and cfg.notify_url set, finalized
+    logdates are POSTed to the configured REST endpoint (A23 — the
+    reference's DTE notification, HiveBatchedSink.scala:205-227)."""
+    if on_complete is None and cfg.notify_url:
+        from .notify import rest_notifier
+
+        on_complete = rest_notifier(cfg.notify_url, cfg.notify_logid)
     shutil.rmtree(os.path.join(cfg.output_path, cfg.table), ignore_errors=True)
     shutil.rmtree(
         os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping"),

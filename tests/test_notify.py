@@ -1,0 +1,134 @@
+"""A23 REST notifier: unit tests against a real local HTTP server
+(happy path, retry-on-5xx, connection-refused swallowing) plus the
+land.py integration — a landing stream with cfg.notify_url set must
+POST {url}/{logid}/{logdate} for exactly the finalized logdates."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from flume_hive_batched_sink_spark.streaming.notify import rest_notifier
+
+
+class _Recorder(BaseHTTPRequestHandler):
+    paths: list[str] = []
+    fail_first_n: dict[str, int] = {}
+    lock = threading.Lock()
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        with _Recorder.lock:
+            _Recorder.paths.append(self.path)
+            remaining = _Recorder.fail_first_n.get(self.path, 0)
+            if remaining > 0:
+                _Recorder.fail_first_n[self.path] = remaining - 1
+                self.send_response(503)
+                self.end_headers()
+                return
+        self.send_response(204)
+        self.end_headers()
+
+    def log_message(self, *args):  # silence test output
+        pass
+
+
+@pytest.fixture
+def server():
+    _Recorder.paths = []
+    _Recorder.fail_first_n = {}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Recorder)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", _Recorder
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_notifier_posts_per_logdate(server):
+    url, rec = server
+    n = rest_notifier(url, 42)
+    n(["20240101", "20240102"])
+    assert rec.paths == ["/42/20240101", "/42/20240102"]
+    assert n.sent == ["20240101", "20240102"] and n.failed == []
+
+
+def test_notifier_retries_transient_5xx(server):
+    url, rec = server
+    rec.fail_first_n["/7/20240103"] = 2  # two 503s, then 204
+    n = rest_notifier(url, 7, retries=3, backoff=0.01)
+    n(["20240103"])
+    assert rec.paths.count("/7/20240103") == 3
+    assert n.sent == ["20240103"] and n.failed == []
+
+
+def test_notifier_swallows_exhausted_failures(server):
+    url, rec = server
+    rec.fail_first_n["/7/20240104"] = 99  # always 503
+    n = rest_notifier(url, 7, retries=2, backoff=0.01)
+    n(["20240104"])  # must NOT raise (DTEUtils.scala:29-32 semantics)
+    assert n.failed == ["20240104"] and n.sent == []
+    assert rec.paths.count("/7/20240104") == 2
+
+
+def test_notifier_swallows_connection_refused():
+    # port 1 is never listening; error must be swallowed, not raised
+    n = rest_notifier("http://127.0.0.1:1", 9, retries=2, backoff=0.01)
+    n(["20240105"])
+    assert n.failed == ["20240105"] and n.sent == []
+
+
+def test_landing_stream_notifies_finalized_logdates(server, spark):
+    """End-to-end A23 parity: land the staged events with
+    cfg.notify_url set and no explicit callback — every logdate whose
+    day-window closed by the final batch's max event time must arrive
+    at the REST endpoint as POST /{logid}/{logdate}, and only those
+    (the last, still-open logdate must NOT be notified)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flume_hive_batched_sink_spark.config import SinkConfig
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.scratch import SCRATCH
+    from flume_hive_batched_sink_spark.streaming.land import (
+        run_landing_stream,
+    )
+    from flume_hive_batched_sink_spark.streaming.streaming_ops import (
+        _staged_events,
+    )
+
+    url, rec = server
+    sf = "/root/testdata/sf0.001"
+    staged, schema = _staged_events(spark, sf)
+    cfg = SinkConfig(
+        table="events_landed_notify",
+        output_path=os.path.join(SCRATCH, "warehouse"),
+        round_unit="day",
+        round_value=1,
+        notify_url=url,
+        notify_logid=11,
+    )
+    run_landing_stream(spark, staged, schema, cfg)
+    max_ts = (
+        load_table(spark, sf, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    landed = spark.read.parquet(os.path.join(cfg.output_path, cfg.table))
+    logdates = sorted(
+        r[0]
+        for r in landed.select(
+            F.col(cfg.partition_col).cast("string")  # partition-dir
+        ).distinct().collect()  # inference reads the digits as int
+    )
+    # expected = logdates whose day ended on/before the max event time
+    import datetime
+
+    final = {
+        d for d in logdates
+        if datetime.datetime.strptime(d, "%Y%m%d%H%M")
+        + datetime.timedelta(days=1)
+        <= max_ts
+    }
+    assert final and final < set(logdates)  # some closed, some open
+    assert set(rec.paths) == {f"/11/{d}" for d in final}

@@ -1768,6 +1768,29 @@ def test_assign_join_matches_literal_assign(spark):
     assert lit == jn  # exact: same cluster AND bit-equal distance
 
 
+def test_unrolled_dot_knob_bit_parity(spark, monkeypatch):
+    """SPARK_GRAFT_UNROLLED_DOT=1 flips the physical dot-product
+    strategy (interpreted HOF fold → codegen'd unrolled chain) and
+    must NOT flip a single bit of output: decimal adds are exact so
+    _dot_dec's balanced tree equals the left fold, and _sqdiff_chain's
+    unroll keeps left association. Pin it on the two consumer shapes:
+    a decimal-dot similarity op and the literal-centroid kmeans."""
+    from .conftest import SF_ORACLE
+
+    def run(name):
+        return sorted(
+            tuple(r) for r in QUERIES[name](spark, SF_ORACLE).collect()
+        )
+
+    for name in ("ns_similarity_topk", "ns_cluster_kmeans"):
+        monkeypatch.delenv("SPARK_GRAFT_UNROLLED_DOT", raising=False)
+        off = run(name)
+        monkeypatch.setenv("SPARK_GRAFT_UNROLLED_DOT", "1")
+        on = run(name)
+        monkeypatch.delenv("SPARK_GRAFT_UNROLLED_DOT", raising=False)
+        assert off == on, name
+
+
 def test_semdedup_auto_k_derivation(spark):
     """ns_semdedup_auto's k column must equal the auto_k derivation
     both engines state: max(8, n // 32) over the corpus count — and
