@@ -373,6 +373,38 @@ def _bloom_h40(ck: Column, j: int) -> Column:
     return F.conv(F.substring(ck, 1 + 10 * j, 10), 16, 10).cast("bigint")
 
 
+# Position-hash address space: 10 md5 nibbles = 2^40 bits. A filter
+# sized beyond this would be SILENTLY degraded (positions only ever
+# land in the first 2^40 bits, so extra words are never set/probed —
+# no false negatives appear, but FPR stops improving), so geometry
+# derivation fails loudly at the cap instead. ~20 G distinct base
+# keys at 6 bits/key; the continuation is documented in SCALING.md:
+# widen the per-hash nibble window (md5 has 32 nibbles; k=3 x 10
+# leaves 2 spare) or shard the filter by a key prefix and route
+# probes to the matching shard (the words table is already the
+# shard-able unit).
+_BLOOM_CAP_BITS = 1 << 40
+
+
+def bloom_geometry(n_keys: int) -> int:
+    """m_bits for n_keys distinct base keys: _BLOOM_BPK bits/key,
+    rounded up to whole _BLOOM_WORD-bit words — the same integer
+    arithmetic the in-plan geometry (ns_dedup_bloom) and the DuckDB
+    twin compute. Raises at the 2^40 position-hash cap rather than
+    building a filter whose upper bits are unreachable."""
+    m_bits = (
+        (n_keys * _BLOOM_BPK + _BLOOM_WORD - 1) // _BLOOM_WORD
+    ) * _BLOOM_WORD
+    if m_bits > _BLOOM_CAP_BITS:
+        raise ValueError(
+            f"bloom filter needs {m_bits} bits for {n_keys} keys, past "
+            f"the 2^40 position-hash cap (~{_BLOOM_CAP_BITS // _BLOOM_BPK}"
+            " keys); widen the md5 nibble window or shard the filter "
+            "(SCALING.md, bloom cap section)"
+        )
+    return m_bits
+
+
 def bloom_chunk_frame(d: DataFrame) -> DataFrame:
     """Row-local chunk derivation shared by ns_dedup_bloom and the
     streaming probe (stream_dedup_bloom): (doc_id, source, chunk_id,
@@ -422,10 +454,7 @@ def bloom_static_sides(spark: SparkSession, sf_dir: str):
     basek = chunks.filter(
         ~F.col("source").isin(*_BLOOM_DELTA)
     ).select("ck").distinct()
-    n = basek.count()
-    m_bits = (
-        (n * _BLOOM_BPK + _BLOOM_WORD - 1) // _BLOOM_WORD
-    ) * _BLOOM_WORD
+    m_bits = bloom_geometry(basek.count())
     pos = F.explode(
         F.array(
             *[
@@ -662,7 +691,12 @@ def _md5_poly_sql(expr: str, start: int, n: int) -> str:
     {sql_det_ln_ctes("lnx", "base", {"h": "ln_h", "c": "ln_c"})},
     keyed AS (
       SELECT doc_id, source, n_chars,
-             (ln_c - ln_h) / CAST(n_chars AS DOUBLE) AS sample_key
+             -- weight clamped >= 1: an empty doc must race with the
+             -- minimum weight, not divide by zero (Spark yields Inf
+             -- there but DuckDB's x/0.0 is NULL under this harness's
+             -- ieee_floating_point_ops setting — a silent hash break)
+             (ln_c - ln_h) / CAST(greatest(n_chars, 1) AS DOUBLE)
+               AS sample_key
       FROM lnx
     ),
     top AS (
@@ -677,8 +711,11 @@ def _md5_poly_sql(expr: str, start: int, n: int) -> str:
 def ns_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement via exponential race
     keys (Efraimidis-Spirakis): each doc draws u = (md5_32(doc_id)+1)
-    / 2^32 and races with key -ln(u)/w, w = n_chars; the k smallest
-    keys ARE a weight-proportional sample without replacement. The
+    / 2^32 and races with key -ln(u)/w, w = max(n_chars, 1) — clamped
+    so a zero-char doc races at minimum weight instead of hitting the
+    engines' DIFFERENT x/0.0 semantics (Spark Inf, DuckDB NULL here);
+    the k smallest keys ARE a weight-proportional sample without
+    replacement. The
     reproducible heavy-tail downsampling step (ns_sample_weighted is
     the Bernoulli per-doc variant; this one hits an EXACT sample
     size).
@@ -699,7 +736,10 @@ def ns_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (
         (det_ln_int(F.lit(_WTK_C)) - det_ln_int(h))
-        / F.col("n_chars").cast("double")
+        # clamp w >= 1 on BOTH engines (see the oracle comment): the
+        # engines disagree on x/0.0 (Inf vs NULL), so a zero-char doc
+        # would silently break the hash gate
+        / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     )
     top = (
         d.select("doc_id", "source", "n_chars", key.alias("sample_key"))
@@ -975,6 +1015,14 @@ def ns_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip_ok varies and the failure path is exercised — the
     audit shape for validating an extractor before trusting it on a
     crawl.
+
+    Precondition (r9 ADVICE): the roundtrip audit separates cleanly
+    only when documents.text is non-empty — a malformed page
+    swallowing an EMPTY body would equal the empty source and pass
+    vacuously. tests/test_properties.py::
+    test_documents_text_nonempty_fixture pins min(length(trim(text)))
+    > 0 at every test SF, so the separation invariant rests on an
+    asserted fixture property, not luck.
 
     Scale: entirely row-local regexp codegen in the scan projection —
     zero shuffles, zero joins; the regexes stay in the RE2⊂Java

@@ -1676,6 +1676,56 @@ def test_bloom_no_false_negatives_and_audit(spark):
     assert any(r.mostly_dup == 0 for r in rows)
 
 
+def test_bloom_position_hash_cap(spark):
+    """The bloom position hash is 10 md5 nibbles — 2^40 addressable
+    bits. Pin the cap behavior explicitly (r9 verdict #8):
+    (a) every in-range geometry is the exact bits-per-key integer
+        formula and all k position hashes stay within [0, 2^40);
+    (b) a geometry PAST the cap raises loudly (bloom_geometry), never
+        builds a filter whose upper bits are unreachable;
+    (c) k x 10 nibbles fit md5's 32 hex chars, so no hash silently
+        reads a truncated substring."""
+    import pytest
+
+    from flume_hive_batched_sink_spark.operators.curation import (
+        _BLOOM_BPK,
+        _BLOOM_CAP_BITS,
+        _BLOOM_K,
+        _BLOOM_WORD,
+        _bloom_h40,
+        bloom_geometry,
+    )
+
+    # (a) formula + hash range on real keys
+    for n in (1, 100, 63, 64, 10**6):
+        m = bloom_geometry(n)
+        assert m % _BLOOM_WORD == 0 and m >= n * _BLOOM_BPK
+        assert m <= _BLOOM_CAP_BITS
+    df = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("ck")
+    )
+    mm = df.select(
+        *[
+            F.max(_bloom_h40(F.col("ck"), j)).alias(f"hi{j}")
+            for j in range(_BLOOM_K)
+        ],
+        *[
+            F.min(_bloom_h40(F.col("ck"), j)).alias(f"lo{j}")
+            for j in range(_BLOOM_K)
+        ],
+    ).collect()[0]
+    for j in range(_BLOOM_K):
+        assert 0 <= mm[f"lo{j}"] and mm[f"hi{j}"] < _BLOOM_CAP_BITS
+    # (b) past-cap geometry fails loudly
+    over = _BLOOM_CAP_BITS // _BLOOM_BPK + _BLOOM_WORD
+    with pytest.raises(ValueError, match="2\\^40"):
+        bloom_geometry(over)
+    # at-cap stays buildable (the boundary itself is fine)
+    assert bloom_geometry(_BLOOM_CAP_BITS // _BLOOM_BPK - _BLOOM_WORD) > 0
+    # (c) nibble budget
+    assert _BLOOM_K * 10 <= 32
+
+
 def test_kmeans_lloyd_monotone_and_partition(spark):
     """ns_cluster_kmeans invariants: (a) every vector lands in
     exactly one cluster (Σ n_members = corpus), (b) Lloyd descent —
@@ -1946,6 +1996,28 @@ def test_det_ln_parity_large_domain(spark):
         assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
         rel = abs(a - math.log(v)) / max(math.log(v), 1e-12)
         assert rel < 5e-10 or v == 1, (v, a, math.log(v))
+
+
+def test_documents_text_nonempty_fixture():
+    """Fixture precondition for ns_html_extract's separation
+    invariant (and every text-keyed operator): documents.text must be
+    non-empty after trim at EVERY test SF — a malformed page that
+    swallows an empty body would roundtrip vacuously (extracted ==
+    title == normalized source) and break the planted-malformed
+    audit's perfect separation. Checked in DuckDB so it runs even
+    without a Spark session."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        lo = duckdb.sql(
+            f"SELECT min(length(trim(text))) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        assert lo and lo > 0, f"{sf}: empty/whitespace documents.text"
 
 
 def test_html_extract_audit_separates(spark):
