@@ -83,3 +83,43 @@ def install(spark: SparkSession, report_path: str | None = None) -> CounterRepor
 
 def uninstall(spark: SparkSession, rep: CounterReporter) -> None:
     spark.streams.removeListener(rep)
+
+
+# -- live introspection endpoint (A16's MBean role) -----------------------
+
+
+def serve_counters(rep: CounterReporter, port: int = 0):
+    """Expose the reporter LIVE over HTTP — the in-process MBean role
+    (TimedSinkCounterMBean.scala:20-24: an operator attaches jconsole
+    /curl mid-run and reads getCountersJson without waiting for the
+    batch to finish). GET /counters returns counters_json() computed
+    AT REQUEST TIME from the reporter's in-memory totals, so a poll
+    during a long run sees every completed micro-batch so far — the
+    file artifact (report_path) stays the durable twin.
+
+    Returns (server, port); port=0 picks a free one. Daemon-threaded
+    and driver-local: counters are driver state (the listener runs
+    there), so there is nothing to distribute. Call
+    `server.shutdown()` when done."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path.rstrip("/") not in ("", "/counters"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = rep.counters_json().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet: one line per poll is noise
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_port

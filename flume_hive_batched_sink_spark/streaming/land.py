@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..config import SinkConfig
 from ..functions.partition import derive_logdate
 from ..sources.parse import parse_column
-from .stage import SCRATCH
+from .stage import SCRATCH, capture_batch_plan
 
 
 def route_and_parse(df: DataFrame, cfg: SinkConfig) -> DataFrame:
@@ -87,6 +87,9 @@ def land_batch(
     spark = batch_df.sparkSession
     routed = route_and_parse(batch_df, cfg).persist()
     try:
+        # plan audit (scripts/plan_sweep.py): foreachBatch pipelines
+        # are invisible to explainInternal, so record the batch plan
+        capture_batch_plan(routed, f"land_batch:{cfg.table}")
         data_path = os.path.join(cfg.output_path, cfg.table)
         (
             routed.repartition(cfg.partition_col)
@@ -109,6 +112,7 @@ def land_batch(
             .withColumn("batch_id", F.lit(batch_id))
             .withColumn("state", F.lit("NEW"))
         )
+        capture_batch_plan(batch_counts, f"land_batch:{cfg.table}")
         batch_counts.write.mode("append").parquet(book_path)
 
         # completeness epilogue (A17/A18/A24): scan BOOKKEEPING for
@@ -146,6 +150,8 @@ def land_batch(
                 )
                 .filter(F.col("window_end") <= F.lit(wm))
             ) if wm is not None else None
+            if finished is not None:
+                capture_batch_plan(finished, f"land_batch:{cfg.table}")
             rows = finished.collect() if finished is not None else []
             if rows:
                 # A18: mark CHECKED before notifying (the reference's

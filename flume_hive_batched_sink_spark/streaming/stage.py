@@ -33,6 +33,44 @@ from ..scratch import SCRATCH
 # no cross-run staleness is possible.
 _STAGE_CACHE: dict[str, tuple[str, object]] = {}
 
+# Executed micro-batch plans, captured per query/stage for
+# scripts/plan_sweep.py: streaming plans are micro-batch-internal
+# (building the result DataFrame EXECUTES the replay), so the sweep
+# can't explain() the returned frame the way it does batch operators.
+# Instead every completed StreamingQuery (run_stream + the manual
+# writeStream sites) and every foreachBatch body records the plan
+# text it actually ran here, and the sweep diffs this dict around
+# each operator invocation. Append-only within a process; keys are
+# query/stage names, values concatenated plan dumps.
+LAST_PLANS: dict[str, str] = {}
+
+
+def capture_stream_plan(q, name: str) -> None:
+    """Record a finished StreamingQuery's last micro-batch plan
+    (logical + physical — StreamExecution retains lastExecution after
+    AvailableNow drains). Capture failures are swallowed: the sweep
+    treats a missing capture as 'no plan observed', never as a crash
+    in the operator itself."""
+    try:
+        LAST_PLANS[name] = LAST_PLANS.get(name, "") + q._jsq.explainInternal(
+            True
+        )
+    except Exception:  # pragma: no cover - py4j edge
+        pass
+
+
+def capture_batch_plan(df, name: str) -> None:
+    """Record the physical plan of a DataFrame a foreachBatch body is
+    about to execute (write/collect) — the part of a foreachBatch
+    pipeline explainInternal can't see."""
+    try:
+        LAST_PLANS[name] = (
+            LAST_PLANS.get(name, "")
+            + df._jdf.queryExecution().executedPlan().toString()
+        )
+    except Exception:  # pragma: no cover - py4j edge
+        pass
+
 
 def stage_chunks(
     name: str, chunks: list[DataFrame], cache_key: str | None = None
@@ -117,6 +155,7 @@ def run_stream(
         .start()
     )
     q.awaitTermination()
+    capture_stream_plan(q, query_name)
     return spark.table(query_name)
 
 

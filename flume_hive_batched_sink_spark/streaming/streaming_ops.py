@@ -27,7 +27,13 @@ from ..catalog import load_table
 from ..config import SinkConfig
 from ..operators.pipeline import sql_logdate
 from ..operators.registry import query
-from .stage import SCRATCH, events_chunks_by_time, run_stream, stage_chunks
+from .stage import (
+    SCRATCH,
+    capture_stream_plan,
+    events_chunks_by_time,
+    run_stream,
+    stage_chunks,
+)
 
 _DELAY = "10 minutes"
 _CHUNK_BOUNDS = ["2024-01-11", "2024-01-21"]
@@ -320,6 +326,7 @@ def stream_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_stream_plan(q, "stream_observe_counters")
     totals = {"n_events": 0, "sum_uid": 0, "n_purchase": 0}
     for prog in q.recentProgress:
         metrics = (prog.observedMetrics or {}).get("counters")
@@ -408,6 +415,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_stream_plan(q, "stream_stateful_counter")
     all_snaps = spark.table("stream_stateful_counter")
     # final snapshot per user = max running count (monotone state)
     return all_snaps.groupBy("user_id").agg(
@@ -575,6 +583,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        capture_stream_plan(q, "stream_restart_recovery")
 
     # phase 1: only the first staged file is visible; the query lands
     # it, commits, and terminates (AvailableNow drains what exists)
@@ -919,6 +928,7 @@ def stream_windowed_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_stream_plan(q, "stream_windowed_topk_state")
     snaps = spark.table("stream_windowed_topk_state")
     # final snapshot per window = the one with the largest n_seen
     # (monotone); then the oracle's watermark finalization gate.

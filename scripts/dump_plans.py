@@ -484,6 +484,27 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         f"forbidden: {sorted(bad)}" if bad
         else "keyed join present, no BNLJ/cartesian")
 
+    # ns_semdedup_auto (r10): the pair join must stay KEYED on cl
+    # (SortMergeJoin/ShuffledHashJoin — never cartesian), and the only
+    # nested loops allowed are the _assign_join centroid expansions —
+    # keyless broadcasts of the bounded k-row centroid frame (the
+    # ann_ivf pattern: n*k assignment IS the k-means workload). Every
+    # BNLJ must be a BuildRight broadcast; a single CartesianProduct
+    # or a data-x-data BNLJ fails.
+    p = _formatted(ops.QUERIES["ns_semdedup_auto"](spark, sf_dir))
+    keyed = ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    bnlj_all = p.count("BroadcastNestedLoopJoin")
+    bnlj_build = _re.findall(
+        r"BroadcastNestedLoopJoin (BuildRight|BuildLeft)", p
+    )
+    add("ns_semdedup_auto",
+        "keyed cl pair join; nested loops only as broadcast centroid "
+        "assignment (BuildRight/Left), no cartesian",
+        "CartesianProduct" not in p and keyed
+        and bnlj_all == len(bnlj_build),
+        f"cart={'CartesianProduct' in p} keyed={keyed} "
+        f"bnlj={bnlj_all} broadcast_builds={len(bnlj_build)}")
+
     # ns_sample_weighted_topk (r9): E-S selection must be
     # TakeOrderedAndProject (per-partition top-k + k-row driver
     # merge), never a global range-partitioned sort of the corpus.

@@ -9,10 +9,15 @@ the query is on the explicit allowlist below with a reason (the
 operator IS a cross product, or the nested-loop side is a bounded
 literal/constant frame that never scales with the corpus).
 
-Streaming operators are skipped: building their DataFrame replays the
-staged micro-batches (execution, not planning), and their plans are
-micro-batch-internal. Their scale behavior is covered by the decade
-table and the replay oracles instead.
+Streaming operators are swept too (r10 — the r9 verdict's
+n_skipped_streaming item): their plans are micro-batch-internal, so
+building the result DataFrame EXECUTES the replay and the sweep reads
+the plans the run actually executed from stage.LAST_PLANS — every
+completed StreamingQuery records explainInternal, and foreachBatch
+bodies (land.py) record the batch plans explainInternal can't see.
+The audit text is the union of all plans captured during that
+operator's invocation (diffed around the call), so multi-phase
+operators (restart recovery's two runs) contribute every phase.
 
 Usage: python scripts/plan_sweep.py [sf_dir]   (default sf0.01)
 Writes PLANSWEEP.json: {query: {bnlj: n, cartesian: n, allowed: bool,
@@ -73,6 +78,11 @@ ALLOWED = {
     # ns_cluster_kmeans / ns_semdedup need NO entries: assignment is
     # row-local against literal centroids (no join at all) and the
     # semdedup pair join is cl-keyed — the sweep verifies both clean.
+    "ns_semdedup_auto": "keyless broadcasts of the bounded k-row "
+    "centroid frame (_assign_join) — the n*k nearest-centroid "
+    "expansion IS the k-means assignment workload (the ann_ivf "
+    "pattern); the pair join itself stays cl-keyed (PLANCHECK pins "
+    "both properties)",
 }
 
 
@@ -82,12 +92,28 @@ def main() -> None:
     bad: list[str] = []
     errors: list[str] = []
     hit_names: set[str] = set()
+    from flume_hive_batched_sink_spark.streaming import stage
+
     for name, fn in ops.QUERIES.items():
-        if name.startswith("stream_"):
-            results[name] = {"skipped": "streaming (replay executes)"}
-            continue
+        is_stream = name.startswith("stream_")
+        before = {k: len(v) for k, v in stage.LAST_PLANS.items()}
         try:
-            plan = _formatted(fn(spark, SF))
+            df = fn(spark, SF)
+            if is_stream:
+                # micro-batch plans captured during the replay, plus
+                # the (batch) plan of the returned summary frame
+                new = "".join(
+                    v[before.get(k, 0):]
+                    for k, v in stage.LAST_PLANS.items()
+                )
+                plan = new + _formatted(df)
+                if not new:
+                    raise RuntimeError(
+                        "no micro-batch plan captured — a writeStream "
+                        "site is missing its capture_stream_plan hook"
+                    )
+            else:
+                plan = _formatted(df)
         except Exception as exc:  # pragma: no cover - sweep robustness
             # a build failure is NOT a policy violation — record it
             # separately so "unallowed" stays exactly what README

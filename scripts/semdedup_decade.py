@@ -86,6 +86,23 @@ def main() -> None:
     r["ratio"] = round(r["t_Kx"] / r["t_1x"], 1)
     print("semdedup auto-k (join-assign):", r, flush=True)
 
+    # the REGISTERED auto op (gate cell 32 ⇒ k = n/32): its own
+    # decade row — at K=10 the join expansion is n*k = n²/32 rows,
+    # the honest quadratic-constant the SCALING.md sixth wave
+    # discusses (the op only reads embeddings, so the embeddings-only
+    # corpus is sufficient)
+    results["ns_semdedup_auto_registered_cell32"] = {
+        "t_1x": timed(
+            lambda: ops.QUERIES["ns_semdedup_auto"](spark, BASE_SF)
+        ),
+        "t_Kx": timed(
+            lambda: ops.QUERIES["ns_semdedup_auto"](spark, big)
+        ),
+    }
+    r = results["ns_semdedup_auto_registered_cell32"]
+    r["ratio"] = round(r["t_Kx"] / r["t_1x"], 1)
+    print("ns_semdedup_auto (registered):", r, flush=True)
+
     for knob in ("0", "1"):
         os.environ["SPARK_GRAFT_UNROLLED_DOT"] = knob
         key = f"kmeans_k8_literal_knob{knob}"

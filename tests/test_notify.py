@@ -79,6 +79,57 @@ def test_notifier_swallows_connection_refused():
     assert n.failed == ["20240105"] and n.sent == []
 
 
+def test_live_counters_endpoint(spark):
+    """A16 MBean parity: the HTTP endpoint must serve the reporter's
+    CURRENT in-memory totals at request time — a poll between two
+    streaming runs sees the first run's counters, then the second's
+    accumulate on top, without restarting the server. 404 for other
+    paths."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from flume_hive_batched_sink_spark.operators import QUERIES
+    from flume_hive_batched_sink_spark.streaming.counters import (
+        install,
+        serve_counters,
+        uninstall,
+    )
+
+    rep = install(spark)
+    srv, port = serve_counters(rep)
+    try:
+        def get():
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/counters", timeout=5
+            ) as r:
+                assert r.status == 200
+                return json.loads(r.read())
+
+        assert get() == {}  # live: empty before any progress event
+        QUERIES["stream_tumbling_5min"](spark, "/root/testdata/sf0.001")
+        snap1 = get()
+        assert snap1["stream_tumbling_5min"]["batches"] >= 1
+        QUERIES["stream_dedup"](spark, "/root/testdata/sf0.001")
+        snap2 = get()
+        assert "stream_dedup" in snap2  # accumulated, same server
+        # listener events are ASYNC — a trailing progress event from
+        # query 1 may land after snap1, so assert monotone, not equal
+        assert (
+            snap2["stream_tumbling_5min"]["batches"]
+            >= snap1["stream_tumbling_5min"]["batches"]
+        )
+        assert json.loads(rep.counters_json()) == snap2  # MBean twin
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=5
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        uninstall(spark, rep)
+
+
 def test_landing_stream_notifies_finalized_logdates(server, spark):
     """End-to-end A23 parity: land the staged events with
     cfg.notify_url set and no explicit callback — every logdate whose
