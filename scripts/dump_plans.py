@@ -493,17 +493,27 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
     # or a data-x-data BNLJ fails.
     p = _formatted(ops.QUERIES["ns_semdedup_auto"](spark, sf_dir))
     keyed = ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
-    bnlj_all = p.count("BroadcastNestedLoopJoin")
-    bnlj_build = _re.findall(
-        r"BroadcastNestedLoopJoin (BuildRight|BuildLeft)", p
-    )
+    # formatted tree lines read `BroadcastNestedLoopJoin <type>
+    # Build<side> (n)`; detail sections repeat the bare node name as
+    # `(n) BroadcastNestedLoopJoin` — audit the TREE lines only.
+    tree_lines = [
+        ln for ln in p.splitlines()
+        if "BroadcastNestedLoopJoin" in ln
+        and not _re.match(r"^\(\d+\) BroadcastNestedLoopJoin", ln.strip())
+    ]
+    unbuilt = [
+        ln for ln in tree_lines
+        if not _re.search(
+            r"BroadcastNestedLoopJoin \w+ Build(Right|Left)", ln
+        )
+    ]
     add("ns_semdedup_auto",
         "keyed cl pair join; nested loops only as broadcast centroid "
         "assignment (BuildRight/Left), no cartesian",
         "CartesianProduct" not in p and keyed
-        and bnlj_all == len(bnlj_build),
+        and tree_lines and not unbuilt,
         f"cart={'CartesianProduct' in p} keyed={keyed} "
-        f"bnlj={bnlj_all} broadcast_builds={len(bnlj_build)}")
+        f"bnlj_tree={len(tree_lines)} non_broadcast={len(unbuilt)}")
 
     # ns_sample_weighted_topk (r9): E-S selection must be
     # TakeOrderedAndProject (per-partition top-k + k-row driver

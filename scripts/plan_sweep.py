@@ -83,6 +83,13 @@ ALLOWED = {
     "expansion IS the k-means assignment workload (the ann_ivf "
     "pattern); the pair join itself stays cl-keyed (PLANCHECK pins "
     "both properties)",
+    # first adjudicated by the r10 streaming sweep (previously the
+    # whole family was skipped):
+    "stream_windowed_topk_state": "1-row broadcast of the final "
+    "watermark scalar cross-joined onto the per-window snapshots for "
+    "the emission gate (streaming_ops.py final.crossJoin(wm)) — the "
+    "join-the-corpus-with-a-scalar pattern; the snapshot side is "
+    "|live windows| rows, not the corpus",
 }
 
 
