@@ -91,11 +91,12 @@ HEADLINE = [
     "ns_quality_entropy",
     "stream_dedup_bloom",
     "ns_html_extract",
-    # round 10 addition (the 46-query set above stays frozen): the
+    # round 10 additions (the 46-query set above stays frozen): the
     # production auto-k SemDeDup geometry (r9 verdict #1) — timed so
     # the registered scale path has a bench row next to the pinned
-    # k=8 form.
+    # k=8 form — and the BPE tokenizer-training merge rounds.
     "ns_semdedup_auto",
+    "ns_bpe_merges",
 ]
 
 

@@ -8,6 +8,7 @@ Importing this package registers every implemented query into
 from . import (  # noqa: F401
     aggregates,
     analytics,
+    bpe,
     clustering,
     curation,
     dedup,

@@ -1,0 +1,176 @@
+"""[NS] — BPE tokenizer-training statistics (r10).
+
+`ns_bpe_merges`: the first merge rounds of byte-pair-encoding
+tokenizer training (Sennrich et al. 2016) over the documents corpus —
+the one training-data-pipeline stage (tokenizer fitting) the engine
+did not cover. Exactly the classic algorithm: build the word
+frequency table, split words into symbol sequences, count adjacent
+symbol pairs weighted by word frequency, merge the most frequent pair
+corpus-wide, repeat. Registered with TWO rounds so the oracle
+geometry is fixed; production runs the same loop to the target merge
+count (the kmeans_assign iterative-driver pattern).
+
+Cross-engine exactness: pair counts are integer sums; the merge is a
+LITERAL string replace over space-prefixed symbol sequences — " l r"
+→ " lr" can only match at a symbol boundary (every symbol carries its
+leading space, symbols never contain spaces) and both engines scan
+left-to-right non-overlapping, so greedy adjacency (" a a a" → " aa
+a") is identical; ties on the pair count break lexicographically.
+All verified primitive-by-primitive against DuckDB before this
+operator shipped.
+
+Scale shape: the corpus collapses to the WORD FREQUENCY table in one
+hash aggregate (Zipf: |distinct words| ≪ corpus tokens — this is why
+BPE trainers run on word counts, not raw text), and every round after
+that touches only the word table: an explode + keyed count
+(map-side combined) for the pair statistics, one TakeOrdered-1 for
+the winner, a row-local literal replace for the merge. The two
+1-row/1-scalar collects per round are the Lloyd-loop pattern
+(bounded driver coordination, never data). At 30k production merges,
+localCheckpoint the word table every ~100 rounds to cap lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, tbl
+
+_BPE_ROUNDS = 2  # fixed oracle geometry; production loops to ~30k
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    w = F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    return (
+        d.select(w)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency. `seqs` has
+    (cnt, seq) where seq is the space-prefixed symbol string."""
+    syms = F.split(F.trim(F.col("seq")), " ")
+    sz = F.size(syms)
+    pairs = F.arrays_zip(
+        F.slice(syms, 1, sz - 1).alias("l"),
+        F.slice(syms, 2, sz - 1).alias("r"),
+    )
+    return (
+        seqs.filter(sz >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
+def bpe_merge_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> DataFrame:
+    """Run `rounds` BPE merges; returns one row per round:
+    (round, merge_left, merge_right, pair_count, n_pair_types,
+    n_symbols_after). Driver coordination is bounded: per round one
+    1-row top-pair collect and one 2-scalar metrics aggregate — the
+    kmeans Lloyd-loop shape."""
+    wf = _word_freq(spark, sf_dir)
+    seqs = wf.select(
+        "cnt", F.regexp_replace(F.col("word"), "(.)", " $1").alias("seq")
+    )
+    out = []
+    for rnd in range(1, rounds + 1):
+        pc = _pair_counts(seqs).persist()
+        top = pc.orderBy(F.desc("c"), "l", "r").limit(1).collect()[0]
+        n_types = pc.count()
+        pc.unpersist()
+        seqs = seqs.select(
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {top.l} {top.r}"),
+                F.lit(f" {top.l}{top.r}"),
+            ).alias("seq"),
+        )
+        n_sym = seqs.agg(
+            F.sum(
+                F.col("cnt") * F.size(F.split(F.trim(F.col("seq")), " "))
+            ).cast("bigint")
+        ).collect()[0][0]
+        out.append((rnd, top.l, top.r, int(top.c), int(n_types), int(n_sym)))
+    return spark.createDataFrame(
+        out,
+        "round bigint, merge_left string, merge_right string, "
+        "pair_count bigint, n_pair_types bigint, n_symbols_after bigint",
+    )
+
+
+def _sql_round(prev: str, rnd: int) -> str:
+    """CTEs for one merge round over sequence table `prev` (word-freq
+    rows with a space-prefixed `seq`): pair counts p{rnd}, winner
+    t{rnd}, merged sequences s{rnd}."""
+    return f"""
+    p{rnd} AS (
+      SELECT t.syms[i.i] AS l, t.syms[i.i + 1] AS r, SUM(t.cnt) AS c
+      FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+            FROM {prev}) t,
+           LATERAL (SELECT unnest(range(1, len(t.syms))) AS i) i
+      GROUP BY 1, 2
+    ),
+    t{rnd} AS (SELECT l, r, c FROM p{rnd} ORDER BY c DESC, l, r LIMIT 1),
+    s{rnd} AS (
+      SELECT cnt,
+             replace(seq,
+                     ' ' || (SELECT l FROM t{rnd}) || ' '
+                         || (SELECT r FROM t{rnd}),
+                     ' ' || (SELECT l FROM t{rnd})
+                         || (SELECT r FROM t{rnd})) AS seq
+      FROM {prev}
+    )"""
+
+
+def _sql_emit(rnd: int) -> str:
+    return f"""
+    SELECT CAST({rnd} AS BIGINT) AS round,
+           (SELECT l FROM t{rnd}) AS merge_left,
+           (SELECT r FROM t{rnd}) AS merge_right,
+           CAST((SELECT c FROM t{rnd}) AS BIGINT) AS pair_count,
+           CAST((SELECT COUNT(*) FROM p{rnd}) AS BIGINT) AS n_pair_types,
+           CAST((SELECT SUM(cnt * len(string_split(trim(seq), ' ')))
+                 FROM s{rnd}) AS BIGINT) AS n_symbols_after"""
+
+
+_BPE_SQL = f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+      SELECT cnt, regexp_replace(word, '(.)', ' \\1', 'g') AS seq FROM wf
+    ),
+    {_sql_round('s0', 1)},
+    {_sql_round('s1', 2)}
+    {_sql_emit(1)}
+    UNION ALL
+    {_sql_emit(2)}
+"""
+
+
+@query("ns_bpe_merges", _BPE_SQL)
+def ns_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {rounds} BPE tokenizer-training merges over the document
+    corpus: per round the winning pair (count-desc, lexicographic
+    tie-break), its weighted frequency, the distinct adjacent-pair
+    count, and the total weighted symbol occurrences after the merge
+    (the compression curve a tokenizer trainer monitors). The DuckDB
+    oracle replays BOTH rounds — pair counting, winner selection, and
+    the literal boundary-anchored merge — so the iterative algorithm
+    is hash-gated end to end (the ns_cluster_kmeans precedent)."""
+    return bpe_merge_rounds(spark, sf_dir)
+
+
+ns_bpe_merges.__doc__ = ns_bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)

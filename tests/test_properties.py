@@ -1865,6 +1865,54 @@ def test_semdedup_auto_k_derivation(spark):
     assert out.count() == n  # every vector gets a verdict
 
 
+def test_bpe_merge_invariants(spark):
+    """ns_bpe_merges invariants at the oracle SF:
+    - exactly _BPE_ROUNDS rows with dense 1-based rounds;
+    - round-1 merge symbols are single characters (sequences start as
+      chars), round-2 symbols are chars or the round-1 merge;
+    - each merge strictly shrinks the weighted symbol total, by at
+      most pair_count (greedy non-overlap can merge fewer occurrences
+      than the pair count when pairs overlap, never more);
+    - the round-1 winner really is the max adjacent-pair count of the
+      base sequences (recomputed independently);
+    - deterministic: a second run returns identical rows."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.bpe import (
+        _BPE_ROUNDS,
+        _pair_counts,
+        _word_freq,
+    )
+
+    rows = sorted(
+        (tuple(r) for r in QUERIES["ns_bpe_merges"](spark, SF_ORACLE).collect())
+    )
+    assert [r[0] for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+    r1, r2 = rows[0], rows[1]
+    assert len(r1[1]) == 1 and len(r1[2]) == 1
+    merged1 = r1[1] + r1[2]
+    assert all(len(s) == 1 or s == merged1 for s in (r2[1], r2[2]))
+    # base symbol total = weighted word lengths
+    wf = _word_freq(spark, SF_ORACLE)
+    base = wf.agg(
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint")
+    ).collect()[0][0]
+    for prev, row in zip([base] + [r[5] for r in rows], rows):
+        shrink = prev - row[5]
+        assert 0 < shrink <= row[3], (prev, row)
+    # round-1 winner is the true max (count desc, lexicographic)
+    seqs = wf.select(
+        "cnt", F.regexp_replace(F.col("word"), "(.)", " $1").alias("seq")
+    )
+    top = (
+        _pair_counts(seqs).orderBy(F.desc("c"), "l", "r").limit(1).collect()[0]
+    )
+    assert (r1[1], r1[2], r1[3]) == (top.l, top.r, top.c)
+    again = sorted(
+        tuple(r) for r in QUERIES["ns_bpe_merges"](spark, SF_ORACLE).collect()
+    )
+    assert again == rows
+
+
 def test_weighted_topk_sample_properties(spark):
     """ns_sample_weighted_topk invariants: exactly k winners with
     dense unique ranks; race keys non-negative; and the sample is a
