@@ -11,13 +11,21 @@ geometry is fixed; production runs the same loop to the target merge
 count (the kmeans_assign iterative-driver pattern).
 
 Cross-engine exactness: pair counts are integer sums; the merge is a
-LITERAL string replace over space-prefixed symbol sequences — " l r"
-→ " lr" can only match at a symbol boundary (every symbol carries its
-leading space, symbols never contain spaces) and both engines scan
-left-to-right non-overlapping, so greedy adjacency (" a a a" → " aa
-a") is identical; ties on the pair count break lexicographically.
-All verified primitive-by-primitive against DuckDB before this
-operator shipped.
+LITERAL string replace over symbol sequences in which EVERY symbol is
+wrapped in spaces (" a  b  c " — single space at the ends, double
+between symbols). The pattern " l  r " → " lr " is therefore anchored
+on BOTH sides: " l " can only match the complete symbol l and " r "
+the complete symbol r (symbols never contain spaces), so a following
+symbol that merely STARTS with r can never over-merge (" c  ab " is
+NOT hit by the (c, a) merge — the r10 code-review counterexample that
+killed the earlier left-anchored-only format), and because the
+replacement " lr " restores the wrap invariant, left-to-right
+non-overlapping replace implements exactly BPE's greedy pass
+(" a  a  a " → " aa  a ", " a  a  a  a " → " aa  aa "). Ties on the
+pair count break lexicographically. All verified
+primitive-by-primitive on both engines before this operator shipped
+(twice — the fix's counterexamples are pinned in the property
+test).
 
 Scale shape: the corpus collapses to the WORD FREQUENCY table in one
 hash aggregate (Zipf: |distinct words| ≪ corpus tokens — this is why
@@ -53,8 +61,8 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
     """Adjacent symbol pairs weighted by word frequency. `seqs` has
-    (cnt, seq) where seq is the space-prefixed symbol string."""
-    syms = F.split(F.trim(F.col("seq")), " ")
+    (cnt, seq) where seq is the space-wrapped symbol string."""
+    syms = F.split(F.trim(F.col("seq")), " +")
     sz = F.size(syms)
     pairs = F.arrays_zip(
         F.slice(syms, 1, sz - 1).alias("l"),
@@ -75,28 +83,34 @@ def bpe_merge_rounds(
     (round, merge_left, merge_right, pair_count, n_pair_types,
     n_symbols_after). Driver coordination is bounded: per round one
     1-row top-pair collect and one 2-scalar metrics aggregate — the
-    kmeans Lloyd-loop shape."""
+    kmeans Lloyd-loop shape. Stops cleanly when no adjacent pairs
+    remain (merge exhaustion — reachable long before a production
+    30k-merge target on small vocabularies)."""
     wf = _word_freq(spark, sf_dir)
     seqs = wf.select(
-        "cnt", F.regexp_replace(F.col("word"), "(.)", " $1").alias("seq")
+        "cnt", F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("seq")
     )
     out = []
     for rnd in range(1, rounds + 1):
         pc = _pair_counts(seqs).persist()
-        top = pc.orderBy(F.desc("c"), "l", "r").limit(1).collect()[0]
+        tops = pc.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not tops:  # merge exhaustion: every word is one symbol
+            pc.unpersist()
+            break
+        top = tops[0]
         n_types = pc.count()
         pc.unpersist()
         seqs = seqs.select(
             "cnt",
             F.replace(
                 F.col("seq"),
-                F.lit(f" {top.l} {top.r}"),
-                F.lit(f" {top.l}{top.r}"),
+                F.lit(f" {top.l}  {top.r} "),
+                F.lit(f" {top.l}{top.r} "),
             ).alias("seq"),
         )
         n_sym = seqs.agg(
             F.sum(
-                F.col("cnt") * F.size(F.split(F.trim(F.col("seq")), " "))
+                F.col("cnt") * F.size(F.split(F.trim(F.col("seq")), " +"))
             ).cast("bigint")
         ).collect()[0][0]
         out.append((rnd, top.l, top.r, int(top.c), int(n_types), int(n_sym)))
@@ -109,12 +123,12 @@ def bpe_merge_rounds(
 
 def _sql_round(prev: str, rnd: int) -> str:
     """CTEs for one merge round over sequence table `prev` (word-freq
-    rows with a space-prefixed `seq`): pair counts p{rnd}, winner
+    rows with a space-wrapped `seq`): pair counts p{rnd}, winner
     t{rnd}, merged sequences s{rnd}."""
     return f"""
     p{rnd} AS (
       SELECT t.syms[i.i] AS l, t.syms[i.i + 1] AS r, SUM(t.cnt) AS c
-      FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+      FROM (SELECT cnt, string_split_regex(trim(seq), ' +') AS syms
             FROM {prev}) t,
            LATERAL (SELECT unnest(range(1, len(t.syms))) AS i) i
       GROUP BY 1, 2
@@ -123,10 +137,10 @@ def _sql_round(prev: str, rnd: int) -> str:
     s{rnd} AS (
       SELECT cnt,
              replace(seq,
-                     ' ' || (SELECT l FROM t{rnd}) || ' '
-                         || (SELECT r FROM t{rnd}),
+                     ' ' || (SELECT l FROM t{rnd}) || '  '
+                         || (SELECT r FROM t{rnd}) || ' ',
                      ' ' || (SELECT l FROM t{rnd})
-                         || (SELECT r FROM t{rnd})) AS seq
+                         || (SELECT r FROM t{rnd}) || ' ') AS seq
       FROM {prev}
     )"""
 
@@ -138,7 +152,7 @@ def _sql_emit(rnd: int) -> str:
            (SELECT r FROM t{rnd}) AS merge_right,
            CAST((SELECT c FROM t{rnd}) AS BIGINT) AS pair_count,
            CAST((SELECT COUNT(*) FROM p{rnd}) AS BIGINT) AS n_pair_types,
-           CAST((SELECT SUM(cnt * len(string_split(trim(seq), ' ')))
+           CAST((SELECT SUM(cnt * len(string_split_regex(trim(seq), ' +')))
                  FROM s{rnd}) AS BIGINT) AS n_symbols_after"""
 
 
@@ -150,7 +164,7 @@ _BPE_SQL = f"""
       WHERE w <> '' GROUP BY w
     ),
     s0 AS (
-      SELECT cnt, regexp_replace(word, '(.)', ' \\1', 'g') AS seq FROM wf
+      SELECT cnt, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq FROM wf
     ),
     {_sql_round('s0', 1)},
     {_sql_round('s1', 2)}

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query, sql_dsum, tbl, unrolled_dot_enabled
-from .similarity import _dot_dbl
+from .similarity import _dot_dbl, unrolled_left_chain
 
 _KM_K = 8  # clusters (fixed oracle geometry; production scales with n)
 _KM_DIM = 64
@@ -139,17 +139,17 @@ def _sqdiff_chain(x: Column, cvals: list[float]) -> Column:
     chain unrolls into codegen, KEEPING left association (double adds
     are order-sensitive — a balanced tree would drift low bits, so
     unlike _dot_dec's exact-decimal tree this stays a left chain) —
-    values are bit-identical under either strategy, property-tested."""
+    values are bit-identical under either strategy, property-tested.
+    Degenerate inputs: an x SHORTER than the centroid width poisons
+    to NULL on both paths (HOF: NULL-padded zip element; unrolled:
+    NULL getItem term); LONGER x is out of schema contract
+    (FIXTURES.md pins 64) and only there would the two diverge."""
     if unrolled_dot_enabled():
-        terms = [
-            (x.getItem(i).cast("double") - F.lit(float(v)))
-            * (x.getItem(i).cast("double") - F.lit(float(v)))
-            for i, v in enumerate(cvals)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        return unrolled_left_chain(
+            lambda i: (F.get(x, i).cast("double") - F.lit(float(cvals[i])))
+            * (F.get(x, i).cast("double") - F.lit(float(cvals[i]))),
+            len(cvals),
+        )
     carr = F.array(*[F.lit(float(v)) for v in cvals])
     prods = F.zip_with(
         x,
@@ -179,15 +179,11 @@ def _sqdiff_cols(a: Column, b: Column, dim: int = _KM_DIM) -> Column:
     _sqdiff_chain's docstring measured at ~15 s compile). Term order
     and associativity match list_reduce's left fold, and the adds are
     IEEE doubles, so the value is bit-identical to the oracle's."""
-    terms = [
-        (a.getItem(i).cast("double") - b.getItem(i).cast("double"))
-        * (a.getItem(i).cast("double") - b.getItem(i).cast("double"))
-        for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    return unrolled_left_chain(
+        lambda i: (F.get(a, i).cast("double") - F.get(b, i).cast("double"))
+        * (F.get(a, i).cast("double") - F.get(b, i).cast("double")),
+        dim,
+    )
 
 
 def _assign_join(

@@ -48,11 +48,31 @@ def _dot_dec(a: Column, b: Column, dim: int = 64) -> Column:
       balanced tree returns the bit-identical value the left fold
       does — oracle parity is knob-independent (property-tested).
       Right for long-running 100 TB jobs where compile amortizes to
-      zero and the dot product is hot."""
+      zero and the dot product is hot.
+
+    Degenerate-input parity (r10 code review): indexing past the end
+    of a SHORT array must behave like the fold — element access is
+    `F.get` (NULL out of bounds; `getItem` THROWS under ANSI mode),
+    and each tree term maps both-items-NULL to an exact decimal zero
+    (adding 0 is exact): equal-length-short pairs sum the same terms
+    as the fold, and length-MISMATCHED pairs still poison to NULL on
+    both paths (one-sided NULL products stay NULL), matching
+    zip_with's NULL padding. Arrays LONGER than `dim` are out of
+    schema contract (FIXTURES.md pins 64) — `dim` is the schema
+    width, not a cap."""
     if unrolled_dot_enabled():
+        # F.get (NULL past the end), NEVER getItem (ANSI mode throws
+        # INVALID_ARRAY_INDEX on short arrays where the fold's
+        # zip_with quietly NULL-pads)
         terms = [
-            (a.getItem(i).cast("double") * b.getItem(i).cast("double"))
-            .cast(_DEC)
+            F.when(
+                F.get(a, i).isNull() & F.get(b, i).isNull(),
+                F.lit(0).cast(_DEC),
+            )
+            .otherwise(
+                (F.get(a, i).cast("double") * F.get(b, i).cast("double"))
+                .cast(_DEC)
+            )
             for i in range(dim)
         ]
         while len(terms) > 1:  # balanced: keeps codegen depth log(dim)
@@ -75,6 +95,22 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot_dec(a, a))
 
 
+def unrolled_left_chain(term, dim: int) -> Column:
+    """LEFT-ASSOCIATED sum of term(0) + term(1) + ... + term(dim-1) as
+    a flat expression chain. The association is load-bearing: double
+    adds are order-sensitive, and every oracle twin replays a LEFT
+    fold (list_reduce), so all unrolled double chains in the repo
+    (_dot_dbl here, clustering's _sqdiff_cols / _sqdiff_chain knob
+    branch) MUST route through this one helper — a balanced or
+    reordered copy would silently break hash parity for just the
+    operators using that copy (r10 code review: three hand-rolled
+    twins collapsed into this)."""
+    out = term(0)
+    for i in range(1, dim):
+        out = out + term(i)
+    return out
+
+
 def _dot_dbl(a: Column, b: Column, dim: int = 64) -> Column:
     """Plain double dot product as an UNROLLED fixed-width sum.
     Unlike the `F.aggregate` HOF fold (CodegenFallback → interpreted
@@ -84,14 +120,10 @@ def _dot_dbl(a: Column, b: Column, dim: int = 64) -> Column:
     tree (see `_dot_dec`) does not apply. Use for screens and ranking
     where the value is never output — summation-order low bits differ
     from the exact fold, so it must not feed oracle-compared columns."""
-    terms = [
-        a.getItem(i).cast("double") * b.getItem(i).cast("double")
-        for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    return unrolled_left_chain(
+        lambda i: F.get(a, i).cast("double") * F.get(b, i).cast("double"),
+        dim,
+    )
 
 
 # DuckDB twin: unnest both lists positionally via a range join.

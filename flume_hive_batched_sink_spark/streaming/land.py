@@ -130,9 +130,19 @@ def land_batch(
         # at-least-once, matching the reference's replay behavior.
         if on_complete is not None:
             book = read_bookkeeping(spark, cfg)
-            # high-water event time across ALL batches (updatetime is
-            # per-logdate max ts; the current batch is already merged)
-            wm = book.agg(F.max("updatetime")).collect()[0][0]
+            # high-water event time over the RAW bookkeeping appends —
+            # monotone by construction. The last-write-wins view would
+            # NOT be safe here: a late row for the logdate holding the
+            # global max replaces that logdate's updatetime with a
+            # smaller value (r10 code review; with bucket-aligned
+            # logdates the regression happens to stay above every
+            # earlier window end, but the raw max removes the
+            # subtlety instead of relying on it).
+            wm = (
+                spark.read.parquet(book_path)
+                .agg(F.max("updatetime"))
+                .collect()[0][0]
+            )
             finished = (
                 book.filter(F.col("state") != "CHECKED")
                 .withColumn(

@@ -40,9 +40,21 @@ _STAGE_CACHE: dict[str, tuple[str, object]] = {}
 # Instead every completed StreamingQuery (run_stream + the manual
 # writeStream sites) and every foreachBatch body records the plan
 # text it actually ran here, and the sweep diffs this dict around
-# each operator invocation. Append-only within a process; keys are
-# query/stage names, values concatenated plan dumps.
-LAST_PLANS: dict[str, str] = {}
+# each operator invocation. Keys are query/stage names; values are
+# BOUNDED lists of recent plan dumps — land_batch captures up to 3
+# plans per micro-batch on the PRODUCTION landing path, so an
+# unbounded buffer would grow driver memory monotonically on a
+# long-running stream (r10 code review). The cap comfortably exceeds
+# what one sweep invocation pushes (≤ ~6 entries), so the sweep's
+# around-the-call diff never loses entries.
+LAST_PLANS: dict[str, list[str]] = {}
+_PLAN_BUF = 8
+
+
+def _push_plan(name: str, text: str) -> None:
+    buf = LAST_PLANS.setdefault(name, [])
+    buf.append(text)
+    del buf[:-_PLAN_BUF]
 
 
 def capture_stream_plan(q, name: str) -> None:
@@ -52,9 +64,7 @@ def capture_stream_plan(q, name: str) -> None:
     treats a missing capture as 'no plan observed', never as a crash
     in the operator itself."""
     try:
-        LAST_PLANS[name] = LAST_PLANS.get(name, "") + q._jsq.explainInternal(
-            True
-        )
+        _push_plan(name, q._jsq.explainInternal(True))
     except Exception:  # pragma: no cover - py4j edge
         pass
 
@@ -64,9 +74,8 @@ def capture_batch_plan(df, name: str) -> None:
     about to execute (write/collect) — the part of a foreachBatch
     pipeline explainInternal can't see."""
     try:
-        LAST_PLANS[name] = (
-            LAST_PLANS.get(name, "")
-            + df._jdf.queryExecution().executedPlan().toString()
+        _push_plan(
+            name, df._jdf.queryExecution().executedPlan().toString()
         )
     except Exception:  # pragma: no cover - py4j edge
         pass

@@ -515,6 +515,32 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         f"cart={'CartesianProduct' in p} keyed={keyed} "
         f"bnlj_tree={len(tree_lines)} non_broadcast={len(unbuilt)}")
 
+    # ns_bpe_merges (r10): the registered operator returns a
+    # driver-built 2-row literal frame (bounded Lloyd-style loop), so
+    # pin the INTERNAL per-round plans instead: the weighted pair
+    # count must be scan → split/explode → hash aggregate with no
+    # join/window/sort anywhere (the round's only corpus-scale work).
+    from pyspark.sql import functions as _F
+
+    from flume_hive_batched_sink_spark.operators.bpe import (
+        _pair_counts,
+        _word_freq,
+    )
+    wf_ = _word_freq(spark, sf_dir)
+    seqs_ = wf_.select(
+        "cnt",
+        _F.regexp_replace(_F.col("word"), "(.)", " $1 ").alias("seq"),
+    )
+    p = _formatted(_pair_counts(seqs_))
+    bad = [n for n in ("Join", "Window", "Sort", "CartesianProduct")
+           if n in p]
+    add("ns_bpe_merges",
+        "pair counting is generate + hash aggregate only "
+        "(no join/window/sort)",
+        not bad and "HashAggregate" in p and "Generate" in p,
+        f"forbidden nodes: {bad}" if bad
+        else "Generate + HashAggregate, nothing else heavyweight")
+
     # ns_sample_weighted_topk (r9): E-S selection must be
     # TakeOrderedAndProject (per-partition top-k + k-row driver
     # merge), never a global range-partitioned sort of the corpus.

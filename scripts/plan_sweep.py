@@ -108,9 +108,10 @@ def main() -> None:
             df = fn(spark, SF)
             if is_stream:
                 # micro-batch plans captured during the replay, plus
-                # the (batch) plan of the returned summary frame
+                # the (batch) plan of the returned summary frame;
+                # LAST_PLANS holds bounded per-key LISTS of plan dumps
                 new = "".join(
-                    v[before.get(k, 0):]
+                    "".join(v[before.get(k, 0):])
                     for k, v in stage.LAST_PLANS.items()
                 )
                 plan = new + _formatted(df)

@@ -1840,6 +1840,27 @@ def test_unrolled_dot_knob_bit_parity(spark, monkeypatch):
         monkeypatch.delenv("SPARK_GRAFT_UNROLLED_DOT", raising=False)
         assert off == on, name
 
+    # degenerate-array parity (r10 code review): equal-length-SHORT
+    # arrays must produce the fold's real sum on both strategies (the
+    # unrolled tree maps both-null tail terms to exact zeros), and a
+    # length-mismatched pair must poison to NULL on both
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _dot_dec,
+    )
+
+    df = spark.createDataFrame(
+        [([1.5] * 52, [2.0] * 52), ([1.0] * 52, [1.0] * 64)],
+        "a array<double>, b array<double>",
+    )
+    def dots():
+        return [r[0] for r in df.select(_dot_dec(F.col("a"), F.col("b"))).collect()]
+    monkeypatch.delenv("SPARK_GRAFT_UNROLLED_DOT", raising=False)
+    off = dots()
+    monkeypatch.setenv("SPARK_GRAFT_UNROLLED_DOT", "1")
+    on = dots()
+    monkeypatch.delenv("SPARK_GRAFT_UNROLLED_DOT", raising=False)
+    assert off == on == [1.5 * 2.0 * 52, None]
+
 
 def test_semdedup_auto_k_derivation(spark):
     """ns_semdedup_auto's k column must equal the auto_k derivation
@@ -1911,6 +1932,38 @@ def test_bpe_merge_invariants(spark):
         tuple(r) for r in QUERIES["ns_bpe_merges"](spark, SF_ORACLE).collect()
     )
     assert again == rows
+
+
+def test_bpe_merge_boundary_anchoring(spark, tmp_path):
+    """Pin the r10 code-review counterexample: after round 1 merges
+    (a,b), the round-2 merge (c,a) must NOT fire inside 'cab' (whose
+    sequence is now c·ab — the following symbol merely STARTS with
+    'a'). Corpus engineered so (a,b) wins round 1 (13 vs 9) and (c,a)
+    wins round 2 (6 vs 3); exact expected metrics below — under the
+    old left-anchored-only format round-2 n_symbols_after read 19
+    (every 'cab' collapsed to one bogus symbol), the correct value is
+    22."""
+    from flume_hive_batched_sink_spark.operators.bpe import (
+        bpe_merge_rounds,
+    )
+
+    words = ["ab"] * 10 + ["ca"] * 6 + ["cab"] * 3
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.round: r for r in bpe_merge_rounds(spark, str(tmp_path)).collect()
+    }
+    r1, r2 = rows[1], rows[2]
+    assert (r1.merge_left, r1.merge_right, r1.pair_count) == ("a", "b", 13)
+    assert (r2.merge_left, r2.merge_right, r2.pair_count) == ("c", "a", 6)
+    # base symbols 10*2+6*2+3*3=41; after (a,b): ab=1, ca=2, c·ab=2 -> 28
+    assert r1.n_symbols_after == 28
+    assert r1.n_pair_types == 2  # (a,b) and (c,a)
+    # after (c,a): ab=1, ca=1, and 'cab' stays c·ab=2 -> 22 (NOT 19)
+    assert r2.n_symbols_after == 22
+    assert r2.n_pair_types == 2  # (c,a) and (c,ab)
 
 
 def test_weighted_topk_sample_properties(spark):
