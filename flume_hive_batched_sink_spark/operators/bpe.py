@@ -1,6 +1,7 @@
-"""[NS] — BPE tokenizer-training statistics (r10).
+"""[NS] — BPE tokenizer training + application (r10).
 
-`ns_bpe_merges`: the first merge rounds of byte-pair-encoding
+`ns_bpe_merges` (train) / `ns_bpe_encode` (apply): the first merge
+rounds of byte-pair-encoding
 tokenizer training (Sennrich et al. 2016) over the documents corpus —
 the one training-data-pipeline stage (tokenizer fitting) the engine
 did not cover. Exactly the classic algorithm: build the word
@@ -76,19 +77,23 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merge_rounds(
+def bpe_train(
     spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
-) -> DataFrame:
-    """Run `rounds` BPE merges; returns one row per round:
-    (round, merge_left, merge_right, pair_count, n_pair_types,
-    n_symbols_after). Driver coordination is bounded: per round one
-    1-row top-pair collect and one 2-scalar metrics aggregate — the
-    kmeans Lloyd-loop shape. Stops cleanly when no adjacent pairs
-    remain (merge exhaustion — reachable long before a production
-    30k-merge target on small vocabularies)."""
+) -> tuple[DataFrame, list]:
+    """Run `rounds` BPE merges; returns (seqs, stats) where `seqs` is
+    the final merged vocabulary table (word, cnt, seq — the trained
+    tokenizer state ns_bpe_encode applies) and `stats` is one tuple
+    per round: (round, merge_left, merge_right, pair_count,
+    n_pair_types, n_symbols_after). Driver coordination is bounded:
+    per round one 1-row top-pair collect and one 2-scalar metrics
+    aggregate — the kmeans Lloyd-loop shape. Stops cleanly when no
+    adjacent pairs remain (merge exhaustion — reachable long before a
+    production 30k-merge target on small vocabularies)."""
     wf = _word_freq(spark, sf_dir)
     seqs = wf.select(
-        "cnt", F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("seq")
+        "word",
+        "cnt",
+        F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("seq"),
     )
     out = []
     for rnd in range(1, rounds + 1):
@@ -101,6 +106,7 @@ def bpe_merge_rounds(
         n_types = pc.count()
         pc.unpersist()
         seqs = seqs.select(
+            "word",
             "cnt",
             F.replace(
                 F.col("seq"),
@@ -114,6 +120,14 @@ def bpe_merge_rounds(
             ).cast("bigint")
         ).collect()[0][0]
         out.append((rnd, top.l, top.r, int(top.c), int(n_types), int(n_sym)))
+    return seqs, out
+
+
+def bpe_merge_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> DataFrame:
+    """Per-round merge statistics as a DataFrame (see bpe_train)."""
+    _seqs, out = bpe_train(spark, sf_dir, rounds)
     return spark.createDataFrame(
         out,
         "round bigint, merge_left string, merge_right string, "
@@ -135,7 +149,7 @@ def _sql_round(prev: str, rnd: int) -> str:
     ),
     t{rnd} AS (SELECT l, r, c FROM p{rnd} ORDER BY c DESC, l, r LIMIT 1),
     s{rnd} AS (
-      SELECT cnt,
+      SELECT word, cnt,
              replace(seq,
                      ' ' || (SELECT l FROM t{rnd}) || '  '
                          || (SELECT r FROM t{rnd}) || ' ',
@@ -164,7 +178,8 @@ _BPE_SQL = f"""
       WHERE w <> '' GROUP BY w
     ),
     s0 AS (
-      SELECT cnt, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq FROM wf
+      SELECT word, cnt, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+      FROM wf
     ),
     {_sql_round('s0', 1)},
     {_sql_round('s1', 2)}
@@ -188,3 +203,98 @@ def ns_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ns_bpe_merges.__doc__ = ns_bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)
+
+
+@query(
+    "ns_bpe_encode",
+    f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+      SELECT word, cnt, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+      FROM wf
+    ),
+    {_sql_round('s0', 1)},
+    {_sql_round('s1', 2)},
+    wsym AS (
+      SELECT word,
+             len(string_split_regex(trim(seq), ' +')) AS n_syms,
+             CASE WHEN seq LIKE '%' || (SELECT l FROM t1)
+                                     || (SELECT r FROM t1) || '%'
+                  OR seq LIKE '%' || (SELECT l FROM t2)
+                                  || (SELECT r FROM t2) || '%'
+                  THEN 1 ELSE 0 END AS has_merge
+      FROM s2
+    ),
+    docw AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.n_syms) AS BIGINT) AS n_symbols,
+           CAST(SUM(length(d.word)) AS BIGINT) AS n_chars_tok,
+           CAST(SUM(v.has_merge) AS BIGINT) AS n_merged_tokens
+    FROM docw d JOIN wsym v ON d.word = v.word
+    GROUP BY d.doc_id
+    """,
+)
+def ns_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer (the {rounds}-merge bpe_train state
+    ns_bpe_merges gates) to every document: per doc the token count,
+    the post-merge SYMBOL count (the number of BPE tokens the doc
+    would encode to), the summed token characters (the char-level
+    baseline the merges compress from), and how many of its tokens
+    contain a learned merge — the per-document compression audit a
+    tokenizer rollout runs before re-encoding a corpus.
+
+    Both engines train AND apply: the oracle replays the two merge
+    rounds (shared _sql_round CTEs), derives each vocabulary word's
+    symbol count, and joins it back onto the exploded corpus — all
+    integer arithmetic, hash-exact.
+
+    Scale: the vocabulary table (|distinct words| ≪ corpus, Zipf) is
+    BROADCAST onto the exploded token stream — the same
+    vocab-encode-join shape as ns_tokenize_encode, so the corpus
+    never shuffles for the join; the per-doc rollup is one keyed
+    aggregate with map-side combine. Symbol-membership flags are
+    row-local string ops on the vocab side only."""
+    seqs, stats = bpe_train(spark, sf_dir)
+    merged = [f"{l}{r}" for _rnd, l, r, _c, _t, _n in stats]
+    n_syms = F.size(F.split(F.trim(F.col("seq")), " +"))
+    has_merge = F.greatest(
+        *[F.col("seq").contains(m).cast("int") for m in merged],
+        F.lit(0),
+    ) if merged else F.lit(0)
+    vocab = seqs.select(
+        "word",
+        n_syms.alias("n_syms"),
+        has_merge.alias("has_merge"),
+        F.length("word").alias("n_chars"),
+    )
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    docw = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), " ")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return docw.join(F.broadcast(vocab), ["word"]).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("n_syms").cast("bigint").alias("n_symbols"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_tok"),
+        F.sum("has_merge").cast("bigint").alias("n_merged_tokens"),
+    )
+
+
+ns_bpe_encode.__doc__ = ns_bpe_encode.__doc__.format(rounds=_BPE_ROUNDS)

@@ -184,3 +184,76 @@ def test_streaks_match_python_reference(spark, activity):
             prev = d
         runs.append(cur)
         assert got[u] == (len(ds), max(runs), len(runs)), (u, sorted(ds))
+
+
+# ---- BPE merge application vs an independent greedy reference ----
+
+_WORDS = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=7),
+    min_size=1,
+    max_size=120,
+)
+
+
+def _ref_greedy_merge(syms: list[str], l: str, r: str) -> list[str]:
+    """Independent reference for ONE BPE merge pass: left-to-right,
+    non-overlapping — exactly Sennrich's greedy application."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(words=_WORDS)
+@settings(**SETTINGS)
+def test_bpe_merge_matches_greedy_reference(spark, words):
+    """The space-wrapped literal-replace merge (bpe.py) must equal an
+    independent Python greedy-merge reference for TWO successive
+    merge rounds over random words — including adversarial shapes the
+    fixtures never hit: aa-runs (overlap greediness), words where a
+    later symbol STARTS with the merged pair's right side (the r10
+    boundary-anchoring counterexample class), and 1-char words (no
+    pairs). Round 2 runs on multi-char symbols, exercising the wrap
+    invariant after a replacement."""
+    from collections import Counter
+
+    state = {w: [ch for ch in w] for w in set(words)}
+    freq = Counter(words)
+    df = spark.createDataFrame(
+        [(w,) for w in state], "word string"
+    ).select(
+        "word",
+        F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("seq"),
+    )
+    for _round in (1, 2):
+        # winner by weighted count (count desc, then lexicographic) —
+        # chosen from the REFERENCE state so the test only exercises
+        # the merge APPLICATION, not winner selection
+        pairs = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            return
+        (l, r), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        state = {
+            w: _ref_greedy_merge(syms, l, r) for w, syms in state.items()
+        }
+        df = df.select(
+            "word",
+            F.replace(
+                F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            ).alias("seq"),
+        )
+        got = {
+            row.word: [s for s in row.seq.split(" ") if s]
+            for row in df.collect()
+        }
+        assert got == state, f"round {_round} merge ({l},{r})"

@@ -1934,6 +1934,37 @@ def test_bpe_merge_invariants(spark):
     assert again == rows
 
 
+def test_bpe_encode_reconciles_with_training(spark):
+    """Cross-operator consistency: ns_bpe_encode's per-doc rollups
+    must reconcile EXACTLY with ns_bpe_merges' corpus-level training
+    stats on the same corpus — Σ n_tokens over docs equals the
+    weighted word-frequency total, Σ n_symbols equals the final
+    round's n_symbols_after (both count the same post-merge symbol
+    occurrences, grouped differently), and per doc the merges only
+    shrink: n_tokens <= n_symbols <= n_chars_tok."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.bpe import _word_freq
+
+    enc = QUERIES["ns_bpe_encode"](spark, SF_ORACLE)
+    tot = enc.agg(
+        F.sum("n_tokens"), F.sum("n_symbols"), F.sum("n_chars_tok")
+    ).collect()[0]
+    merges = {
+        r.round: r for r in QUERIES["ns_bpe_merges"](spark, SF_ORACLE).collect()
+    }
+    last = merges[max(merges)]
+    assert tot[1] == last.n_symbols_after
+    wf_tot = _word_freq(spark, SF_ORACLE).agg(
+        F.sum("cnt"), F.sum(F.col("cnt") * F.length("word"))
+    ).collect()[0]
+    assert tot[0] == wf_tot[0] and tot[2] == wf_tot[1]
+    bad = enc.filter(
+        (F.col("n_tokens") > F.col("n_symbols"))
+        | (F.col("n_symbols") > F.col("n_chars_tok"))
+    ).count()
+    assert bad == 0
+
+
 def test_bpe_merge_boundary_anchoring(spark, tmp_path):
     """Pin the r10 code-review counterexample: after round 1 merges
     (a,b), the round-2 merge (c,a) must NOT fire inside 'cab' (whose
