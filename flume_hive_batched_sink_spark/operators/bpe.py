@@ -77,6 +77,18 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+def initial_seqs(wf: DataFrame) -> DataFrame:
+    """Space-wrapped char sequences for a word-frequency table — THE
+    seq format every consumer must share (bpe_train and the
+    dump_plans plan pin build through here, so a format change cannot
+    silently desynchronize them)."""
+    return wf.select(
+        "word",
+        "cnt",
+        F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("seq"),
+    )
+
+
 def bpe_train(
     spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
 ) -> tuple[DataFrame, list]:
@@ -89,12 +101,7 @@ def bpe_train(
     aggregate — the kmeans Lloyd-loop shape. Stops cleanly when no
     adjacent pairs remain (merge exhaustion — reachable long before a
     production 30k-merge target on small vocabularies)."""
-    wf = _word_freq(spark, sf_dir)
-    seqs = wf.select(
-        "word",
-        "cnt",
-        F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("seq"),
-    )
+    seqs = initial_seqs(_word_freq(spark, sf_dir))
     out = []
     for rnd in range(1, rounds + 1):
         pc = _pair_counts(seqs).persist()
@@ -123,11 +130,30 @@ def bpe_train(
     return seqs, out
 
 
+def _require_rounds(out: list, rounds: int) -> None:
+    """The REGISTERED operators pin a fixed round count the SQL twin
+    replays unconditionally — an exhausted corpus (fewer merges than
+    rounds) cannot be expressed by that oracle (empty t{rnd} scalar
+    subqueries would NULL-poison it), so fail LOUDLY instead of
+    hash-mismatching. bpe_train itself (the production API) stops
+    cleanly; only the fixed-geometry registered form has this
+    precondition. Every test corpus satisfies it (multi-char words
+    with repeated pairs; pinned by the fixture tests)."""
+    if len(out) < rounds:
+        raise ValueError(
+            f"corpus exhausted after {len(out)} BPE merges; the "
+            f"registered {rounds}-round oracle geometry cannot replay "
+            "exhaustion — call bpe_train directly for variable-round "
+            "training"
+        )
+
+
 def bpe_merge_rounds(
     spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
 ) -> DataFrame:
     """Per-round merge statistics as a DataFrame (see bpe_train)."""
     _seqs, out = bpe_train(spark, sf_dir, rounds)
+    _require_rounds(out, rounds)
     return spark.createDataFrame(
         out,
         "round bigint, merge_left string, merge_right string, "
@@ -223,10 +249,13 @@ ns_bpe_merges.__doc__ = ns_bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)
     wsym AS (
       SELECT word,
              len(string_split_regex(trim(seq), ' +')) AS n_syms,
-             CASE WHEN seq LIKE '%' || (SELECT l FROM t1)
-                                     || (SELECT r FROM t1) || '%'
-                  OR seq LIKE '%' || (SELECT l FROM t2)
-                                  || (SELECT r FROM t2) || '%'
+             -- contains() is a LITERAL substring test (matches
+             -- Spark's Column.contains); LIKE would treat %/_ in a
+             -- merged symbol as wildcards (r10 review pass 2)
+             CASE WHEN contains(seq, (SELECT l FROM t1)
+                                     || (SELECT r FROM t1))
+                  OR contains(seq, (SELECT l FROM t2)
+                                   || (SELECT r FROM t2))
                   THEN 1 ELSE 0 END AS has_merge
       FROM s2
     ),
@@ -267,6 +296,7 @@ def ns_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side combine. Symbol-membership flags are
     row-local string ops on the vocab side only."""
     seqs, stats = bpe_train(spark, sf_dir)
+    _require_rounds(stats, _BPE_ROUNDS)
     merged = [f"{l}{r}" for _rnd, l, r, _c, _t, _n in stats]
     n_syms = F.size(F.split(F.trim(F.col("seq")), " +"))
     has_merge = F.greatest(

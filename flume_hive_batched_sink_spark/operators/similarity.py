@@ -50,23 +50,23 @@ def _dot_dec(a: Column, b: Column, dim: int = 64) -> Column:
       Right for long-running 100 TB jobs where compile amortizes to
       zero and the dot product is hot.
 
-    Degenerate-input parity (r10 code review): indexing past the end
-    of a SHORT array must behave like the fold — element access is
-    `F.get` (NULL out of bounds; `getItem` THROWS under ANSI mode),
-    and each tree term maps both-items-NULL to an exact decimal zero
-    (adding 0 is exact): equal-length-short pairs sum the same terms
-    as the fold, and length-MISMATCHED pairs still poison to NULL on
-    both paths (one-sided NULL products stay NULL), matching
-    zip_with's NULL padding. Arrays LONGER than `dim` are out of
-    schema contract (FIXTURES.md pins 64) — `dim` is the schema
-    width, not a cap."""
+    Degenerate-input parity (r10 code review, two passes): indexing
+    past the end of a SHORT array must behave like the fold — element
+    access is `F.get` (NULL out of bounds; `getItem` THROWS under
+    ANSI mode), and a tree term becomes an exact decimal zero ONLY
+    when the position is out of bounds on BOTH sides (the fold's zip
+    simply has no such term; adding 0 is exact). The OOB test is on
+    array SIZE, not value NULL-ness: an IN-RANGE element pair that is
+    genuinely NULL must poison the sum to NULL exactly like the
+    fold's NULL product does (pass 2 caught the isNull() shortcut
+    treating those as zeros). Length-MISMATCHED pairs poison via the
+    one-sided NULL product, matching zip_with's padding. Arrays
+    LONGER than `dim` are out of schema contract (FIXTURES.md pins
+    64) — `dim` is the schema width, not a cap."""
     if unrolled_dot_enabled():
-        # F.get (NULL past the end), NEVER getItem (ANSI mode throws
-        # INVALID_ARRAY_INDEX on short arrays where the fold's
-        # zip_with quietly NULL-pads)
         terms = [
             F.when(
-                F.get(a, i).isNull() & F.get(b, i).isNull(),
+                (F.lit(i) >= F.size(a)) & (F.lit(i) >= F.size(b)),
                 F.lit(0).cast(_DEC),
             )
             .otherwise(

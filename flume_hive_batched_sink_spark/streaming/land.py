@@ -129,20 +129,19 @@ def land_batch(
         # batch_id wins) and it re-notifies when it re-finalizes —
         # at-least-once, matching the reference's replay behavior.
         if on_complete is not None:
-            book = read_bookkeeping(spark, cfg)
-            # high-water event time over the RAW bookkeeping appends —
-            # monotone by construction. The last-write-wins view would
-            # NOT be safe here: a late row for the logdate holding the
-            # global max replaces that logdate's updatetime with a
-            # smaller value (r10 code review; with bucket-aligned
-            # logdates the regression happens to stay above every
-            # earlier window end, but the raw max removes the
-            # subtlety instead of relying on it).
-            wm = (
-                spark.read.parquet(book_path)
-                .agg(F.max("updatetime"))
-                .collect()[0][0]
-            )
+            # ONE raw bookkeeping read serves both epilogue inputs
+            # (review pass 2: the lww view re-read the same parquet):
+            # the high-water event time comes from the RAW appends —
+            # monotone by construction; the last-write-wins view would
+            # NOT be safe for it (a late row for the logdate holding
+            # the global max replaces that logdate's updatetime with a
+            # smaller value — with bucket-aligned logdates the
+            # regression happens to stay above every earlier window
+            # end, but the raw max removes the subtlety instead of
+            # relying on it).
+            raw_book = spark.read.parquet(book_path)
+            book = lww_bookkeeping(raw_book, cfg)
+            wm = raw_book.agg(F.max("updatetime")).collect()[0][0]
             finished = (
                 book.filter(F.col("state") != "CHECKED")
                 .withColumn(
@@ -185,17 +184,14 @@ def land_batch(
         routed.unpersist()
 
 
-def read_bookkeeping(spark: SparkSession, cfg: SinkConfig) -> DataFrame:
-    """Current bookkeeping state: last-write-wins over batch appends
-    (A20's upsert semantics reconstructed relationally). Within one
-    batch_id a CHECKED mark outranks the batch's own NEW row (the
-    epilogue marks in the same batch that landed the data); a LATER
-    batch's NEW row outranks an old CHECKED mark (late data reopens
-    the logdate)."""
+def lww_bookkeeping(raw: DataFrame, cfg: SinkConfig) -> DataFrame:
+    """Last-write-wins view over raw bookkeeping appends (A20's upsert
+    semantics reconstructed relationally). Within one batch_id a
+    CHECKED mark outranks the batch's own NEW row (the epilogue marks
+    in the same batch that landed the data); a LATER batch's NEW row
+    outranks an old CHECKED mark (late data reopens the logdate)."""
     from pyspark.sql.window import Window as W
 
-    book_path = os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping")
-    raw = spark.read.parquet(book_path)
     w = W.partitionBy(cfg.partition_col).orderBy(
         F.col("batch_id").desc(),
         F.when(F.col("state") == "CHECKED", 1).otherwise(0).desc(),
@@ -205,6 +201,12 @@ def read_bookkeeping(spark: SparkSession, cfg: SinkConfig) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def read_bookkeeping(spark: SparkSession, cfg: SinkConfig) -> DataFrame:
+    """Current bookkeeping state from disk (see lww_bookkeeping)."""
+    book_path = os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping")
+    return lww_bookkeeping(spark.read.parquet(book_path), cfg)
 
 
 def run_landing_stream(

@@ -44,11 +44,13 @@ _STAGE_CACHE: dict[str, tuple[str, object]] = {}
 # BOUNDED lists of recent plan dumps — land_batch captures up to 3
 # plans per micro-batch on the PRODUCTION landing path, so an
 # unbounded buffer would grow driver memory monotonically on a
-# long-running stream (r10 code review). The cap comfortably exceeds
-# what one sweep invocation pushes (≤ ~6 entries), so the sweep's
-# around-the-call diff never loses entries.
+# long-running stream (r10 code review). The cap must exceed what one
+# sweep invocation pushes: the landing replay is 3 micro-batches x 3
+# captures (routed, batch_counts, finished) = 9 under ONE key, so 16
+# leaves headroom — the sweep's around-the-call diff never loses
+# entries (a second review pass caught 8 < 9).
 LAST_PLANS: dict[str, list[str]] = {}
-_PLAN_BUF = 8
+_PLAN_BUF = 16
 
 
 def _push_plan(name: str, text: str) -> None:

@@ -520,18 +520,12 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
     # pin the INTERNAL per-round plans instead: the weighted pair
     # count must be scan → split/explode → hash aggregate with no
     # join/window/sort anywhere (the round's only corpus-scale work).
-    from pyspark.sql import functions as _F
-
     from flume_hive_batched_sink_spark.operators.bpe import (
         _pair_counts,
         _word_freq,
+        initial_seqs,
     )
-    wf_ = _word_freq(spark, sf_dir)
-    seqs_ = wf_.select(
-        "cnt",
-        _F.regexp_replace(_F.col("word"), "(.)", " $1 ").alias("seq"),
-    )
-    p = _formatted(_pair_counts(seqs_))
+    p = _formatted(_pair_counts(initial_seqs(_word_freq(spark, sf_dir))))
     bad = [n for n in ("Join", "Window", "Sort", "CartesianProduct")
            if n in p]
     add("ns_bpe_merges",

@@ -1848,8 +1848,14 @@ def test_unrolled_dot_knob_bit_parity(spark, monkeypatch):
         _dot_dec,
     )
 
+    nulled = [1.0] * 64
+    nulled[5] = None
     df = spark.createDataFrame(
-        [([1.5] * 52, [2.0] * 52), ([1.0] * 52, [1.0] * 64)],
+        [
+            ([1.5] * 52, [2.0] * 52),  # equal-short: real sum
+            ([1.0] * 52, [1.0] * 64),  # mismatched: NULL poison
+            (nulled, nulled),  # in-range NULL element: NULL poison
+        ],
         "a array<double>, b array<double>",
     )
     def dots():
@@ -1859,7 +1865,7 @@ def test_unrolled_dot_knob_bit_parity(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_UNROLLED_DOT", "1")
     on = dots()
     monkeypatch.delenv("SPARK_GRAFT_UNROLLED_DOT", raising=False)
-    assert off == on == [1.5 * 2.0 * 52, None]
+    assert off == on == [1.5 * 2.0 * 52, None, None]
 
 
 def test_semdedup_auto_k_derivation(spark):
