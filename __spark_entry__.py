@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 198 queries are registered (SURVEY §2 Part B, which matches the
+# 199 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 198
+# tests/test_properties.py::test_survey_registry_lockstep); all 199
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -37,24 +37,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation note listed only 8 of these; udtf_python_lateral and
 # win_lag_lead were also displaced, per the r9 ADVICE audit) and the
 # 44-row r05 cohort. The r10 window, in priority order:
-# (a) 3 operators NEW in r10 (never driver-checked):
+# (a) 4 operators NEW in r10 (never driver-checked):
 #     ns_semdedup_auto — the production auto-k SemDeDup geometry, the
-#     r9 verdict's #1 — and the BPE tokenizer pair ns_bpe_merges
-#     (train) / ns_bpe_encode (apply);
+#     r9 verdict's #1 — the BPE tokenizer pair ns_bpe_merges (train) /
+#     ns_bpe_encode (apply), and ns_contamination_semantic (the
+#     embedding-space decontamination twin);
 # (b) the 10 r04 rows — the oldest binding checks in the repo;
-# (c) 37 of the 44 r05 rows (alphabetical; outputs unchanged since
+# (c) 36 of the 44 r05 rows (alphabetical; outputs unchanged since
 #     r05 and value-equal-gated locally every round).
-# 3 + 10 + 37 = 50. Displaced to r11: the seven-row r05 alphabetical
-# tail — ts_retention_cohort, ts_seasonality_profile,
-# ts_window_funnel, udf_scalar_iter, udtf_arrow_map, unpivot_melt,
-# win_streaks. After a clean r10 run no operator's latest driver gate
-# is older than r05, and those seven plus the r06 cohort rotate
-# forward in r11.
+# 4 + 10 + 36 = 50. Displaced to r11: the eight-row r05 alphabetical
+# tail — ts_cumulative_uniques, ts_retention_cohort,
+# ts_seasonality_profile, ts_window_funnel, udf_scalar_iter,
+# udtf_arrow_map, unpivot_melt, win_streaks. After a clean r10 run no
+# operator's latest driver gate is older than r05, and those eight
+# plus the r06 cohort rotate forward in r11.
 _ROUND10_FRONT = [
     # (a) new in r10 — first driver check
     "ns_semdedup_auto",
     "ns_bpe_merges",
     "ns_bpe_encode",
+    "ns_contamination_semantic",
     # (b) r04-stale rows (oldest in the repo)
     "agg_weighted_avg",
     "f_bitwise",
@@ -66,7 +68,7 @@ _ROUND10_FRONT = [
     "win_rank",
     "win_row_number",
     "win_running_frame",
-    # (c) r05-stale cohort (first 37 alphabetically)
+    # (c) r05-stale cohort (first 36 alphabetically)
     "agg_audience_overlap",
     "agg_bool_family",
     "agg_histogram_equidepth",
@@ -103,7 +105,6 @@ _ROUND10_FRONT = [
     "scan_profile_stats",
     "stream_restart_recovery",
     "stream_windowed_topk",
-    "ts_cumulative_uniques",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -120,8 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 198/198 as of r10
-    (the three r10 additions — auto-k SemDeDup and the BPE train/apply pair —
+    """DuckDB twins for EVERY registered query — 199/199 as of r10
+    (the four r10 additions — auto-k SemDeDup, the BPE train/apply pair,
+    and semantic decontamination —
     were oracle-backed from birth: derived-k scalar subqueries and
     integer pair counts with literal boundary-anchored merges); the
     rows-only category is empty. r8 emptied it (md5-derived

@@ -1120,3 +1120,113 @@ def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("err").alias("max_err"),
         )
     )
+
+
+# ---- semantic decontamination (embedding-space eval contamination) ----
+
+# Eval-set slice: the first _SEM_EVAL_N vectors stand in for the
+# benchmark's embedded items; everything else is the training corpus.
+# Threshold follows _DEDUP_TAU's rationale (near-orthogonal random
+# test corpus: production-style 0.95 would flag nothing) but sits at
+# 0.35, below the sf0.001 max corpus-vs-eval cosine (0.392 — measured
+# across all SFs: maxes 0.392/0.493/0.452, p90 ~0.27), so the flag
+# path is exercised at EVERY test SF, not just the driver's sf0.01.
+_SEM_EVAL_N = 8
+_SEM_CONTAM_TAU = 0.35
+
+
+@query(
+    "ns_contamination_semantic",
+    f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                AS VARCHAR)
+                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      GROUP BY vec_id
+    ),
+    ev AS (SELECT * FROM embeddings WHERE vec_id < {_SEM_EVAL_N}),
+    corp AS (SELECT * FROM embeddings WHERE vec_id >= {_SEM_EVAL_N}),
+    dots AS ({{dot}}),
+    scored AS (
+      SELECT dots.ida AS vec_id, dots.idb AS eval_id,
+             dots.dot / (nc.nrm * ne.nrm) AS cosv
+      FROM dots
+      JOIN norms nc ON nc.vec_id = dots.ida
+      JOIN norms ne ON ne.vec_id = dots.idb
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, cosv AS max_eval_cos,
+           CASE WHEN cosv >= {_SEM_CONTAM_TAU} THEN 1 ELSE 0 END
+             AS contaminated
+    FROM (
+      SELECT vec_id, eval_id, cosv,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosv DESC, eval_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """.format(
+        dot=_SQL_DOT.format(
+            a="corp", aa="c", b="ev", ba="e", where=""
+        )
+    ),
+)
+def ns_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space twin of
+    ns_contamination_ngram (real pipelines run BOTH: lexical n-gram
+    overlap catches verbatim leakage, embedding cosine catches
+    paraphrased/translated leakage the lexical screen misses, per the
+    GPT-4/Llama decontamination reports). The first {n} vectors stand
+    in for the embedded benchmark; every corpus vector gets its
+    nearest eval item (cosine desc, eval_id tie-break), the max
+    cosine, and a contaminated flag at tau={tau}. The manifest a
+    decontamination pass feeds back into the corpus filter
+    (ns_blocklist_filter consumes id lists of exactly this shape).
+
+    Scale: the eval side is benchmark-sized (thousands) — broadcast
+    once; scoring is a projection over the corpus scan (corpus never
+    shuffles for the join); the per-vector argmax is a window over
+    |eval| rows per corpus vector. At very large |eval| x corpus,
+    pre-screen candidates with the banded LSH (ns_similarity_ann_lsh
+    geometry) and only exact-score bucket collisions — the same
+    two-phase shape ns_dedup_embedding ships. Exact decimal dots for
+    oracle bit-parity."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    norms = em.select(
+        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    ev = norms.filter(F.col("vec_id") < _SEM_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    scored = (
+        norms.filter(F.col("vec_id") >= _SEM_EVAL_N)
+        .join(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            (
+                _dot_dec(F.col("e_emb"), F.col("embedding"))
+                / (F.col("e_nrm") * F.col("nrm"))
+            ).alias("cosv"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosv"), "eval_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cosv").alias("max_eval_cos"),
+            F.when(F.col("cosv") >= F.lit(_SEM_CONTAM_TAU), 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
+ns_contamination_semantic.__doc__ = ns_contamination_semantic.__doc__.format(
+    n=_SEM_EVAL_N, tau=_SEM_CONTAM_TAU
+)

@@ -1940,6 +1940,62 @@ def test_bpe_merge_invariants(spark):
     assert again == rows
 
 
+def test_contamination_semantic_invariants(spark):
+    """ns_contamination_semantic: every corpus vector (vec_id >=
+    eval slice) gets exactly one row; nearest_eval_id is in the eval
+    slice; the flag flips at the oracle SF and equals max_eval_cos >=
+    tau row-by-row; and the reported max really is the maximum — an
+    independent plain groupBy-max over the same scored pairs must
+    agree exactly."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _SEM_CONTAM_TAU,
+        _SEM_EVAL_N,
+    )
+
+    out = QUERIES["ns_contamination_semantic"](spark, SF_ORACLE)
+    rows = out.collect()
+    em = tbl(spark, SF_ORACLE, "embeddings")
+    n_corpus = em.filter(F.col("vec_id") >= _SEM_EVAL_N).count()
+    assert len(rows) == n_corpus
+    assert len({r.vec_id for r in rows}) == n_corpus
+    flags = {r.contaminated for r in rows}
+    assert flags == {0, 1}, "flag vacuous at oracle SF"
+    for r in rows:
+        assert 0 <= r.nearest_eval_id < _SEM_EVAL_N
+        assert r.contaminated == (1 if r.max_eval_cos >= _SEM_CONTAM_TAU
+                                  else 0)
+    # independent max: drop the argmax window, take a plain agg max
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _dot_dec,
+        _norm,
+    )
+
+    norms = em.select(
+        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    ev = norms.filter(F.col("vec_id") < _SEM_EVAL_N).select(
+        F.col("embedding").alias("e_emb"), F.col("nrm").alias("e_nrm")
+    )
+    got_max = {
+        r.vec_id: r.mx
+        for r in norms.filter(F.col("vec_id") >= _SEM_EVAL_N)
+        .join(F.broadcast(ev))
+        .select(
+            "vec_id",
+            (
+                _dot_dec(F.col("e_emb"), F.col("embedding"))
+                / (F.col("e_nrm") * F.col("nrm"))
+            ).alias("cosv"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cosv").alias("mx"))
+        .collect()
+    }
+    assert {r.vec_id: r.max_eval_cos for r in rows} == got_max
+
+
 def test_bpe_encode_reconciles_with_training(spark):
     """Cross-operator consistency: ns_bpe_encode's per-doc rollups
     must reconcile EXACTLY with ns_bpe_merges' corpus-level training
