@@ -140,19 +140,27 @@ _SQL_DOT = """
   GROUP BY 1, 2
 """
 
-
-@query(
-    "ns_similarity_topk",
-    f"""
-    WITH queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
-    norms AS (
+# Shared norms CTE (the _SQL_DOT pattern): exact-decimal L2 norm per
+# vector, VARCHAR-routed casts (see _SQL_DOT's comment). ONE
+# definition — six oracle twins interpolate it, so a fix to the norm
+# arithmetic (e.g. the half-up rounding workaround) can never drift
+# per-operator (r10 review pass 3).
+_SQL_NORMS = """norms AS (
       SELECT vec_id,
              sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
                                 AS VARCHAR)
                            AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
       FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
       GROUP BY vec_id
-    ),
+    )"""
+
+
+
+@query(
+    "ns_similarity_topk",
+    f"""
+    WITH queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    {_SQL_NORMS},
     dots AS ({_SQL_DOT.format(a='queries', aa='q', b='embeddings', ba='c',
                               where='WHERE q.vec_id <> c.vec_id')}),
     scored AS (
@@ -442,14 +450,7 @@ _SQL_BAND_BUCKETS = f"""
 @query(
     "ns_similarity_ann_lsh",
     f"""
-    WITH norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
-                                AS VARCHAR)
-                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
-      GROUP BY vec_id
-    ),
+    WITH {_SQL_NORMS},
     buckets AS ({_SQL_BAND_BUCKETS}),
     qk AS (
       SELECT vec_id AS query_id, band, bucket FROM buckets
@@ -544,14 +545,7 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_dedup_embedding",
     f"""
-    WITH norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
-                                AS VARCHAR)
-                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
-      GROUP BY vec_id
-    ),
+    WITH {_SQL_NORMS},
     buckets AS ({_SQL_BAND_BUCKETS}),
     cand AS (
       SELECT DISTINCT ba.vec_id AS ida, bb.vec_id AS idb
@@ -707,14 +701,7 @@ def dedup_embedding_chain(
     "ns_embedding_filter_join",
     f"""
     WITH probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
-    norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
-                                AS VARCHAR)
-                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
-      GROUP BY vec_id
-    ),
+    {_SQL_NORMS},
     dots AS ({_SQL_DOT.format(a='probe', aa='q', b='embeddings', ba='c',
                               where='WHERE q.vec_id <> c.vec_id')})
     SELECT d.doc_id, d.lang, d.n_chars,
@@ -899,14 +886,7 @@ _IVF_ORACLE = f"""
                                   ORDER BY cdot DESC, cent_id) AS rn
         FROM adot) WHERE rn = 1
     ),
-    norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
-                                AS VARCHAR)
-                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
-      GROUP BY vec_id
-    ),
+    {_SQL_NORMS},
     probe_cells AS (
       SELECT vec_id AS query_id, cent_id AS cell_id FROM (
         SELECT vec_id, cent_id,
@@ -1138,14 +1118,7 @@ _SEM_CONTAM_TAU = 0.35
 @query(
     "ns_contamination_semantic",
     f"""
-    WITH norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
-                                AS VARCHAR)
-                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
-      GROUP BY vec_id
-    ),
+    WITH {_SQL_NORMS},
     ev AS (SELECT * FROM embeddings WHERE vec_id < {_SEM_EVAL_N}),
     corp AS (SELECT * FROM embeddings WHERE vec_id >= {_SEM_EVAL_N}),
     dots AS ({{dot}}),
