@@ -26,6 +26,9 @@ cells grow linearly.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,16 +162,48 @@ def _sqdiff_chain(x: Column, cvals: list[float]) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
-# Assignment strategy flip: above this k, nearest-centroid assignment
-# switches from the literal-projection form (k HOF folds per row —
-# per-row cost AND plan size grow with k; measured 2.3x slower than
-# k=8 already at k=62/sf0.1) to the broadcast-join form (_assign_join:
-# ONE codegen'd 64-term distance per (row, centroid) join row). Set
-# BELOW the sf0.01 auto-k (15) so the scale path itself is what the
-# ns_semdedup_auto hash gate checks, and ABOVE the pinned oracle k=8
-# so ns_cluster_kmeans / ns_semdedup keep their audited zero-shuffle
-# plans bit-for-bit.
+# Assignment strategy flip (r11: measured three-regime heuristic —
+# the r10 k-only proxy paid a documented ~1.3x penalty in the middle
+# regime). The literal-projection form (_assign: k HOF folds per row,
+# ZERO shuffle) vs the broadcast-join form (_assign_join: one
+# codegen'd distance per (row, centroid) join row + shuffles), full
+# semdedup-protocol A/B measured this round, solo box:
+# - SMALL corpus (n=2k, k=62): join 7.9 s vs literal ~15 s — the
+#   literal plan's k-proportional analyze/codegen cost (~0.07 s per
+#   centroid struct per pass) dwarfs sub-second data work. Join.
+# - MID n·k (n=20k, k=78, n·k=1.6e6): literal 32.3 s vs join 41.6 s —
+#   the n·k-row expansion's sorts/shuffles (re-executed by every
+#   downstream consumer of the assignment) cost more than the
+#   interpreted folds they replace. Literal.
+# - LARGE n·k or large k (n=200k, k=781, n·k=1.6e8): join 203 s vs
+#   literal 541 s — k interpreted folds per row is catastrophic and
+#   the k-struct literal plan is the Janino/plan-size cliff. Join.
+# Hence: literal only in the band (n >= _LITERAL_MIN_N, k <=
+# _LITERAL_MAX_K, n·k <= _JOIN_ASSIGN_MIN_NK); join otherwise (above
+# the k floor). Every test-SF geometry keeps its r10 plan bit-for-bit
+# (sf0.01 auto-k: n=500 < _LITERAL_MIN_N ⇒ join, same as r10, so the
+# driver hash gate still runs THROUGH the join path; pinned k=8 ops
+# stay literal via the floor, no count() ever issued for them).
+# Caveat for cluster scale: _LITERAL_MIN_N exists because local plan
+# compile dominates small inputs; on a 1000-executor run the same
+# compile amortizes over far more data, so the literal band widens —
+# the knobs are module constants precisely so a deployment can re-pin
+# them from its own decade measurements.
 _JOIN_ASSIGN_MIN_K = 12
+_JOIN_ASSIGN_MIN_NK = 10_000_000
+_LITERAL_MAX_K = 256
+_LITERAL_MIN_N = 10_000
+
+
+def _use_join_assign(n: int, k: int) -> bool:
+    """True when nearest-centroid assignment should take the
+    broadcast-join strategy for a corpus of n vectors and k centroids
+    (see the three-regime crossover note above)."""
+    if k < _JOIN_ASSIGN_MIN_K:
+        return False
+    if k > _LITERAL_MAX_K or n < _LITERAL_MIN_N:
+        return True
+    return n * k > _JOIN_ASSIGN_MIN_NK
 
 
 def _sqdiff_cols(a: Column, b: Column, dim: int = _KM_DIM) -> Column:
@@ -230,7 +265,7 @@ def _assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Row-local nearest-centroid assignment: one projection, zero
     shuffle — each row min-reduces an array of (d2, j) structs built
     from literal centroids (ties break to the smallest j, mirroring
-    the oracle's ORDER BY d2, j). For k >= _JOIN_ASSIGN_MIN_K the
+    the oracle's ORDER BY d2, j). When _use_join_assign(n, k) the
     caller uses _assign_join instead — per-row cost here is k
     interpreted HOF folds, linear in k."""
     cands = F.array(
@@ -251,6 +286,105 @@ def _assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     )
 
 
+# 2-level hierarchical assignment kicks in (on the auto path) above
+# this k: the flat forms do n·k distance evals per pass, the 2-level
+# tree does n·(√k + cell) ≈ n·2√k — SemDeDup's own n²/cell assignment
+# asymptotic under n-proportional k drops to n^1.5/√cell. The gate
+# sits far above every test-SF k (sf0.1 cell-32 k=156) so the
+# hash-gated operators never route through the APPROXIMATE tree; at
+# the 100x decade (k≈1.9k at production 256) it engages by itself.
+_HIER_ASSIGN_MIN_K = 512
+_HIER_CENTROID_ITERS = 5
+
+
+def _cluster_centroids(
+    cents: list[tuple[int, list[float]]], s: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-local Lloyd over the k centroid VECTORS (k rows — tiny
+    by construction: centroids already live on the driver as the
+    bounded k x 64 collect kmeans_assign makes). Deterministic: init
+    = first s centroids in list order, fixed iteration count, argmin
+    ties to the lowest super-cell index, empty super-cells keep their
+    previous position. Returns (s x dim super-centroids, per-centroid
+    super-cell assignment by list position)."""
+    arr = np.array([c for _, c in cents], dtype="float64")
+    sup = arr[:s].copy()
+    for _ in range(_HIER_CENTROID_ITERS):
+        d = ((arr[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for i in range(s):
+            members = arr[a == i]
+            if len(members):
+                sup[i] = members.mean(axis=0)
+    d = ((arr[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+    return sup, d.argmin(axis=1)
+
+
+def _assign_hier(
+    em: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """2-level hierarchical nearest-centroid assignment for LARGE k
+    (the SCALING.md continuation of _assign_join): cluster the k
+    centroids into s = ⌈√k⌉ super-cells ON THE DRIVER (k rows), then
+    route each corpus vector through the tree — nearest super-centroid
+    first (n x s expansion), then nearest centroid WITHIN that
+    super-cell (n x cell expansion, cell ≈ √k). Total distance rows
+    n·(√k + cell) instead of the flat form's n·k; both levels are the
+    same broadcast-join + min(struct(d, j)) shape as _assign_join
+    (ties to the smallest index at each level).
+
+    APPROXIMATE by design: a vector whose true nearest centroid sits
+    just across a super-cell boundary gets its best in-cell centroid
+    instead — the standard IVF/2-level-tree recall trade (SemDeDup
+    itself is approximate). Bounded-inertia parity vs the flat form
+    is property-tested; the hash-gated operators never take this path
+    (_HIER_ASSIGN_MIN_K is far above every test-SF k)."""
+    spark = em.sparkSession
+    k = len(cents)
+    s = max(2, math.isqrt(k))
+    sup, c2s = _cluster_centroids(cents, s)
+    supdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in sup[i]]) for i in range(s)],
+        "sc int, c array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [
+            (int(c2s[idx]), int(j), [float(v) for v in c])
+            for idx, (j, c) in enumerate(cents)
+        ],
+        "sc int, j int, c array<double>",
+    )
+    d2 = _sqdiff_cols(F.col("embedding"), F.col("c"))
+    lvl1 = (
+        em.select("vec_id", "embedding")
+        .join(F.broadcast(supdf))
+        .select(
+            "vec_id",
+            F.struct(d2.alias("d"), F.col("sc").alias("sc")).alias("ds"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("ds").alias("m"))
+        .select("vec_id", F.col("m.sc").alias("sc"))
+    )
+    lvl2 = (
+        em.select("vec_id", "embedding")
+        .join(lvl1, ["vec_id"])
+        .join(F.broadcast(cdf), ["sc"])
+        .select(
+            "vec_id",
+            F.struct(d2.alias("d"), F.col("j").alias("j")).alias("dj"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dj").alias("m"))
+    )
+    return em.join(lvl2, ["vec_id"]).select(
+        "vec_id",
+        "embedding",
+        F.col("m.j").alias("cl"),
+        F.col("m.d").alias("d2"),
+    )
+
+
 def auto_k(n: int, target_cell: int = 256) -> int:
     """Corpus-sized cluster count for the at-scale path (the
     auto_planes_per_band treatment): k grows with n so cells stay
@@ -262,15 +396,34 @@ def auto_k(n: int, target_cell: int = 256) -> int:
 
 
 def kmeans_assign(
-    spark: SparkSession, sf_dir: str, k: int = _KM_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KM_K,
+    n: int | None = None,
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """Shared 2-iteration Lloyd assignment (vec_id, embedding, cl,
     d2) used by ns_cluster_kmeans and ns_semdedup. Two bounded driver
     collects: the k init rows and the k x 64 iteration-1 means (the
     classic driver-coordinated Lloyd loop — MLlib's shape; each
-    iteration is one corpus scan)."""
+    iteration is one corpus scan). `n` (corpus count) feeds the n·k
+    assignment-strategy crossover; callers that already counted pass
+    it through, otherwise one bounded count() is issued — and only
+    when k is large enough for the strategy question to be live.
+    `hierarchical` forces the 2-level tree on (True) or off (False);
+    None auto-enables it at k >= _HIER_ASSIGN_MIN_K (the approximate
+    n·√k path — never reached by the hash-gated test-SF geometries)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    assign = _assign_join if k >= _JOIN_ASSIGN_MIN_K else _assign
+    if hierarchical is None:
+        hierarchical = k >= _HIER_ASSIGN_MIN_K
+    if hierarchical:
+        assign = _assign_hier
+    elif k < _JOIN_ASSIGN_MIN_K:
+        assign = _assign
+    else:
+        if n is None:
+            n = em.count()
+        assign = _assign_join if _use_join_assign(n, k) else _assign
     init = em.orderBy("vec_id").limit(k).collect()
     cents0 = [
         (j, [float(v) for v in row.embedding])
@@ -441,12 +594,16 @@ def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_frame(
-    spark: SparkSession, sf_dir: str, k: int = _KM_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KM_K,
+    n: int | None = None,
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """k-parameterized SemDeDup body — the registered operator pins
     k=_KM_K (the fixed oracle geometry); scale runs pass k=auto_k(n)
     so cells stay ~256 and pair work stays linear in the corpus."""
-    a2 = kmeans_assign(spark, sf_dir, k)
+    a2 = kmeans_assign(spark, sf_dir, k, n=n, hierarchical=hierarchical)
     nrm = F.sqrt(_dot_dbl(F.col("embedding"), F.col("embedding")))
     base = a2.select("vec_id", "cl", "embedding", nrm.alias("nrm"))
     x = base.select(
@@ -522,8 +679,9 @@ def ns_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, same exact-decimal means, same within-cluster pair
     join keyed on cl."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    k = auto_k(em.count(), _AUTO_CELL)
-    out = semdedup_frame(spark, sf_dir, k)
+    n = em.count()
+    k = auto_k(n, _AUTO_CELL)
+    out = semdedup_frame(spark, sf_dir, k, n=n)
     return out.select(
         F.lit(int(k)).cast("bigint").alias("k"), *out.columns
     )

@@ -1156,44 +1156,74 @@ def ns_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass feeds back into the corpus filter
     (ns_blocklist_filter consumes id lists of exactly this shape).
 
-    Scale: the eval side is benchmark-sized (thousands) — broadcast
-    once; scoring is a projection over the corpus scan (corpus never
-    shuffles for the join); the per-vector argmax is a window over
-    |eval| rows per corpus vector. At very large |eval| x corpus,
-    pre-screen candidates with the banded LSH (ns_similarity_ann_lsh
-    geometry) and only exact-score bucket collisions — the same
-    two-phase shape ns_dedup_embedding ships. Exact decimal dots for
-    oracle bit-parity."""
+    Scale: the eval side is benchmark-sized (thousands) — collapsed
+    to ONE row holding a sorted array<struct> of eval vectors and
+    broadcast; the per-vector argmax is a row-local higher-order
+    `aggregate` fold over that array inside the corpus projection.
+    The |corpus|·|eval| expanded frame therefore NEVER EXISTS: the
+    plan is scan → 1-row broadcast join → project, with zero
+    exchange, zero sort, zero window (the r10 form shuffled AND
+    sorted the full expanded frame through a row_number window — a
+    10^4x-inflated exchange at benchmark |eval|; the struct-max
+    aggregate alternative still locally sorts the expanded frame
+    because struct buffers force SortAggregate). Tie-break matches
+    the oracle window (cosine desc, eval_id asc): the fold walks the
+    array in ascending eval_id order (sort_array on the struct) and
+    replaces the accumulator only on a STRICT cosine improvement, so
+    exact double ties keep the earliest eval_id. At very large
+    |eval| x corpus, pre-screen candidates with the banded LSH
+    (ns_similarity_ann_lsh geometry) and only exact-score bucket
+    collisions — the same two-phase shape ns_dedup_embedding ships.
+    Exact decimal dots for oracle bit-parity."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     norms = em.select(
         "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
     )
-    ev = norms.filter(F.col("vec_id") < _SEM_EVAL_N).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("e_emb"),
-        F.col("nrm").alias("e_nrm"),
+    # One row: all eval vectors as an array<struct>, ascending eval_id
+    # (sort_array orders by the first struct field) — the fold's visit
+    # order IS the tie-break.
+    ev = (
+        norms.filter(F.col("vec_id") < _SEM_EVAL_N)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("eval_id"),
+                F.col("embedding").alias("e_emb"),
+                F.col("nrm").alias("e_nrm"),
+            ).alias("ev")
+        )
+        .agg(F.sort_array(F.collect_list("ev")).alias("evals"))
     )
-    scored = (
+
+    def _fold(acc: Column, evx: Column) -> Column:
+        cosv = _dot_dec(evx["e_emb"], F.col("embedding")) / (
+            evx["e_nrm"] * F.col("nrm")
+        )
+        # STRICT > : on an exact double tie the earlier (lower-id)
+        # eval wins, matching the oracle's (cosv DESC, eval_id) window.
+        return F.when(
+            cosv > acc["cosv"],
+            F.struct(
+                cosv.alias("cosv"), evx["eval_id"].alias("eval_id")
+            ),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("evals"),
+        F.struct(
+            F.lit(float("-inf")).alias("cosv"),
+            F.lit(-1).cast("long").alias("eval_id"),
+        ),
+        _fold,
+    )
+    return (
         norms.filter(F.col("vec_id") >= _SEM_EVAL_N)
         .join(F.broadcast(ev))
+        .select("vec_id", best.alias("best"))
         .select(
             "vec_id",
-            "eval_id",
-            (
-                _dot_dec(F.col("e_emb"), F.col("embedding"))
-                / (F.col("e_nrm") * F.col("nrm"))
-            ).alias("cosv"),
-        )
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosv"), "eval_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("eval_id").alias("nearest_eval_id"),
-            F.col("cosv").alias("max_eval_cos"),
-            F.when(F.col("cosv") >= F.lit(_SEM_CONTAM_TAU), 1)
+            F.col("best.eval_id").alias("nearest_eval_id"),
+            F.col("best.cosv").alias("max_eval_cos"),
+            F.when(F.col("best.cosv") >= F.lit(_SEM_CONTAM_TAU), 1)
             .otherwise(0)
             .alias("contaminated"),
         )

@@ -55,10 +55,11 @@ ALLOWED = {
     "N*C assignment the cap exists to bound",
     "ns_embedding_filter_join": "corpus x fixed 5-probe broadcast "
     "frame (the probe screen is the operator)",
-    "ns_contamination_semantic": "corpus x broadcast benchmark frame "
-    "(8 eval vectors at test SF; benchmark-sized at scale) — the "
-    "decontamination screen IS the scan-side projection; the LSH "
-    "pre-screen is the documented huge-|eval| continuation",
+    "ns_contamination_semantic": "corpus x ONE-ROW broadcast (the "
+    "benchmark collapsed to a single array<struct> row; the argmax "
+    "is a row-local HOF fold, so the corpus x |eval| frame never "
+    "exists) — the LSH pre-screen is the documented huge-|eval| "
+    "continuation",
     "ns_tfidf_topterms": "1-row broadcast n_sources scalar joined "
     "for the IDF denominator",
     "agg_histogram_equidepth": "1-row broadcast of the 9 global "

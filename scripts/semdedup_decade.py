@@ -70,21 +70,38 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
-    def sem(sf_dir):
+    def sem(sf_dir, hierarchical=None):
         n = load_table(spark, sf_dir, "embeddings").count()
-        return semdedup_frame(spark, sf_dir, auto_k(n))  # production 256
+        # production 256; hierarchical None = the shipped auto gate
+        # (k >= _HIER_ASSIGN_MIN_K), False = forced flat for the
+        # strategy-comparison rows
+        return semdedup_frame(
+            spark, sf_dir, auto_k(n), n=n, hierarchical=hierarchical
+        )
 
     n1 = load_table(spark, BASE_SF, "embeddings").count()
     nk = load_table(spark, big, "embeddings").count()
-    results["semdedup_auto256_joinassign"] = {
+    results["semdedup_auto256_shipped"] = {
         "k_1x": auto_k(n1),
         "k_Kx": auto_k(nk),
         "t_1x": timed(lambda: sem(BASE_SF)),
         "t_Kx": timed(lambda: sem(big)),
     }
-    r = results["semdedup_auto256_joinassign"]
+    r = results["semdedup_auto256_shipped"]
     r["ratio"] = round(r["t_Kx"] / r["t_1x"], 1)
-    print("semdedup auto-k (join-assign):", r, flush=True)
+    print("semdedup auto-k (shipped heuristic):", r, flush=True)
+
+    # forced-flat twin: isolates what the 2-level tree buys at the
+    # Kx decade (at 1x the auto gate picks flat anyway, so only the
+    # Kx cell differs)
+    results["semdedup_auto256_flat"] = {
+        "t_Kx": timed(lambda: sem(big, hierarchical=False)),
+    }
+    r = results["semdedup_auto256_flat"]
+    r["hier_speedup_Kx"] = round(
+        r["t_Kx"] / results["semdedup_auto256_shipped"]["t_Kx"], 2
+    )
+    print("semdedup auto-k (forced flat):", r, flush=True)
 
     # the REGISTERED auto op (gate cell 32 ⇒ k = n/32): its own
     # decade row — at K=10 the join expansion is n*k = n²/32 rows,

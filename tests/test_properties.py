@@ -1818,6 +1818,56 @@ def test_assign_join_matches_literal_assign(spark):
     assert lit == jn  # exact: same cluster AND bit-equal distance
 
 
+def test_assign_hier_bounded_vs_flat(spark):
+    """The 2-level hierarchical assignment (_assign_hier, the
+    auto-path strategy at k >= _HIER_ASSIGN_MIN_K) is APPROXIMATE by
+    design — each vector only sees the centroids of its nearest
+    super-cell. Pin the approximation contract vs the flat optimum on
+    the same centroids: (a) total membership preserved, (b) every
+    assigned cl is a real centroid id, (c) no row BEATS the flat
+    minimum (subset property — where the tree picks the same centroid
+    the d2 is bit-equal, since both levels use _sqdiff_cols), and
+    (d) total inertia within 1.25x of flat (measured 1.06x at k=64 on
+    the near-orthogonal sf0.01 corpus — a worst-case-ish input for a
+    2-level tree, since super-cells barely separate)."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _assign_hier,
+        _assign_join,
+    )
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    k = 64
+    em = tbl(spark, SF_ORACLE, "embeddings", parallel=True)
+    cents = [
+        (j, [float(v) for v in row.embedding])
+        for j, row in enumerate(em.orderBy("vec_id").limit(k).collect())
+    ]
+    flat = {
+        r.vec_id: (r.cl, r.d2)
+        for r in _assign_join(em, cents)
+        .select("vec_id", "cl", "d2")
+        .collect()
+    }
+    hier = {
+        r.vec_id: (r.cl, r.d2)
+        for r in _assign_hier(em, cents)
+        .select("vec_id", "cl", "d2")
+        .collect()
+    }
+    assert set(hier) == set(flat)  # (a) every vector assigned once
+    valid = {j for j, _ in cents}
+    for vid, (cl, d2) in hier.items():
+        assert cl in valid  # (b)
+        fcl, fd2 = flat[vid]
+        assert d2 >= fd2  # (c) never better than the true optimum
+        if cl == fcl:
+            assert d2 == fd2  # same centroid ⇒ bit-equal distance
+    inertia_flat = sum(d for _, d in flat.values())
+    inertia_hier = sum(d for _, d in hier.values())
+    assert inertia_hier <= 1.25 * inertia_flat  # (d)
+
+
 def test_unrolled_dot_knob_bit_parity(spark, monkeypatch):
     """SPARK_GRAFT_UNROLLED_DOT=1 flips the physical dot-product
     strategy (interpreted HOF fold → codegen'd unrolled chain) and
