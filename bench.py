@@ -100,14 +100,11 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-    # Ambient-conditions stamp, taken BEFORE this run's JVM starts:
-    # a concurrent Spark JVM or high load skews timings 30%+ (the
-    # r4 "+36% regression" was exactly this), so every artifact
-    # records the environment it was measured under.
+def _ambient_stamp() -> tuple[int, float]:
+    """(other_jvms, load1) as observed right now — taken BEFORE this
+    run's JVM starts: a concurrent Spark JVM or high load skews
+    timings 30%+ (the r4 "+36% regression" was exactly this), so
+    every artifact records the environment it was measured under."""
     try:
         p = subprocess.run(
             ["pgrep", "-c", "java"], capture_output=True, text=True
@@ -120,7 +117,46 @@ def main() -> None:
             other_jvms = -1
     except (OSError, ValueError):
         other_jvms = -1
-    load1 = round(os.getloadavg()[0], 1)
+    return other_jvms, round(os.getloadavg()[0], 1)
+
+
+# Dirty-artifact guard (r10 verdict #3: BENCH_r10.json shipped with
+# load1 5.5 and its ratios read as regressions until a solo re-run
+# cleared them — a real regression could hide behind "ambient" the
+# same way). Before starting the JVM, WAIT for the box to go quiet:
+# no other JVM and load1 <= 2.0, polling every _AMBIENT_POLL_S up to
+# _AMBIENT_WAIT_MAX_S (load1 has a ~1-min decay constant, so ten
+# minutes absorbs any recently-finished Spark run). If it never goes
+# quiet the bench still runs and prints (the driver needs an artifact
+# line more than it needs purity) but stamps ambient_wait_exhausted
+# so the committed JSON is self-describing. SPARK_GRAFT_BENCH_NOWAIT=1
+# skips the wait for quick iteration runs.
+_AMBIENT_WAIT_MAX_S = 600
+_AMBIENT_POLL_S = 20
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    other_jvms, load1 = _ambient_stamp()
+    waited_s = 0
+    wait_exhausted = False
+    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT") != "1":
+        while other_jvms != 0 or load1 > 2.0:
+            if waited_s >= _AMBIENT_WAIT_MAX_S:
+                wait_exhausted = True
+                break
+            print(
+                f"[bench] ambient not clean (jvms={other_jvms}, "
+                f"load1={load1}); waiting {_AMBIENT_POLL_S}s "
+                f"({waited_s}/{_AMBIENT_WAIT_MAX_S}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(_AMBIENT_POLL_S)
+            waited_s += _AMBIENT_POLL_S
+            other_jvms, load1 = _ambient_stamp()
     spark = get_spark(app_name="bench")
 
     # Two timing GROUPS: the frozen r04 prefix (24 queries) is warmed
@@ -194,6 +230,11 @@ def main() -> None:
                 # adjudicated as ambient by solo re-runs). A flagged
                 # run needs a solo twin before reading regressions.
                 "ambient_warning": bool(other_jvms != 0 or load1 > 2.0),
+                # seconds spent in the pre-JVM quiet-box wait, and
+                # whether the wait gave up (only then can
+                # ambient_warning=true reach a committed artifact)
+                "ambient_waited_s": waited_s,
+                "ambient_wait_exhausted": wait_exhausted,
                 # r4's +36% (frozen-20 17.3 -> 23.6 s) did not
                 # reproduce: three round-5 re-runs measured 19.1 /
                 # 17.7 / 17.2 s, the first on code identical for the

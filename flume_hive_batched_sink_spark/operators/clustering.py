@@ -32,6 +32,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import min_label_components
 from .registry import query, sql_dsum, tbl, unrolled_dot_enabled
 from .similarity import _dot_dbl, unrolled_left_chain
 
@@ -502,10 +503,12 @@ def ns_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sem_sql(k_expr: str, k_col: str = "") -> str:
-    """SemDeDup oracle body over the `k_expr`-cluster Lloyd prefix;
-    `k_col` optionally prepends a derived-k output column (the auto
-    variant gates the derivation value itself)."""
+def _sem_near_sql(k_expr: str) -> str:
+    """The WITH-prefix through the `near` CTE — the within-cluster
+    cosine >= tau pair graph over the `k_expr`-cluster Lloyd prefix.
+    Shared by _sem_sql (per-edge drop rule) and the
+    ns_semdedup_components oracle (connected-component keepers), so
+    the two drop rules are provably over the SAME edge set."""
     return f"""
     WITH {_km_sql_prefix(k_expr)},
     nrm AS (
@@ -538,7 +541,15 @@ def _sem_sql(k_expr: str, k_col: str = "") -> str:
       JOIN nrm na ON na.vec_id = d.va
       JOIN nrm nb ON nb.vec_id = d.vb
       WHERE d.dot / (na.nrm * nb.nrm) >= CAST({_SEM_TAU!r} AS DOUBLE)
-    ),
+    )"""
+
+
+def _sem_sql(k_expr: str, k_col: str = "") -> str:
+    """SemDeDup oracle body over the `k_expr`-cluster Lloyd prefix;
+    `k_col` optionally prepends a derived-k output column (the auto
+    variant gates the derivation value itself)."""
+    return f"""
+    {_sem_near_sql(k_expr)},
     nbr AS (
       SELECT va AS vec_id, vb AS nb, cosv FROM near
       UNION ALL
@@ -566,14 +577,20 @@ def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop every vector that has a smaller-id near-duplicate neighbor.
     NOTE the drop rule is per-EDGE, not per-component: in a
     transitive chain a~b, b~c (a!~c) both b and c are dropped and c's
-    dup_of names the already-dropped b — stricter than "one keeper
-    per connected component" (which would keep c, whose only near
-    neighbor died) and than the greedy scan-against-kept-set variant
-    (which would also keep c). The per-edge rule is chosen because it
-    is ONE self-join + aggregate (no iteration) and errs toward
-    over-pruning — acceptable for dedup, identical on both engines;
-    consumers wanting component-level keepers should resolve dup_of
-    through ns_dedup_clusters' fixpoint instead. Output: every
+    dup_of names the already-dropped b — stricter than the greedy
+    scan-against-kept-set variant (which would keep c, whose only
+    near neighbor died), though LESS strict than one-keeper-per-
+    component (per-edge keeps every LOCAL minimum: a vertex with no
+    smaller direct neighbor survives even when a smaller vector sits
+    two hops away — so per-edge keepers always ⊇ component keepers;
+    r11 correction of the r10 wording, proven by the
+    ns_semdedup_components subset property test). The per-edge rule
+    is chosen because it is ONE self-join + aggregate (no iteration)
+    and errs toward over-pruning vs greedy — acceptable for dedup,
+    identical on both engines; consumers wanting exactly one keeper
+    per component (and dup references that always name a SURVIVING
+    vector) should use the registered ns_semdedup_components instead
+    of hand-composing ns_dedup_clusters. Output: every
     vector with its cluster, near-dup degree, best duplicate cosine,
     the keeper it duplicates, and the keep verdict — the manifest the
     filtered corpus export consumes (doc-text analogue:
@@ -593,16 +610,20 @@ def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_frame(spark, sf_dir)
 
 
-def semdedup_frame(
+def _sem_near(
     spark: SparkSession,
     sf_dir: str,
     k: int = _KM_K,
     n: int | None = None,
     hierarchical: bool | None = None,
-) -> DataFrame:
-    """k-parameterized SemDeDup body — the registered operator pins
-    k=_KM_K (the fixed oracle geometry); scale runs pass k=auto_k(n)
-    so cells stay ~256 and pair work stays linear in the corpus."""
+) -> tuple[DataFrame, DataFrame]:
+    """(assignment, near): the shared SemDeDup front — 2-iteration
+    Lloyd assignment plus the within-cluster cosine >= tau pair graph
+    (va < vb, one row per undirected edge). The pair join is an
+    equi-join keyed on cl; both the per-edge drop rule
+    (semdedup_frame) and the component keepers
+    (ns_semdedup_components) consume this same edge set — the Spark
+    twin of _sem_near_sql."""
     a2 = kmeans_assign(spark, sf_dir, k, n=n, hierarchical=hierarchical)
     nrm = F.sqrt(_dot_dbl(F.col("embedding"), F.col("embedding")))
     base = a2.select("vec_id", "cl", "embedding", nrm.alias("nrm"))
@@ -625,6 +646,20 @@ def semdedup_frame(
         .select("va", "vb", cosv.alias("cosv"))
         .filter(F.col("cosv") >= F.lit(_SEM_TAU))
     )
+    return a2, near
+
+
+def semdedup_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KM_K,
+    n: int | None = None,
+    hierarchical: bool | None = None,
+) -> DataFrame:
+    """k-parameterized SemDeDup body — the registered operator pins
+    k=_KM_K (the fixed oracle geometry); scale runs pass k=auto_k(n)
+    so cells stay ~256 and pair work stays linear in the corpus."""
+    a2, near = _sem_near(spark, sf_dir, k, n=n, hierarchical=hierarchical)
     nbr = near.select(
         F.col("va").alias("vec_id"), F.col("vb").alias("nb"), "cosv"
     ).unionAll(
@@ -689,4 +724,91 @@ def ns_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ns_semdedup_auto.__doc__ = ns_semdedup_auto.__doc__.format(
     k0=_KM_K, cell=_AUTO_CELL
+)
+
+
+_SEM_COMPONENTS_SQL = f"""
+    {_sem_near_sql(str(_KM_K))},
+    bidir AS (
+      SELECT va AS a, vb AS b FROM near
+      UNION
+      SELECT vb, va FROM near
+    ),
+    reach AS (
+      WITH RECURSIVE t(x, y) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT t.x, bidir.b FROM t JOIN bidir ON t.y = bidir.a
+      )
+      SELECT * FROM t
+    ),
+    comp AS (
+      SELECT x AS vec_id, least(x, MIN(y)) AS component_id
+      FROM reach GROUP BY x
+    )
+    SELECT a.vec_id, a.cl AS cluster_id,
+           CAST(COALESCE(c.component_id, a.vec_id) AS BIGINT)
+             AS component_id,
+           CASE WHEN COALESCE(c.component_id, a.vec_id) = a.vec_id
+                THEN 1 ELSE 0 END AS keep
+    FROM ka2 a LEFT JOIN comp c ON a.vec_id = c.vec_id
+"""
+
+
+@query("ns_semdedup_components", _SEM_COMPONENTS_SQL)
+def ns_semdedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with COMPONENT-level keepers: the same within-cluster
+    cosine >= {tau} edge set as ns_semdedup (shared _sem_near front,
+    so the two drop rules cannot drift apart), but instead of the
+    per-EDGE rule — whose dup_of can name an ALREADY-DROPPED vector
+    in a transitive chain (a~b, b~c: c's dup_of is b, itself dropped
+    for a), and which keeps every LOCAL minimum (a vertex with no
+    smaller neighbor survives even when a smaller vector sits two
+    hops away in its component) — connected components over the
+    near-dup graph keep exactly ONE vector per component: the min
+    vec_id, and every dropped vector's component_id names a keeper
+    that actually survives. This is the composition ns_semdedup's
+    docstring told consumers to hand-build from ns_dedup_clusters,
+    now registered.
+
+    Components via the SHARED min_label_components fixpoint
+    (operators/dedup.py — the Pregel-style min-label loop
+    ns_dedup_clusters proved, localCheckpoint per round, shuffles
+    sized to the PAIR graph not the corpus); the oracle replays it
+    with the same recursive-CTE pattern over the same `near` CTE.
+    Singletons (no near edge) are their own keeper via left join +
+    coalesce. Output: every vector with its k-means cluster, its
+    component id (= the keeper), and the keep verdict — exactly one
+    keep=1 per component, property-tested, and the component keeper
+    set is a SUBSET of ns_semdedup's per-edge keeper set (a global
+    component min has no smaller neighbor anywhere).
+
+    Scale: the edge set is within-cluster pairs (k-keyed equi-join,
+    the SemDeDup candidate bound); the fixpoint's per-round work is
+    proportional to the EDGE list — near-dup graphs are sparse by
+    construction (tau-thresholded), so the loop is the cheap tail of
+    the pipeline at any corpus size."""
+    a2, near = _sem_near(spark, sf_dir, _KM_K)
+    comp = min_label_components(
+        spark, near.select("va", "vb")
+    ).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("comp_min"),
+    )
+    return a2.select("vec_id", "cl").join(comp, ["vec_id"], "left").select(
+        "vec_id",
+        F.col("cl").cast("bigint").alias("cluster_id"),
+        F.coalesce("comp_min", F.col("vec_id"))
+        .cast("bigint")
+        .alias("component_id"),
+        F.when(
+            F.coalesce("comp_min", F.col("vec_id")) == F.col("vec_id"), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+ns_semdedup_components.__doc__ = ns_semdedup_components.__doc__.format(
+    tau=_SEM_TAU
 )

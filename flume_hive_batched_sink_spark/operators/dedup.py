@@ -606,32 +606,28 @@ _CLUSTER_LABELS_SQL = f"""
 """
 
 
-@query(
-    "ns_dedup_clusters",
-    _CLUSTER_LABELS_SQL + "SELECT doc_id, cluster_id FROM labels",
-)
-def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS: connected components over the verified
-    near-dup pair graph (edges = ngram-Jaccard ≥ 0.3), cluster id =
-    min doc_id in the component — the canonical 'keep one per
-    cluster' step after pairwise dedup.
+def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected-component labels over an undirected pair graph —
+    iterative min-label propagation (the Pregel/GraphX pattern as
+    plain DataFrames), shared by ns_dedup_clusters (doc near-dup
+    graph) and ns_semdedup_components (embedding near-dup graph).
 
-    Iterative min-label propagation (the Pregel/GraphX pattern as
-    plain DataFrames): each round joins labels to the bidirectional
-    edge list, takes min(own, neighbors); convergence in ≤ graph
-    diameter rounds. `localCheckpoint` truncates lineage per round —
-    without it the plan doubles every iteration. Driver involvement
-    is one count() per round (the convergence test), never the data.
-    The DuckDB oracle is the same fixpoint via a recursive CTE."""
-    pairs = ns_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    `pairs` is any 2-column frame of edges (one row per undirected
+    edge, either orientation). Each round joins labels to the
+    bidirectional edge list and takes min(own, neighbors);
+    convergence in ≤ graph diameter rounds. `localCheckpoint`
+    truncates lineage per round — without it the plan doubles every
+    iteration. Driver involvement is one count() per round (the
+    convergence test), never the data. Returns (doc_id, cluster_id)
+    for every vertex WITH at least one edge; callers re-attach
+    singletons with a left join + coalesce(label, own id).
+    The DuckDB oracle twin is the same fixpoint via a recursive CTE
+    (_CLUSTER_LABELS_SQL's reach/labels shape)."""
+    a, b = pairs.columns
     # persist: every propagation round joins the edge list — without
-    # it the whole ngram-Jaccard pipeline would re-run per iteration
+    # it the whole upstream pair pipeline would re-run per iteration
     edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
+        pairs.union(pairs.select(F.col(b).alias(a), F.col(a).alias(b)))
         .toDF("src", "dst")
         .persist()
     )
@@ -679,6 +675,21 @@ def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@query(
+    "ns_dedup_clusters",
+    _CLUSTER_LABELS_SQL + "SELECT doc_id, cluster_id FROM labels",
+)
+def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph (edges = ngram-Jaccard ≥ 0.3), cluster id =
+    min doc_id in the component — the canonical 'keep one per
+    cluster' step after pairwise dedup. Body = the shared
+    min_label_components fixpoint (see its docstring for the
+    per-round shape and scale notes)."""
+    pairs = ns_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_components(spark, pairs)
 
 
 # ---------- benchmark decontamination ----------

@@ -1868,6 +1868,59 @@ def test_assign_hier_bounded_vs_flat(spark):
     assert inertia_hier <= 1.25 * inertia_flat  # (d)
 
 
+def test_min_label_components_chain(spark):
+    """The shared fixpoint on the judge's chain fixture: edges a~b,
+    b~c (a < b < c, no a~c edge) must label ALL THREE with a — c
+    reaches its component keeper through b even though a is not c's
+    direct neighbor. Plus an independent 2-vertex component to prove
+    labels don't bleed across components."""
+    from flume_hive_batched_sink_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(101, 102), (102, 103), (7, 9)], "a bigint, b bigint"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in min_label_components(spark, edges).collect()
+    }
+    assert out == {101: 101, 102: 101, 103: 101, 7: 7, 9: 7}
+
+
+def test_semdedup_components_contract(spark):
+    """ns_semdedup_components vs ns_semdedup on the same corpus (they
+    share the _sem_near edge set by construction): (a) exactly one
+    keep=1 per component and it is the component min; (b) every
+    vector's component_id names a vector whose own keep=1 (no
+    dangling keeper references — the per-edge rule's dup_of defect);
+    (c) component keepers are a SUBSET of per-edge keepers (a global
+    component min has no smaller neighbor anywhere, so the per-edge
+    rule keeps it too); (d) both ops see the same vector set."""
+    from collections import defaultdict
+
+    from .conftest import SF_ORACLE
+
+    comp = QUERIES["ns_semdedup_components"](spark, SF_ORACLE).collect()
+    edge = QUERIES["ns_semdedup"](spark, SF_ORACLE).collect()
+    assert {r.vec_id for r in comp} == {r.vec_id for r in edge}  # (d)
+    groups = defaultdict(list)
+    for r in comp:
+        groups[r.component_id].append(r)
+    keep_ids = {r.vec_id for r in comp if r.keep == 1}
+    for cid, rows in groups.items():
+        keeps = [r for r in rows if r.keep == 1]
+        assert len(keeps) == 1  # (a) one keeper
+        assert keeps[0].vec_id == cid == min(r.vec_id for r in rows)
+        for r in rows:
+            assert r.component_id in keep_ids  # (b) keeper survives
+    edge_keep = {r.vec_id for r in edge if r.keep == 1}
+    assert keep_ids <= edge_keep  # (c)
+    # non-vacuous: the corpus has near-dup edges at SF_ORACLE, so
+    # somebody is dropped under both rules
+    assert len(keep_ids) < len(comp)
+
+
 def test_unrolled_dot_knob_bit_parity(spark, monkeypatch):
     """SPARK_GRAFT_UNROLLED_DOT=1 flips the physical dot-product
     strategy (interpreted HOF fold → codegen'd unrolled chain) and
