@@ -90,7 +90,11 @@ def initial_seqs(wf: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _BPE_ROUNDS,
+    checkpoint_every: int = 100,
+    on_round=None,
 ) -> tuple[DataFrame, list]:
     """Run `rounds` BPE merges; returns (seqs, stats) where `seqs` is
     the final merged vocabulary table (word, cnt, seq — the trained
@@ -100,10 +104,28 @@ def bpe_train(
     per round one 1-row top-pair collect and one 2-scalar metrics
     aggregate — the kmeans Lloyd-loop shape. Stops cleanly when no
     adjacent pairs remain (merge exhaustion — reachable long before a
-    production 30k-merge target on small vocabularies)."""
+    production 30k-merge target on small vocabularies).
+
+    `checkpoint_every`: localCheckpoint the sequence table every N
+    merge rounds (0 disables). Each round stacks one replace()
+    projection onto the plan, so a production 30k-merge run would
+    otherwise carry a 30k-deep lineage — analysis cost grows per
+    round and the full chain recomputes on partition loss. The
+    checkpoint truncates lineage to a materialized RDD at the
+    cadence; values are bit-identical either way (the replace chain
+    is deterministic — property-tested), and the registered 2-round
+    operators never reach the default cadence, keeping their audited
+    plans byte-stable.
+
+    `on_round(rnd, seconds)`: optional per-round telemetry callback
+    (progress reporting on deep production runs; scripts/bpe_deep.py
+    uses it to prove flat per-round cost under the cadence)."""
+    import time as _time
+
     seqs = initial_seqs(_word_freq(spark, sf_dir))
     out = []
     for rnd in range(1, rounds + 1):
+        _t0 = _time.perf_counter()
         pc = _pair_counts(seqs).persist()
         tops = pc.orderBy(F.desc("c"), "l", "r").limit(1).collect()
         if not tops:  # merge exhaustion: every word is one symbol
@@ -127,6 +149,10 @@ def bpe_train(
             ).cast("bigint")
         ).collect()[0][0]
         out.append((rnd, top.l, top.r, int(top.c), int(n_types), int(n_sym)))
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            seqs = seqs.localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(rnd, _time.perf_counter() - _t0)
     return seqs, out
 
 
@@ -186,8 +212,18 @@ def _sql_round(prev: str, rnd: int) -> str:
 
 
 def _sql_emit(rnd: int) -> str:
+    """One result row per round. The leading CASE is the oracle twin
+    of _require_rounds: on a merge-exhausted corpus t{rnd} is empty
+    and every scalar subquery would NULL-poison the row (silently
+    degraded output while the Spark side raises ValueError — r10
+    ADVICE); error() makes the oracle fail as LOUDLY as the engine,
+    so the two sides cannot fail in different modes."""
     return f"""
-    SELECT CAST({rnd} AS BIGINT) AS round,
+    SELECT CAST(CASE WHEN (SELECT COUNT(*) FROM t{rnd}) = 0
+                THEN error('bpe oracle: corpus exhausted before round '
+                           || {rnd} || ' — no adjacent pairs left '
+                           || '(matches _require_rounds'' ValueError)')
+                ELSE {rnd} END AS BIGINT) AS round,
            (SELECT l FROM t{rnd}) AS merge_left,
            (SELECT r FROM t{rnd}) AS merge_right,
            CAST((SELECT c FROM t{rnd}) AS BIGINT) AS pair_count,

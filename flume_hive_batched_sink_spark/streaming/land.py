@@ -127,7 +127,17 @@ def land_batch(
         # CHECKED-marking also makes notification once-per-logdate; a
         # LATE row for a checked logdate flips it back to NEW (higher
         # batch_id wins) and it re-notifies when it re-finalizes —
-        # at-least-once, matching the reference's replay behavior.
+        # at-least-once ON THE LATE-DATA REPLAY PATH only. Across
+        # driver crashes the guarantee is AT-MOST-ONCE: CHECKED rows
+        # are durably appended below BEFORE on_complete fires
+        # (updateCheckedState-then-POST, the reference's own order,
+        # HiveBatchedSink.scala:216-227), so a crash in that window
+        # leaves the logdate CHECKED with its notification lost —
+        # RestNotifier.failed records HTTP-level failures, not
+        # crashes. A deployment needing crash-safe notification must
+        # persist a separate notified-state column and reconcile
+        # checked-but-unnotified logdates on restart (documented
+        # trade: we keep parity with the reference's ordering).
         if on_complete is not None:
             # ONE raw bookkeeping read serves both epilogue inputs
             # (review pass 2: the lww view re-read the same parquet):

@@ -52,11 +52,23 @@ _STAGE_CACHE: dict[str, tuple[str, object]] = {}
 LAST_PLANS: dict[str, list[str]] = {}
 _PLAN_BUF = 16
 
+# Monotonic per-key push counter (total plans EVER pushed, never
+# truncated). The sweep's around-the-call diff must not index into
+# LAST_PLANS with pre-call list lengths: the buffer keeps only the
+# last _PLAN_BUF entries, so if a key already held entries from an
+# earlier invocation in the same process, a second invocation pushing
+# past the cap would shift indices and v[before:] would silently drop
+# the earliest NEW captures (r10 ADVICE). Diff PLAN_PUSH_COUNTS
+# instead and take the last (count_now - count_before) entries,
+# capped at the buffer size.
+PLAN_PUSH_COUNTS: dict[str, int] = {}
+
 
 def _push_plan(name: str, text: str) -> None:
     buf = LAST_PLANS.setdefault(name, [])
     buf.append(text)
     del buf[:-_PLAN_BUF]
+    PLAN_PUSH_COUNTS[name] = PLAN_PUSH_COUNTS.get(name, 0) + 1
 
 
 def capture_stream_plan(q, name: str) -> None:

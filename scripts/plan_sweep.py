@@ -108,7 +108,11 @@ def main() -> None:
 
     for name, fn in ops.QUERIES.items():
         is_stream = name.startswith("stream_")
-        before = {k: len(v) for k, v in stage.LAST_PLANS.items()}
+        # diff on the MONOTONIC push counters, not list lengths — the
+        # plan buffers truncate to the last 16 entries, so lengths
+        # stop moving once a key is full and pre-call indices would
+        # drop the earliest new captures (r10 ADVICE)
+        before = dict(stage.PLAN_PUSH_COUNTS)
         try:
             df = fn(spark, SF)
             if is_stream:
@@ -116,7 +120,16 @@ def main() -> None:
                 # the (batch) plan of the returned summary frame;
                 # LAST_PLANS holds bounded per-key LISTS of plan dumps
                 new = "".join(
-                    "".join(v[before.get(k, 0):])
+                    "".join(
+                        v[-min(
+                            stage.PLAN_PUSH_COUNTS.get(k, 0)
+                            - before.get(k, 0),
+                            len(v),
+                        ):]
+                        if stage.PLAN_PUSH_COUNTS.get(k, 0)
+                        > before.get(k, 0)
+                        else ""
+                    )
                     for k, v in stage.LAST_PLANS.items()
                 )
                 plan = new + _formatted(df)

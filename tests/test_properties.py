@@ -1868,6 +1868,35 @@ def test_assign_hier_bounded_vs_flat(spark):
     assert inertia_hier <= 1.25 * inertia_flat  # (d)
 
 
+def test_bpe_checkpoint_parity_and_lineage_bound(spark):
+    """bpe_train's checkpoint_every: (a) BIT-parity — the per-round
+    stats and the final vocabulary are identical with and without
+    checkpointing (the merge chain is deterministic; localCheckpoint
+    only truncates lineage); (b) the lineage BOUND — with a cadence
+    the plan of the returned seqs stops growing with the round count
+    (each checkpoint resets the tree to a materialized-RDD scan plus
+    at most cadence-1 replace projections), whereas uncheckpointed
+    plans stack one projection per round forever."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.bpe import bpe_train
+
+    def run(rounds, every):
+        seqs, stats = bpe_train(
+            spark, SF_ORACLE, rounds=rounds, checkpoint_every=every
+        )
+        plan = seqs._jdf.queryExecution().analyzed().toString()
+        vocab = sorted(
+            (r.word, r.cnt, r.seq) for r in seqs.collect()
+        )
+        return stats, vocab, len(plan.splitlines())
+    s_ck, v_ck, _ = run(5, 2)
+    s_no, v_no, _ = run(5, 0)
+    assert s_ck == s_no and v_ck == v_no  # (a)
+    _, _, depth3 = run(3, 1)
+    _, _, depth5 = run(5, 1)
+    assert depth5 <= depth3  # (b) plan depth flat past the cadence
+
+
 def test_min_label_components_chain(spark):
     """The shared fixpoint on the judge's chain fixture: edges a~b,
     b~c (a < b < c, no a~c edge) must label ALL THREE with a — c
