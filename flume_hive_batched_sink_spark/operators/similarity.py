@@ -1115,9 +1115,10 @@ _SEM_EVAL_N = 8
 _SEM_CONTAM_TAU = 0.35
 
 
-@query(
-    "ns_contamination_semantic",
-    f"""
+# DuckDB twin of the registered exact form (the pre_screen=True path
+# is the documented LSH-approximate production variant, recall-tested
+# rather than hash-gated).
+_SEM_CONTAM_SQL = f"""
     WITH {_SQL_NORMS},
     ev AS (SELECT * FROM embeddings WHERE vec_id < {_SEM_EVAL_N}),
     corp AS (SELECT * FROM embeddings WHERE vec_id >= {_SEM_EVAL_N}),
@@ -1139,11 +1140,150 @@ _SEM_CONTAM_TAU = 0.35
       FROM scored
     ) WHERE rn = 1
     """.format(
-        dot=_SQL_DOT.format(
-            a="corp", aa="c", b="ev", ba="e", where=""
-        )
-    ),
+    dot=_SQL_DOT.format(a="corp", aa="c", b="ev", ba="e", where="")
 )
+
+
+def contamination_semantic_frame(
+    spark: SparkSession,
+    em: DataFrame,
+    eval_n: int = _SEM_EVAL_N,
+    tau: float = _SEM_CONTAM_TAU,
+    pre_screen: bool = False,
+    n_bands: int = _N_BANDS,
+    planes_per_band: int | None = None,
+) -> DataFrame:
+    """Parameterized semantic-decontamination body — ONE definition
+    shared by the registered operator (pre_screen=False, the exact
+    oracle-gated form) and the huge-|eval| production path
+    (pre_screen=True, the r10 verdict's composition item).
+
+    pre_screen=False: every corpus vector scores against every eval
+    vector via the row-local HOF fold over a 1-row broadcast array —
+    exact, zero shuffle, the right form while |eval| keeps the
+    per-row fold cheap (benchmarks are thousands of items).
+
+    pre_screen=True: the banded-LSH two-phase shape ns_dedup_embedding
+    ships, applied to decontamination — band BOTH sides with the
+    shared embedding_features geometry (planes_per_band=None
+    auto-sizes from the corpus count), take (corpus, eval) bucket
+    collisions as candidates, exact-decimal-score ONLY the collisions,
+    and argmax per corpus vector over its candidate set (struct-max
+    with the same (cos desc, eval_id asc) tie-break). The scored
+    frame is |collisions| ≪ |corpus|·|eval|; vectors with no
+    colliding eval item emit NULL nearest/cos and contaminated=0 —
+    APPROXIMATE by the usual LSH recall trade (recall on planted
+    paraphrase twins property-tested ≥0.9; at cosine ≥0.95 the
+    4x8-band OR-amplification predicts ~1.0)."""
+    norms = em.select(
+        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    if not pre_screen:
+        ev = (
+            norms.filter(F.col("vec_id") < eval_n)
+            .select(
+                F.struct(
+                    F.col("vec_id").alias("eval_id"),
+                    F.col("embedding").alias("e_emb"),
+                    F.col("nrm").alias("e_nrm"),
+                ).alias("ev")
+            )
+            .agg(F.sort_array(F.collect_list("ev")).alias("evals"))
+        )
+
+        def _fold(acc: Column, evx: Column) -> Column:
+            cosv = _dot_dec(evx["e_emb"], F.col("embedding")) / (
+                evx["e_nrm"] * F.col("nrm")
+            )
+            # STRICT > : on an exact double tie the earlier (lower-id)
+            # eval wins, matching the oracle's (cosv DESC, eval_id)
+            # window.
+            return F.when(
+                cosv > acc["cosv"],
+                F.struct(
+                    cosv.alias("cosv"), evx["eval_id"].alias("eval_id")
+                ),
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("evals"),
+            F.struct(
+                F.lit(float("-inf")).alias("cosv"),
+                F.lit(-1).cast("long").alias("eval_id"),
+            ),
+            _fold,
+        )
+        return (
+            norms.filter(F.col("vec_id") >= eval_n)
+            .join(F.broadcast(ev))
+            .select("vec_id", best.alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.eval_id").alias("nearest_eval_id"),
+                F.col("best.cosv").alias("max_eval_cos"),
+                F.when(F.col("best.cosv") >= F.lit(tau), 1)
+                .otherwise(0)
+                .alias("contaminated"),
+            )
+        )
+    if planes_per_band is None:
+        planes_per_band = auto_planes_per_band(em.count())
+    feats = embedding_features(
+        spark, em, n_bands=n_bands, planes_per_band=planes_per_band
+    ).persist()
+    keys = band_keys(feats, n_bands=n_bands)
+    evk = keys.filter(F.col("vec_id") < eval_n).select(
+        F.col("vec_id").alias("eval_id"), "band", "bucket"
+    )
+    cand = (
+        keys.filter(F.col("vec_id") >= eval_n)
+        .join(evk, ["band", "bucket"])
+        .select("vec_id", "eval_id")
+        .distinct()
+    )
+    ce = feats.select("vec_id", "embedding", "nrm")
+    ee = feats.filter(F.col("vec_id") < eval_n).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    scored = (
+        cand.join(ce, ["vec_id"])
+        .join(F.broadcast(ee), ["eval_id"])
+        .select(
+            "vec_id",
+            "eval_id",
+            (
+                _dot_dec(F.col("e_emb"), F.col("embedding"))
+                / (F.col("e_nrm") * F.col("nrm"))
+            ).alias("cosv"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosv"),
+                (-F.col("eval_id")).alias("neg_eval_id"),
+                F.col("eval_id"),
+            )
+        ).alias("b")
+    )
+    return (
+        em.select("vec_id")
+        .filter(F.col("vec_id") >= eval_n)
+        .join(best, ["vec_id"], "left")
+        .select(
+            "vec_id",
+            F.col("b.eval_id").alias("nearest_eval_id"),
+            F.col("b.cosv").alias("max_eval_cos"),
+            F.when(F.col("b.cosv") >= F.lit(tau), 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
+@query("ns_contamination_semantic", _SEM_CONTAM_SQL)
 def ns_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC eval-set decontamination — the embedding-space twin of
     ns_contamination_ngram (real pipelines run BOTH: lexical n-gram
@@ -1171,63 +1311,13 @@ def ns_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     array in ascending eval_id order (sort_array on the struct) and
     replaces the accumulator only on a STRICT cosine improvement, so
     exact double ties keep the earliest eval_id. At very large
-    |eval| x corpus, pre-screen candidates with the banded LSH
-    (ns_similarity_ann_lsh geometry) and only exact-score bucket
-    collisions — the same two-phase shape ns_dedup_embedding ships.
-    Exact decimal dots for oracle bit-parity."""
+    |eval| x corpus, pre-screen candidates with the banded LSH:
+    contamination_semantic_frame(pre_screen=True) ships the two-phase
+    shape (band both sides, exact-score only bucket collisions —
+    ns_dedup_embedding's geometry), with planted-twin recall
+    property-tested. Exact decimal dots for oracle bit-parity."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    norms = em.select(
-        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
-    )
-    # One row: all eval vectors as an array<struct>, ascending eval_id
-    # (sort_array orders by the first struct field) — the fold's visit
-    # order IS the tie-break.
-    ev = (
-        norms.filter(F.col("vec_id") < _SEM_EVAL_N)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("eval_id"),
-                F.col("embedding").alias("e_emb"),
-                F.col("nrm").alias("e_nrm"),
-            ).alias("ev")
-        )
-        .agg(F.sort_array(F.collect_list("ev")).alias("evals"))
-    )
-
-    def _fold(acc: Column, evx: Column) -> Column:
-        cosv = _dot_dec(evx["e_emb"], F.col("embedding")) / (
-            evx["e_nrm"] * F.col("nrm")
-        )
-        # STRICT > : on an exact double tie the earlier (lower-id)
-        # eval wins, matching the oracle's (cosv DESC, eval_id) window.
-        return F.when(
-            cosv > acc["cosv"],
-            F.struct(
-                cosv.alias("cosv"), evx["eval_id"].alias("eval_id")
-            ),
-        ).otherwise(acc)
-
-    best = F.aggregate(
-        F.col("evals"),
-        F.struct(
-            F.lit(float("-inf")).alias("cosv"),
-            F.lit(-1).cast("long").alias("eval_id"),
-        ),
-        _fold,
-    )
-    return (
-        norms.filter(F.col("vec_id") >= _SEM_EVAL_N)
-        .join(F.broadcast(ev))
-        .select("vec_id", best.alias("best"))
-        .select(
-            "vec_id",
-            F.col("best.eval_id").alias("nearest_eval_id"),
-            F.col("best.cosv").alias("max_eval_cos"),
-            F.when(F.col("best.cosv") >= F.lit(_SEM_CONTAM_TAU), 1)
-            .otherwise(0)
-            .alias("contaminated"),
-        )
-    )
+    return contamination_semantic_frame(spark, em)
 
 
 ns_contamination_semantic.__doc__ = ns_contamination_semantic.__doc__.format(

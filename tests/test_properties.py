@@ -1868,6 +1868,62 @@ def test_assign_hier_bounded_vs_flat(spark):
     assert inertia_hier <= 1.25 * inertia_flat  # (d)
 
 
+def test_contamination_prescreen_planted_recall(spark):
+    """contamination_semantic_frame(pre_screen=True) — the banded-LSH
+    two-phase production path for huge |eval| — against the exact
+    form on a planted corpus: eval vectors 0..7, their perturbed
+    TWINS planted among the corpus rows (cosine ≈ 0.9999, the
+    paraphrase-dup stand-in). Contract: (a) the pre-screen flags
+    every planted twin the exact form flags (recall ≥ 0.9 on planted
+    contamination — at this cosine the 4-band OR-amplification
+    predicts ~1.0); (b) wherever the pre-screen reports a
+    nearest_eval_id that matches the exact form's, the cosine is
+    BIT-equal (collision scoring reuses the exact decimal dot);
+    (c) un-flagged vectors are never flagged by the pre-screen that
+    the exact form leaves clean (no false contamination: candidates
+    are a subset, scores exact)."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        contamination_semantic_frame,
+    )
+
+    base = load_table(spark, SF_SMALL, "embeddings").limit(80).collect()
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in base
+    ]
+    planted = []
+    for r in base[:8]:  # the eval slice (vec_id 0..7)
+        emb = [float(x) for x in r.embedding]
+        twin_id = int(r.vec_id) + 1_000_000
+        twin = [x + 0.005 * ((i % 2) * 2 - 1) for i, x in enumerate(emb)]
+        rows.append((twin_id, twin))
+        planted.append(twin_id)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    exact = {
+        r.vec_id: r
+        for r in contamination_semantic_frame(spark, df).collect()
+    }
+    pre = {
+        r.vec_id: r
+        for r in contamination_semantic_frame(
+            spark, df, pre_screen=True
+        ).collect()
+    }
+    assert set(exact) == set(pre)
+    for t in planted:
+        assert exact[t].contaminated == 1  # fixture sanity
+    hits = [t for t in planted if pre[t].contaminated == 1]
+    assert len(hits) / len(planted) >= 0.9  # (a)
+    for vid, e in exact.items():
+        p = pre[vid]
+        if p.nearest_eval_id == e.nearest_eval_id and e.max_eval_cos:
+            assert p.max_eval_cos == e.max_eval_cos  # (b) bit-equal
+        if e.contaminated == 0:
+            assert p.contaminated == 0  # (c) no false flags
+
+
 def test_bpe_checkpoint_parity_and_lineage_bound(spark):
     """bpe_train's checkpoint_every: (a) BIT-parity — the per-round
     stats and the final vocabulary are identical with and without
