@@ -23,109 +23,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 199 queries are registered (SURVEY §2 Part B, which matches the
+# 200 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 199
+# tests/test_properties.py::test_survey_registry_lockstep); all 200
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
-# Round 10 rotation (scripts/staleness.py is the mechanical input).
-# After the clean 50/50 r9 driver run, the stale pool is exactly the
-# rows r9 displaced: the ten r04 rows (agg_weighted_avg, f_bitwise,
-# f_regexp, ingest_csv_serde, ingest_jsonl, udtf_python_lateral,
-# win_lag_lead, win_rank, win_row_number, win_running_frame — the r9
-# rotation note listed only 8 of these; udtf_python_lateral and
-# win_lag_lead were also displaced, per the r9 ADVICE audit) and the
-# 44-row r05 cohort. The r10 window, in priority order:
-# (a) 4 operators NEW in r10 (never driver-checked):
-#     ns_semdedup_auto — the production auto-k SemDeDup geometry, the
-#     r9 verdict's #1 — the BPE tokenizer pair ns_bpe_merges (train) /
-#     ns_bpe_encode (apply), and ns_contamination_semantic (the
-#     embedding-space decontamination twin);
-# (b) the 10 r04 rows — the oldest binding checks in the repo;
-# (c) 36 of the 44 r05 rows (alphabetical; outputs unchanged since
-#     r05 and value-equal-gated locally every round).
-# 4 + 10 + 36 = 50. Displaced to r11: the eight-row r05 alphabetical
-# tail — ts_cumulative_uniques, ts_retention_cohort,
-# ts_seasonality_profile, ts_window_funnel, udf_scalar_iter,
-# udtf_arrow_map, unpivot_melt, win_streaks. After a clean r10 run no
-# operator's latest driver gate is older than r05, and those eight
-# plus the r06 cohort rotate forward in r11.
-_ROUND10_FRONT = [
-    # (a) new in r10 — first driver check
-    "ns_semdedup_auto",
-    "ns_bpe_merges",
-    "ns_bpe_encode",
-    "ns_contamination_semantic",
-    # (b) r04-stale rows (oldest in the repo)
-    "agg_weighted_avg",
-    "f_bitwise",
-    "f_regexp",
-    "ingest_csv_serde",
-    "ingest_jsonl",
-    "udtf_python_lateral",
-    "win_lag_lead",
-    "win_rank",
-    "win_row_number",
-    "win_running_frame",
-    # (c) r05-stale cohort (first 36 alphabetically)
-    "agg_audience_overlap",
-    "agg_bool_family",
-    "agg_histogram_equidepth",
-    "agg_listagg",
-    "join_anti",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "join_bloom_runtime",
-    "join_multiway",
-    "join_scd2",
-    "join_theta_range",
-    "ns_blocklist_filter",
-    "ns_chunk_dedup",
-    "ns_dedup_canonical",
-    "ns_dedup_cluster_stats",
-    "ns_dedup_clusters",
-    "ns_dedup_containment",
-    "ns_dedup_exact_substring",
-    "ns_dedup_incremental",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_soft_weights",
-    "ns_doc_chunk",
-    "ns_embedding_quantize",
-    "ns_filter_attrition",
-    "ns_lang_confusion",
-    "ns_mix_plan",
-    "ns_quality_scriptmix",
-    "ns_sample_reservoir",
-    "ns_sample_weighted",
-    "ns_token_commonness",
-    "ns_tokenize_encode",
-    "ns_vocab_coverage",
-    "scan_agg_pushdown",
-    "scan_profile_stats",
-    "stream_restart_recovery",
-    "stream_windowed_topk",
+# Round 11 rotation (scripts/staleness.py is the mechanical input).
+# After the clean 50/50 r10 driver run the stale pool is the 8-row
+# r05 alphabetical tail the r10 window displaced plus the 44-row r06
+# cohort. The r11 window, in priority order:
+# (a) 1 operator NEW in r11 (never driver-checked):
+#     ns_semdedup_components — component-level SemDeDup keepers over
+#     the shared near-pair graph (the r10 verdict's #8);
+# (b) the 8 r05 rows — the oldest binding checks in the repo
+#     (ts_cumulative_uniques .. win_streaks below);
+# (c) 41 of the 44 r06 rows (alphabetical; outputs unchanged since
+#     r06 and value-equal-gated locally every round).
+# 1 + 8 + 41 = 50. Displaced to r12: the r06 alphabetical tail —
+# ts_anomaly_mad, upsert_last_write_wins, win_first_last (these three
+# lead the r12 window together with whatever r12 adds). After a clean
+# r11 run no operator's latest driver gate is older than r06.
+_ROUND11_FRONT = [
+    # (a) new in r11 — first driver check
+    "ns_semdedup_components",
+    # (b) r05-stale rows (oldest in the repo)
+    "ts_cumulative_uniques",
+    "ts_retention_cohort",
+    "ts_seasonality_profile",
+    "ts_window_funnel",
+    "udf_scalar_iter",
+    "udtf_arrow_map",
+    "unpivot_melt",
+    "win_streaks",
+    # (c) r06-stale cohort (first 41 alphabetically)
+    "agg_cube",
+    "agg_distinct",
+    "agg_group_having",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_minby_leader",
+    "agg_mode",
+    "agg_multi",
+    "agg_rollup",
+    "agg_skew_salted",
+    "agg_stats",
+    "exists_key",
+    "f_misc",
+    "f_string",
+    "filter_in_list",
+    "filter_state_name",
+    "flagship_pipeline",
+    "join_asof",
+    "join_broadcast",
+    "join_bucketed",
+    "join_cross",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_skew_salted",
+    "lateral_explode",
+    "ns_dedup_exact",
+    "ns_multimodal_cols",
+    "ns_multimodal_decode",
+    "ns_multimodal_framesample",
+    "ns_multimodal_pool",
+    "ns_pii_scrub",
+    "pivot_counts",
+    "project_compute",
+    "sample_hash",
+    "scan_parquet",
+    "sink_jsonl_export",
+    "sort_limit_topk",
+    "sql_exists_subquery",
+    "stream_anomaly_alert",
+    "stream_windowed_topk_state",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND10_FRONT
+FRONT = _ROUND11_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND10_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND11_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 199/199 as of r10
-    (the four r10 additions — auto-k SemDeDup, the BPE train/apply pair,
-    and semantic decontamination —
-    were oracle-backed from birth: derived-k scalar subqueries and
-    integer pair counts with literal boundary-anchored merges); the
+    """DuckDB twins for EVERY registered query — 200/200 as of r11
+    (the r11 addition ns_semdedup_components replays the shared
+    near-pair CTE plus the recursive-CTE component labeling proven on
+    ns_dedup_clusters; the four r10 additions were oracle-backed from
+    birth: derived-k scalar subqueries and integer pair counts with
+    literal boundary-anchored merges); the
     rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF
