@@ -93,7 +93,7 @@ def bpe_train(
     spark: SparkSession,
     sf_dir: str,
     rounds: int = _BPE_ROUNDS,
-    checkpoint_every: int = 100,
+    checkpoint_every: int = 25,
     on_round=None,
 ) -> tuple[DataFrame, list]:
     """Run `rounds` BPE merges; returns (seqs, stats) where `seqs` is
@@ -110,12 +110,17 @@ def bpe_train(
     merge rounds (0 disables). Each round stacks one replace()
     projection onto the plan, so a production 30k-merge run would
     otherwise carry a 30k-deep lineage — analysis cost grows per
-    round and the full chain recomputes on partition loss. The
-    checkpoint truncates lineage to a materialized RDD at the
-    cadence; values are bit-identical either way (the replace chain
-    is deterministic — property-tested), and the registered 2-round
-    operators never reach the default cadence, keeping their audited
-    plans byte-stable.
+    round and every round RECOMPUTES the word-frequency aggregate
+    plus all prior merges from the source scan. Deep runs (rounds >
+    cadence) additionally materialize the INITIAL word table, so
+    round 1 already reads a local RDD. Measured (scripts/bpe_deep.py,
+    200 rounds, 10x-words corpus): per-round cost is FLAT at
+    ~0.4-0.5 s once past the first checkpoint vs 2.4->2.9 s and
+    GROWING without the cadence — the checkpoint is worth ~5x per
+    round, not just lineage hygiene. Values are bit-identical either
+    way (the replace chain is deterministic — property-tested), and
+    the registered 2-round operators never reach the cadence, keeping
+    their audited parquet-scan plans byte-stable.
 
     `on_round(rnd, seconds)`: optional per-round telemetry callback
     (progress reporting on deep production runs; scripts/bpe_deep.py
@@ -123,6 +128,11 @@ def bpe_train(
     import time as _time
 
     seqs = initial_seqs(_word_freq(spark, sf_dir))
+    if checkpoint_every and rounds > checkpoint_every:
+        # deep run: materialize the word table up front (round-0
+        # checkpoint) — shallow-run plans (the registered operators)
+        # are untouched
+        seqs = seqs.localCheckpoint(eager=True)
     out = []
     for rnd in range(1, rounds + 1):
         _t0 = _time.perf_counter()

@@ -82,7 +82,7 @@ def main() -> None:
         load_table(spark, big, "documents").count(),
     )
     res = {"K": k, "rounds": rounds}
-    res["checkpointed"] = run(spark, big, rounds, 100)
+    res["checkpointed"] = run(spark, big, rounds, 25)
     # contrast: lineage growth without the cadence (capped — the
     # whole point is that this one gets slower per round)
     res["uncheckpointed"] = run(spark, big, min(rounds, 100), 0)
