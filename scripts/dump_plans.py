@@ -93,6 +93,11 @@ PLAN_QUERIES = [
     "ns_semdedup",
     "ns_sample_weighted_topk",
     "ns_quality_entropy",
+    # round 11: the de-windowed decontamination argmax (1-row
+    # broadcast + HOF fold, zero exchange) and component-level
+    # SemDeDup keepers (keyed pairs + checkpointed fixpoint).
+    "ns_contamination_semantic",
+    "ns_semdedup_components",
 ]
 
 
@@ -555,6 +560,39 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         not nodes,
         f"forbidden nodes: {sorted(nodes)}" if nodes
         else "only scans/projections/hash aggregates")
+
+    # ns_contamination_semantic (r11): the per-vector argmax is a
+    # row-local HOF fold inside the corpus projection over a ONE-ROW
+    # broadcast eval array — the corpus x |eval| frame never exists,
+    # so the plan must contain NO Window, NO Sort/SortAggregate over
+    # anything corpus-scaled, and no range partitioning (the r10 form
+    # shuffled+sorted the expanded frame through row_number; the
+    # struct-max alternative still SortAggregated it).
+    p = _formatted(ops.QUERIES["ns_contamination_semantic"](spark, sf_dir))
+    nodes = {n for n in ("Window", "SortAggregate") if n in p}
+    glob_sort = bool(_re.search(r"Exchange rangepartitioning", p))
+    add("ns_contamination_semantic",
+        "argmax is a row-local fold over a 1-row broadcast "
+        "(no Window/SortAggregate/rangepartitioning)",
+        not nodes and not glob_sort
+        and "BroadcastNestedLoopJoin" in p,
+        f"forbidden: {sorted(nodes)} rangepartitioning={glob_sort}"
+        if (nodes or glob_sort)
+        else "1-row broadcast BNLJ + HOF-fold projection only")
+
+    # ns_semdedup_components (r11): same keyed-pair-join rule as
+    # ns_semdedup (the shared _sem_near front), and the component
+    # labels arrive via the checkpointed fixpoint — never a
+    # cartesian/nested-loop anywhere in the final plan.
+    p = _formatted(ops.QUERIES["ns_semdedup_components"](spark, sf_dir))
+    bad = {n for n in ("BroadcastNestedLoopJoin", "CartesianProduct")
+           if n in p}
+    add("ns_semdedup_components",
+        "keyed pair join + checkpointed fixpoint labels (no BNLJ/"
+        "cartesian)",
+        not bad and "Join" in p,
+        f"forbidden: {sorted(bad)}" if bad
+        else "keyed joins only, no BNLJ/cartesian")
     return checks
 
 
