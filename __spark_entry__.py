@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 200 queries are registered (SURVEY §2 Part B, which matches the
+# 203 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 200
+# tests/test_properties.py::test_survey_registry_lockstep); all 203
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,20 +33,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 1 operator NEW in r11 (never driver-checked):
+# (a) 4 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
+#     ns_sample_temperature / ns_quality_ccnet_buckets /
+#     ns_embedding_rp — the r11 second-wave additions;
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 41 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 38 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 1 + 8 + 41 = 50. Displaced to r12: the r06 alphabetical tail —
-# ts_anomaly_mad, upsert_last_write_wins, win_first_last (these three
-# lead the r12 window together with whatever r12 adds). After a clean
-# r11 run no operator's latest driver gate is older than r06.
+# 4 + 8 + 38 = 50. Displaced to r12: the r06 alphabetical tail —
+# sql_exists_subquery, stream_anomaly_alert,
+# stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
+# win_first_last (these six lead the r12 window together with
+# whatever r12 adds). After clean r11+r12 runs no operator's latest
+# driver gate is older than r06.
 _ROUND11_FRONT = [
     # (a) new in r11 — first driver check
     "ns_semdedup_components",
+    "ns_sample_temperature",
+    "ns_quality_ccnet_buckets",
+    "ns_embedding_rp",
     # (b) r05-stale rows (oldest in the repo)
     "ts_cumulative_uniques",
     "ts_retention_cohort",
@@ -95,9 +102,6 @@ _ROUND11_FRONT = [
     "scan_parquet",
     "sink_jsonl_export",
     "sort_limit_topk",
-    "sql_exists_subquery",
-    "stream_anomaly_alert",
-    "stream_windowed_topk_state",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -114,12 +118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 200/200 as of r11
-    (the r11 addition ns_semdedup_components replays the shared
-    near-pair CTE plus the recursive-CTE component labeling proven on
-    ns_dedup_clusters; the four r10 additions were oracle-backed from
-    birth: derived-k scalar subqueries and integer pair counts with
-    literal boundary-anchored merges); the
+    """DuckDB twins for EVERY registered query — 203/203 as of r11
+    (the four r11 additions were oracle-backed from birth:
+    ns_semdedup_components replays the shared near-pair CTE plus the
+    recursive-CTE component labeling proven on ns_dedup_clusters;
+    ns_sample_temperature rides sqrt — the one IEEE-correctly-rounded
+    power — plus a VARCHAR-routed exact decimal normalizer;
+    ns_quality_ccnet_buckets reuses the perplexity oracle's CTE chain
+    verbatim (_PPL_PERDOC_CTES) plus integer tercile ranks;
+    ns_embedding_rp replays the ±1 projections via a 1024-row signs
+    VALUES join with the standard VARCHAR→decimal dot convention); the
     rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF

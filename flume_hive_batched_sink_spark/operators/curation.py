@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .registry import (
     det_ln_int,
@@ -78,10 +79,14 @@ _PAIRS = (
 )
 
 
-@query(
-    "ns_quality_perplexity",
-    f"""
-    WITH toks AS (
+# Per-doc NLL scoring pipeline as a reusable CTE fragment (no WITH):
+# train the add-one bigram LM on the reference slice, score every
+# doc's bigram stream, reduce to perdoc(doc_id, nb, nu, nll). Shared
+# by ns_quality_perplexity and ns_quality_ccnet_buckets — the two
+# oracles must replay the IDENTICAL model or their avg_nll columns
+# drift apart.
+_PPL_PERDOC_CTES = f"""
+    toks AS (
       SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t
       FROM documents
     ),
@@ -111,6 +116,13 @@ _PAIRS = (
              {sql_dsum("ln_den - ln_num", "nll")}
       FROM lnx GROUP BY doc_id
     )
+"""
+
+
+@query(
+    "ns_quality_perplexity",
+    f"""
+    WITH {_PPL_PERDOC_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(p.nu, 0) AS BIGINT) AS n_unseen,
@@ -142,6 +154,26 @@ def ns_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     by AQE). Per-doc reduce is ONE doc_id-keyed agg. Nothing is ever
     all-pairs; the only O(corpus) passes are the scan and the two
     keyed shuffles."""
+    d, perdoc = _ppl_perdoc(spark, sf_dir)
+    avg = F.col("nll") / F.col("nb").cast("double")
+    return d.select("doc_id").join(perdoc, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("nu", F.lit(0)).cast("bigint").alias("n_unseen"),
+        F.col("nll").alias("nll"),
+        avg.alias("avg_nll"),
+        F.when(avg > F.lit(_PPL_NLL_HI), 1).otherwise(0).alias("high_nll"),
+    )
+
+
+def _ppl_perdoc(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared per-doc NLL scoring: returns (documents DF, perdoc DF =
+    doc_id/nb/nu/nll) — the Spark twin of _PPL_PERDOC_CTES; ONE
+    implementation feeds both perplexity consumers
+    (ns_quality_perplexity, ns_quality_ccnet_buckets) so the model and
+    scores cannot drift between them."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
     pairs = (
         d.select(
@@ -176,14 +208,127 @@ def ns_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("unseen").cast("bigint").alias("nu"),
         dsum(det_ln_int(F.col("den")) - det_ln_int(F.col("num")), "nll"),
     )
-    avg = F.col("nll") / F.col("nb").cast("double")
-    return d.select("doc_id").join(perdoc, ["doc_id"], "left").select(
+    return d, perdoc
+
+
+# Deterministic cutoff-training sample for ns_quality_ccnet_buckets:
+# first md5(doc_id) hex nibble < 4 → a reproducible 25% slice. The
+# rate is the knob a 100 TB run turns DOWN (CCNet trains its
+# percentile cutoffs on a bounded sample, never the full corpus) so
+# the cutoff window always runs over an executor-bounded frame.
+_CCNET_SAMPLE_NIBBLE = 4
+
+
+@query(
+    "ns_quality_ccnet_buckets",
+    f"""
+    WITH {_PPL_PERDOC_CTES},
+    docsc AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(p.nb, 0) AS nb,
+             p.nll / CAST(p.nb AS DOUBLE) AS avg_nll
+      FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    ),
+    samp AS (
+      SELECT * FROM docsc
+      WHERE nb > 0
+        AND strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+            < {_CCNET_SAMPLE_NIBBLE}
+    ),
+    ranked AS (
+      SELECT lang, doc_id, avg_nll,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY avg_nll, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM samp
+    ),
+    cuts AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = (cnt + 2) // 3 THEN avg_nll END) AS cut1,
+             MAX(CASE WHEN rn = (2 * cnt + 2) // 3 THEN avg_nll END) AS cut2
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.avg_nll,
+           CASE WHEN s.nb = 0 THEN 'unscored'
+                WHEN c.cut1 IS NULL THEN 'head'
+                WHEN s.avg_nll <= c.cut1 THEN 'head'
+                WHEN s.avg_nll <= c.cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM docsc s LEFT JOIN cuts c ON s.lang = c.lang
+    """,
+)
+def ns_quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity routing: per-language
+    tercile cutoffs trained on a deterministic hash sample, every doc
+    routed by comparing its avg NLL (the SAME bigram-LM score
+    ns_quality_perplexity emits — one shared scoring implementation,
+    _ppl_perdoc) against its language's cutoffs. CCNet keeps `head`,
+    mixes `middle`, drops or re-filters `tail`; `unscored` marks docs
+    with no bigrams.
+
+    Determinism: avg_nll is the det_ln/dsum-exact score; the sample is
+    md5-nibble-derived (no RNG); cutoff ranks are exact integer
+    arithmetic (ceil(n/3) = (n+2) div 3) over a (score, doc_id)-total
+    order, so both engines pick the identical cutoff VALUES and every
+    comparison sees bit-identical doubles.
+
+    Scale shape: scoring is the perplexity pipeline's keyed-join plan;
+    cutoff training runs a per-lang window over the bounded hash
+    SAMPLE only (never the corpus — see _CCNET_SAMPLE_NIBBLE); routing
+    is a broadcast join of the |langs|-row cutoff table followed by a
+    row-local CASE. The corpus is never globally sorted — the full
+    per-lang NTILE formulation would range-sort 50 TB of a dominant
+    language through one task wave, which is exactly the plan this
+    sample-then-broadcast shape exists to avoid."""
+    d, perdoc = _ppl_perdoc(spark, sf_dir)
+    docsc = d.select("doc_id", "lang").join(perdoc, ["doc_id"], "left").select(
         "doc_id",
-        F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_bigrams"),
-        F.coalesce("nu", F.lit(0)).cast("bigint").alias("n_unseen"),
-        F.col("nll").alias("nll"),
-        avg.alias("avg_nll"),
-        F.when(avg > F.lit(_PPL_NLL_HI), 1).otherwise(0).alias("high_nll"),
+        "lang",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        (F.col("nll") / F.col("nb").cast("double")).alias("avg_nll"),
+    )
+    samp = docsc.filter(
+        (F.col("nb") > 0)
+        & (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            < _CCNET_SAMPLE_NIBBLE
+        )
+    )
+    ranked = (
+        samp.select("lang", "doc_id", "avg_nll")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+            ),
+        )
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("lang")))
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 2) div 3"), F.col("avg_nll"))
+        ).alias("cut1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(2 * cnt + 2) div 3"), F.col("avg_nll")
+            )
+        ).alias("cut2"),
+    )
+    return docsc.join(F.broadcast(cuts), ["lang"], "left").select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(F.col("nb") == 0, F.lit("unscored"))
+        .when(F.col("cut1").isNull(), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

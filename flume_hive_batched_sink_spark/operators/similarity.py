@@ -1323,3 +1323,113 @@ def ns_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 ns_contamination_semantic.__doc__ = ns_contamination_semantic.__doc__.format(
     n=_SEM_EVAL_N, tau=_SEM_CONTAM_TAU
 )
+
+
+# ---- signed random projection (SRP) sketches ----
+
+# Charikar SRP: project each embedding onto _SRP_P fixed ±1 hyperplanes;
+# the sign bits form an LSH code whose Hamming distance estimates the
+# angle (P(bit match) = 1 - θ/π). The ±1 signs derive from md5 of the
+# FIXED strings "rp_{j}_{i}" at import time (hashlib here ≡ md5() in
+# both engines — but no in-plan hashing is even needed: the signs ship
+# as literals on both sides, the same no-RNG-inside-the-plan rule the
+# LSH hyperplanes follow).
+_SRP_P = 16  # projections = code bits
+_SRP_DIM = 64
+
+
+def _srp_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(_SRP_DIM)
+        ]
+        for j in range(_SRP_P)
+    ]
+
+
+_SRP = _srp_signs()
+
+_SRP_SQL = f"""
+    WITH signs(j, i, s) AS (VALUES {", ".join(
+        f"({j}, {i + 1}, CAST({s!r} AS DOUBLE))"
+        for j, row in enumerate(_SRP)
+        for i, s in enumerate(row)
+    )}),
+    pw(j, p2) AS (VALUES {", ".join(
+        f"({j}, {1 << j})" for j in range(_SRP_P)
+    )}),
+    un AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, {_SRP_DIM + 1})) AS i) i
+    ),
+    p AS (
+      SELECT un.vec_id, s.j,
+             CAST(SUM(CAST(CAST(un.v * s.s AS VARCHAR)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS proj
+      FROM un JOIN signs s ON s.i = un.i
+      GROUP BY 1, 2
+    )
+    SELECT p.vec_id,
+           CAST(SUM(CASE WHEN p.proj > 0 THEN pw.p2 ELSE 0 END)
+                AS BIGINT) AS srp_code,
+           MAX(CASE WHEN p.j = 0 THEN p.proj END) AS proj_0,
+           MAX(CASE WHEN p.j = 1 THEN p.proj END) AS proj_1,
+           MAX(CASE WHEN p.j = 2 THEN p.proj END) AS proj_2,
+           MAX(CASE WHEN p.j = 3 THEN p.proj END) AS proj_3
+    FROM p JOIN pw ON pw.j = p.j
+    GROUP BY 1
+"""
+
+
+@query("ns_embedding_rp", _SRP_SQL)
+def ns_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection sketch of the embedding corpus: 16
+    fixed ±1 hyperplanes → 16 projections → a 16-bit `srp_code`
+    (Charikar SimHash for vectors — the Hamming-space twin of the
+    banded LSH that `ns_similarity_ann_lsh` builds; a 100 TB corpus
+    stores/bands these 2-byte codes instead of 256-byte vectors for
+    first-pass candidate generation) plus the first four raw
+    projections as value-visible columns.
+
+    Determinism: each projection is Σ_i ±v_i — per-element sign flip
+    is EXACT in IEEE, and the sum rides the same decimal(25,12) fold
+    `_dot_dec` uses (exact, order-independent; the DuckDB twin
+    VARCHAR-routes its decimal casts per _SQL_DOT's note). Sign bits
+    compare the identical double against 0, so the code is
+    bit-identical cross-engine.
+
+    Scale shape: scan → project, ZERO shuffle — every projection is a
+    row-local fold over the vector against a literal sign array (the
+    oracle's unnest/join shape is DuckDB-only; Spark never explodes).
+    Output is one row per vector with scalar cells only."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+
+    def proj(j: int) -> Column:
+        signs = F.array(*[F.lit(s) for s in _SRP[j]])
+        prods = F.zip_with(
+            F.col("embedding"),
+            signs,
+            lambda x, y: (x.cast("double") * y).cast(_DEC),
+        )
+        return F.aggregate(
+            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
+        ).cast("double")
+
+    projected = em.select(
+        "vec_id", *[proj(j).alias(f"p{j}") for j in range(_SRP_P)]
+    )
+    code = None
+    for j in range(_SRP_P):
+        bit = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return projected.select(
+        "vec_id",
+        code.cast("bigint").alias("srp_code"),
+        *[F.col(f"p{j}").alias(f"proj_{j}") for j in range(4)],
+    )

@@ -1560,6 +1560,90 @@ def ns_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature for ns_sample_temperature. α = 0.5 is deliberate: the
+# temperature-scaled weight n^α then rides sqrt(), the ONE power IEEE
+# 754 requires to be correctly rounded — pow(x, 0.7) is only
+# 1-ulp-accurate and differs between the JVM and libm the same way
+# native ln() does (see registry.det_ln_int), so a generic α could
+# never feed a hash-compared column.
+_TEMP_ALPHA = 0.5
+
+
+@query(
+    "ns_sample_temperature",
+    """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM counts),
+    w AS (
+      SELECT lang, n, nt,
+             CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS share,
+             sqrt(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) AS tw
+      FROM counts CROSS JOIN tot
+    ),
+    wsum AS (
+      SELECT CAST(SUM(CAST(CAST(tw AS VARCHAR) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS wt
+      FROM w
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           share,
+           tw AS temp_weight,
+           tw / wt AS target_share,
+           (tw / wt) / share AS boost,
+           CAST(floor(tw / wt * nt + 0.5) AS BIGINT) AS planned_docs
+    FROM w CROSS JOIN wsum
+    """,
+)
+def ns_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the multilingual-training
+    rebalance of mT5/XLM-R): target share of language i is
+    s_i^α / Σ_j s_j^α with α = 0.5, flattening the head (en) and
+    boosting the tail without ns_mix_plan's hard uniform target.
+    `boost` = target/natural share is the per-language up/down-sampling
+    factor a sampler applies; `planned_docs` realizes the targets at
+    the current corpus budget (Σ planned ≈ N).
+
+    Determinism: shares are one double division of exact ints; the
+    α=0.5 power is sqrt (correctly rounded per IEEE, bit-identical
+    cross-engine — see _TEMP_ALPHA note); the weight-sum normalizer
+    routes through VARCHAR → DECIMAL(38,12) so the Σ over languages is
+    exact and order-independent in both engines.
+
+    Scale: one hash agg over the corpus (map-side combine absorbs the
+    per-lang skew), then two broadcast 1-row aggregates over the
+    |langs|-sized table — nothing after the first agg scales with the
+    corpus."""
+    assert _TEMP_ALPHA == 0.5  # sqrt is the only cross-engine-exact pow
+    d = tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("nt"))
+    share = F.col("n").cast("double") / F.col("nt").cast("double")
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", "nt", share.alias("share"),
+        F.sqrt(share).alias("tw"),
+    )
+    wsum = w.agg(
+        F.sum(F.col("tw").cast("string").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("wt")
+    )
+    target = F.col("tw") / F.col("wt")
+    return w.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "share",
+        F.col("tw").alias("temp_weight"),
+        target.alias("target_share"),
+        (target / F.col("share")).alias("boost"),
+        F.floor(target * F.col("nt") + F.lit(0.5))
+        .cast("bigint")
+        .alias("planned_docs"),
+    )
+
+
 _VOCAB_K = 200
 
 

@@ -68,6 +68,13 @@ ALLOWED = {
     "share normalization",
     "ns_mix_plan": "1-row broadcast totals scalar for mixture "
     "weights",
+    "ns_sample_temperature": "two 1-row broadcast scalars (corpus "
+    "total, exact-decimal weight-sum normalizer) joined onto the "
+    "|langs|-row weight table — nothing corpus-scaled on either "
+    "side of a nested loop",
+    "ns_quality_ccnet_buckets": "the perplexity pipeline's 1-row "
+    "broadcast vocab-size scalar (shared _ppl_perdoc front); the "
+    "cutoff join itself is lang-KEYED, not a nested loop",
     "ns_vocab_coverage": "1-row broadcast total-token scalar for "
     "coverage shares",
     "ts_seasonality_profile": "1-row broadcast global-mean scalar "

@@ -2418,3 +2418,121 @@ def test_html_extract_audit_separates(spark):
         assert 0.0 < r.markup_ratio < 1.0, r
         assert r.title.endswith(f"#{r.doc_id}"), r
     assert any(r.doc_id % 7 == 0 for r in rows)
+
+
+def test_sample_temperature_invariants(spark):
+    """ns_sample_temperature invariants: target shares form a
+    distribution (sum 1 up to decimal truncation), α=0.5 weights are
+    exactly sqrt(share), the head language is flattened (boost < 1)
+    and every tail language boosted (> 1), and the planned-doc
+    realization conserves the corpus budget up to per-lang rounding."""
+    import math
+
+    from .conftest import SF_ORACLE
+
+    rows = QUERIES["ns_sample_temperature"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 2
+    n_total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.temp_weight == math.sqrt(r.share), r
+        assert (r.boost > 1.0) == (r.target_share > r.share), r
+    head = max(rows, key=lambda r: r.n_docs)
+    assert head.boost < 1.0
+    assert all(r.boost > 1.0 for r in rows if r is not head)
+    planned = sum(r.planned_docs for r in rows)
+    assert abs(planned - n_total) <= len(rows)
+
+
+def test_ccnet_bucket_invariants(spark):
+    """ns_quality_ccnet_buckets invariants: per language the bucket
+    boundaries are consistent with ONE pair of cutoffs — max(head NLL)
+    <= min(middle NLL) <= max(middle) < min(tail) among scored docs —
+    'unscored' is exactly the no-bigram set, and at the oracle SF all
+    three quality buckets are populated (non-vacuous routing)."""
+    from .conftest import SF_ORACLE
+
+    rows = QUERIES["ns_quality_ccnet_buckets"](spark, SF_ORACLE).collect()
+    assert rows
+    seen = {r.bucket for r in rows}
+    assert seen <= {"head", "middle", "tail", "unscored"}
+    assert {"head", "middle", "tail"} <= seen
+    for r in rows:
+        assert (r.avg_nll is None) == (r.bucket == "unscored"), r
+    by_lang: dict = {}
+    for r in rows:
+        if r.bucket != "unscored":
+            by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+                r.avg_nll
+            )
+    for lang, buckets in by_lang.items():
+        h, m, t = (buckets.get(k, []) for k in ("head", "middle", "tail"))
+        if h and m:
+            assert max(h) < min(m), lang
+        if m and t:
+            assert max(m) < min(t), lang
+        if h and t:
+            assert max(h) < min(t), lang
+
+
+def test_embedding_rp_code_and_exactness(spark):
+    """ns_embedding_rp invariants: (a) the code packs exactly the 16
+    projection signs (recomputed from the output's own raw projections
+    for the 4 visible dims); (b) proj_0 equals an independent Python
+    replay of the decimal-exact fold (per-product ROUND_HALF_UP
+    quantize to 12 dp, exact sum) on raw parquet values; (c) the SRP
+    locality property: a planted near-twin (tiny perturbation) agrees
+    on >= 13/16 code bits — the Hamming code is a usable banding key."""
+    import decimal
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _SRP,
+        _SRP_P,
+        ns_embedding_rp,
+    )
+
+    out = {r.vec_id: r for r in ns_embedding_rp(spark, SF_ORACLE).collect()}
+    assert out
+    for r in out.values():
+        assert 0 <= r.srp_code < (1 << _SRP_P)
+        for j in range(4):
+            bit = (r.srp_code >> j) & 1
+            assert bit == (1 if getattr(r, f"proj_{j}") > 0 else 0), r
+
+    # (b) independent replay of the exact fold for 5 vectors
+    raw = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_ORACLE}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 5"
+    ).fetchall()
+    q12 = decimal.Decimal("1.000000000000")
+    for vec_id, emb in raw:
+        acc = decimal.Decimal(0)
+        for x, s in zip(emb, _SRP[0]):
+            p = decimal.Decimal(repr(float(x) * s))
+            acc += p.quantize(q12, rounding=decimal.ROUND_HALF_UP)
+        assert float(acc) == out[vec_id].proj_0, vec_id
+
+    # (c) planted twin keeps >= 13/16 bits
+    base = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_ORACLE}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 20"
+    ).fetchall()
+    import numpy as np
+
+    agree = []
+    for vec_id, emb in base:
+        v = np.array(emb, dtype=float)
+        twin = v + 0.003 * np.where(np.arange(len(v)) % 2 == 0, 1.0, -1.0)
+        code_v = code_t = 0
+        for j in range(_SRP_P):
+            s = np.array(_SRP[j])
+            code_v |= int(float(s @ v) > 0) << j
+            code_t |= int(float(s @ twin) > 0) << j
+        agree.append(_SRP_P - bin(code_v ^ code_t).count("1"))
+    assert min(agree) >= 13, agree
