@@ -97,6 +97,14 @@ HEADLINE = [
     # k=8 form — and the BPE tokenizer-training merge rounds.
     "ns_semdedup_auto",
     "ns_bpe_merges",
+    # round 11 additions (the 48-query set above stays frozen): the
+    # second-wave curation operators — CCNet tercile routing (the
+    # heaviest new plan: perplexity scoring + sample-bounded cutoff
+    # training), the zero-shuffle SRP sketch pass, and the iterative
+    # greedy k-center selection loop.
+    "ns_quality_ccnet_buckets",
+    "ns_embedding_rp",
+    "ns_kcenter_coreset",
 ]
 
 

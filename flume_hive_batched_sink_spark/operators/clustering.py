@@ -812,3 +812,152 @@ def ns_semdedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 ns_semdedup_components.__doc__ = ns_semdedup_components.__doc__.format(
     tau=_SEM_TAU
 )
+
+
+# ---- greedy k-center coreset (Gonzalez farthest-point selection) ----
+
+# Pinned center count (like _KM_K: fixed oracle geometry; production
+# scales k with the coreset budget).
+_KC_K = 4
+
+
+def _kc_sql() -> str:
+    """k-1 chained selection rounds in SQL: each round picks the
+    vector with the LARGEST running min-distance (tie: min vec_id) as
+    the next center and folds it into the running min — the exact
+    replay of the Spark loop (same least() nesting, same left-fold
+    distances)."""
+
+    def dist(c: str) -> str:
+        return (
+            "list_reduce(list("
+            + _SQL_SQDIFF.format(e="e.embedding", c=c)
+            + " ORDER BY i.i), (a, b) -> a + b)"
+        )
+
+    parts = [
+        f"idx AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i)",
+        "kc0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)",
+        f"""dm0 AS (
+      SELECT e.vec_id, {dist("c0.c")} AS dmin
+      FROM embeddings e CROSS JOIN kc0 c0 CROSS JOIN idx i
+      GROUP BY e.vec_id)""",
+    ]
+    for t in range(1, _KC_K):
+        parts.append(
+            f"""kc{t} AS (
+      SELECT e.vec_id AS cid, e.embedding AS c
+      FROM embeddings e JOIN dm{t - 1} d ON e.vec_id = d.vec_id
+      ORDER BY d.dmin DESC, e.vec_id LIMIT 1)"""
+        )
+        if t < _KC_K - 1:
+            parts.append(
+                f"""dm{t} AS (
+      SELECT e.vec_id, least(d.dmin, {dist("c.c")}) AS dmin
+      FROM embeddings e JOIN dm{t - 1} d ON e.vec_id = d.vec_id
+      CROSS JOIN kc{t} c CROSS JOIN idx i
+      GROUP BY e.vec_id, d.dmin)"""
+            )
+    cts = " UNION ALL ".join(
+        f"SELECT {t} AS rnk, cid, c FROM kc{t}" for t in range(_KC_K)
+    )
+    parts.append(f"cts AS ({cts})")
+    parts.append(
+        f"""ad AS (
+      SELECT e.vec_id, t.rnk, t.cid, {dist("t.c")} AS d2
+      FROM embeddings e CROSS JOIN cts t CROSS JOIN idx i
+      GROUP BY e.vec_id, t.rnk, t.cid)"""
+    )
+    parts.append(
+        """best AS (
+      SELECT vec_id, cid, rnk, d2 FROM (
+        SELECT vec_id, cid, rnk, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, rnk) AS rn
+        FROM ad) WHERE rn = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT b.vec_id,
+           CAST(b.cid AS BIGINT) AS center_id,
+           CAST(b.rnk AS INT) AS center_rank,
+           b.d2 AS d2_nearest,
+           CASE WHEN b.vec_id IN (SELECT cid FROM cts) THEN 1 ELSE 0 END
+             AS is_center
+    FROM best b"""
+    )
+
+
+@query("ns_kcenter_coreset", _kc_sql())
+def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal — the geometric data-SELECTION pass coreset methods
+    build on: k maximally-spread exemplars with a 2-approximation
+    cover guarantee): start from the min vec_id, then k-1 rounds of
+    "pick the vector farthest from every chosen center" (tie: min
+    vec_id); output every vector's nearest center, its rank, the
+    squared distance (the per-point cover radius), and the is_center
+    flag.
+
+    Determinism: distances are the shared left-fold double chains
+    (_sqdiff_chain — bit-identical to the oracle's list_reduce);
+    the running min folds through the SAME least() nesting on both
+    engines; winner selection is a (dmin DESC, vec_id) total order.
+
+    Iterative shape on Spark (the Lloyd/BPE loop pattern): each round
+    is ONE corpus pass — the candidate frame carries a running `dmin`
+    column that folds in ONE new distance per round (O(k·n) total
+    distance evals, not k²·n) — plus a bounded TakeOrdered(1) driver
+    collect for the winner. Zero shuffle in the selection loop (the
+    orderBy-limit-1 is TakeOrderedAndProject); the final assignment is
+    a row-local array_min over k broadcast-literal structs. At
+    production k, localCheckpoint the candidate frame every ~32 rounds
+    (bpe_train's measured cadence) to cap lineage depth; at 100 TB the
+    per-round collect stays 1 row regardless of corpus size."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    first = em.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[tuple[int, list[float]]] = [
+        (int(first.vec_id), [float(x) for x in first.embedding])
+    ]
+    cur = em.select(
+        "vec_id",
+        "embedding",
+        _sqdiff_chain(F.col("embedding"), centers[0][1]).alias("dmin"),
+    )
+    for _ in range(_KC_K - 1):
+        win = cur.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        centers.append(
+            (int(win.vec_id), [float(x) for x in win.embedding])
+        )
+        cur = cur.select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("dmin"),
+                _sqdiff_chain(F.col("embedding"), centers[-1][1]),
+            ).alias("dmin"),
+        )
+    structs = F.array(
+        *[
+            F.struct(
+                _sqdiff_chain(F.col("embedding"), c).alias("d2"),
+                F.lit(r).alias("rnk"),
+                F.lit(cid).alias("cid"),
+            )
+            for r, (cid, c) in enumerate(centers)
+        ]
+    )
+    best = F.array_min(structs)
+    center_ids = [cid for cid, _ in centers]
+    return em.select(
+        "vec_id",
+        best["cid"].cast("bigint").alias("center_id"),
+        best["rnk"].cast("int").alias("center_rank"),
+        best["d2"].alias("d2_nearest"),
+        F.when(F.col("vec_id").isin(center_ids), 1)
+        .otherwise(0)
+        .alias("is_center"),
+    )

@@ -98,6 +98,12 @@ PLAN_QUERIES = [
     # SemDeDup keepers (keyed pairs + checkpointed fixpoint).
     "ns_contamination_semantic",
     "ns_semdedup_components",
+    # round 11 second wave: zero-shuffle SRP sketches, sample-bounded
+    # CCNet cutoff training, scalar-broadcast temperature mixing.
+    "ns_embedding_rp",
+    "ns_quality_ccnet_buckets",
+    "ns_sample_temperature",
+    "ns_kcenter_coreset",
 ]
 
 
@@ -593,6 +599,93 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         not bad and "Join" in p,
         f"forbidden: {sorted(bad)}" if bad
         else "keyed joins only, no BNLJ/cartesian")
+
+    # ns_embedding_rp (r11): all 16 projections are row-local folds in
+    # the scan projection — the only Exchange allowed is the explicit
+    # parallelism repartition (round-robin); no hash/range exchange,
+    # no Sort, no Window, no join anywhere.
+    p = _executed(ops.QUERIES["ns_embedding_rp"](spark, sf_dir))
+
+    def _node(ln: str) -> str:
+        # physical-plan node name: strip tree chars + codegen "*(n)"
+        return _re.sub(r"^(\(\d+\)\s*)?", "", ln.lstrip("+- :*")).split(
+            " "
+        )[0].split("[")[0]
+
+    bad_nodes = [
+        ln.strip() for ln in p.splitlines()
+        if _re.search(r"Exchange (hash|range)partitioning", ln)
+        or _node(ln) in ("Sort", "Window")
+        or "Join" in _node(ln)
+    ]
+    add("ns_embedding_rp",
+        "scan-side row-local folds only (no keyed exchange/sort/"
+        "window/join; round-robin parallelism repartition allowed)",
+        not bad_nodes,
+        bad_nodes[0] if bad_nodes
+        else "project-over-scan with RoundRobin repartition only")
+
+    # ns_quality_ccnet_buckets (r11): the only Window nodes are the
+    # TWO cutoff-training passes (rank + per-lang count) and both sit
+    # ABOVE the md5-nibble sample Filter — i.e. they run over the
+    # bounded sample, never the corpus (executedPlan prints children
+    # below parents, so every Window line must precede the nibble
+    # filter line); the final routing join is a broadcast of the
+    # |langs|-row cutoff table.
+    p = _executed(ops.QUERIES["ns_quality_ccnet_buckets"](spark, sf_dir))
+    lines = p.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if _node(ln) == "Window"]
+    nib_idx = [
+        i for i, ln in enumerate(lines)
+        if "conv(substring(md5" in ln and _node(ln) == "Filter"
+    ]
+    add("ns_quality_ccnet_buckets",
+        "both Windows rank the bounded hash sample (above the nibble "
+        "Filter) + broadcast cutoff routing join",
+        len(win_idx) == 2 and bool(nib_idx)
+        and max(win_idx) < min(nib_idx)
+        and "BroadcastHashJoin" in p,
+        f"windows@{win_idx}, nibble-filter@{nib_idx}, "
+        f"bcast-join={'BroadcastHashJoin' in p}")
+
+    # ns_sample_temperature (r11): the three consumers of the per-lang
+    # count frame share ONE runtime scan — AQE exchange reuse collapses
+    # the identical hashpartitioning(lang) subtrees (checked on the
+    # POST-execution plan, where ReusedExchange/QueryStage appears) —
+    # and every scan is pruned to the single lang column, so even the
+    # static pre-reuse plan never rereads the corpus payload.
+    df = ops.QUERIES["ns_sample_temperature"](spark, sf_dir)
+    df.collect()
+    p = _executed(df)
+    n_reused = p.count("ReusedExchange") + p.count("ReusedQueryStage")
+    schemas = set(_re.findall(r"ReadSchema: (\S+)", p))
+    add("ns_sample_temperature",
+        "count-frame exchange reused at runtime (one corpus scan); "
+        "all scans pruned to lang",
+        n_reused >= 2 and schemas == {"struct<lang:string>"}
+        and "IdentityBroadcastMode" in p,
+        f"reused={n_reused}, schemas={sorted(schemas)}, "
+        f"identity-broadcast={'IdentityBroadcastMode' in p}")
+
+    # ns_kcenter_coreset (r11): the FINAL assignment plan is a pure
+    # row-local projection — array_min over k literal centroid
+    # structs — so the returned frame must contain no join, no
+    # window, no sort, and no keyed/range exchange (the selection
+    # loop's own 1-row TakeOrdered collects happen before this plan
+    # is built and never appear in it).
+    p = _executed(ops.QUERIES["ns_kcenter_coreset"](spark, sf_dir))
+    bad_nodes = [
+        ln.strip() for ln in p.splitlines()
+        if _re.search(r"Exchange (hash|range)partitioning", ln)
+        or _node(ln) in ("Sort", "Window")
+        or "Join" in _node(ln)
+    ]
+    add("ns_kcenter_coreset",
+        "final assignment is row-local (no join/sort/window/keyed "
+        "exchange — array_min over literal centroid structs)",
+        not bad_nodes,
+        bad_nodes[0] if bad_nodes
+        else "project-over-scan only")
     return checks
 
 

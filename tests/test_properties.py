@@ -2536,3 +2536,45 @@ def test_embedding_rp_code_and_exactness(spark):
             code_t |= int(float(s @ twin) > 0) << j
         agree.append(_SRP_P - bin(code_v ^ code_t).count("1"))
     assert min(agree) >= 13, agree
+
+
+def test_kcenter_coreset_invariants(spark):
+    """ns_kcenter_coreset invariants: exactly _KC_K distinct centers,
+    each center is its own nearest center at distance 0, every
+    non-center's d2_nearest is the true min over the center set
+    (numpy cross-check), and the Gonzalez spread guarantee holds —
+    every pairwise center distance >= the final cover radius (each
+    later center was the farthest point when picked)."""
+    import duckdb
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import _KC_K
+
+    rows = {r.vec_id: r for r in
+            QUERIES["ns_kcenter_coreset"](spark, SF_ORACLE).collect()}
+    centers = {v: r for v, r in rows.items() if r.is_center == 1}
+    assert len(centers) == _KC_K
+    assert len({r.center_id for r in rows.values()}) == _KC_K
+    for v, r in centers.items():
+        assert r.center_id == v and r.d2_nearest == 0.0, r
+
+    emb = dict(duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_ORACLE}/embeddings.parquet')"
+    ).fetchall())
+    cvecs = {v: np.array(emb[v], dtype=float) for v in centers}
+    for v, r in rows.items():
+        x = np.array(emb[v], dtype=float)
+        d2s = {cv: float(((x - c) ** 2).sum()) for cv, c in cvecs.items()}
+        best = min(d2s.values())
+        # numpy sums in a different order than the left fold — allow
+        # float slack; the exact values are hash-gated by the oracle
+        assert abs(d2s[r.center_id] - r.d2_nearest) < 1e-6, r
+        assert r.d2_nearest <= best + 1e-6, r
+
+    radius = max(r.d2_nearest for r in rows.values())
+    cs = list(cvecs.values())
+    for i in range(len(cs)):
+        for j in range(i + 1, len(cs)):
+            assert float(((cs[i] - cs[j]) ** 2).sum()) >= radius - 1e-6
