@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 204 queries are registered (SURVEY §2 Part B, which matches the
+# 207 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 204
+# tests/test_properties.py::test_survey_registry_lockstep); all 207
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,20 +33,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 5 operators NEW in r11 (never driver-checked):
+# (a) 8 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
-#     ns_embedding_rp / ns_kcenter_coreset — the r11 second-wave
-#     additions;
+#     ns_embedding_rp / ns_kcenter_coreset / ns_pmi_collocations /
+#     ns_winnowing_fingerprint / ns_winnowing_overlap — the r11
+#     second-wave additions;
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 37 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 34 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 5 + 8 + 37 = 50. Displaced to r12: the r06 alphabetical tail —
-# sort_limit_topk, sql_exists_subquery, stream_anomaly_alert,
+# 8 + 8 + 34 = 50. Displaced to r12: the r06 alphabetical tail —
+# sample_hash, scan_parquet, sink_jsonl_export, sort_limit_topk,
+# sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these seven lead the r12 window together with
+# win_first_last (these ten lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -56,6 +58,9 @@ _ROUND11_FRONT = [
     "ns_quality_ccnet_buckets",
     "ns_embedding_rp",
     "ns_kcenter_coreset",
+    "ns_pmi_collocations",
+    "ns_winnowing_fingerprint",
+    "ns_winnowing_overlap",
     # (b) r05-stale rows (oldest in the repo)
     "ts_cumulative_uniques",
     "ts_retention_cohort",
@@ -65,7 +70,7 @@ _ROUND11_FRONT = [
     "udtf_arrow_map",
     "unpivot_melt",
     "win_streaks",
-    # (c) r06-stale cohort (first 37 alphabetically)
+    # (c) r06-stale cohort (first 34 alphabetically)
     "agg_cube",
     "agg_distinct",
     "agg_group_having",
@@ -100,9 +105,6 @@ _ROUND11_FRONT = [
     "ns_pii_scrub",
     "pivot_counts",
     "project_compute",
-    "sample_hash",
-    "scan_parquet",
-    "sink_jsonl_export",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -119,8 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 204/204 as of r11
-    (the five r11 additions were oracle-backed from birth:
+    """DuckDB twins for EVERY registered query — 207/207 as of r11
+    (the eight r11 additions were oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;
     ns_sample_temperature rides sqrt — the one IEEE-correctly-rounded
@@ -130,7 +132,11 @@ def oracle_sql() -> dict[str, str]:
     ns_embedding_rp replays the ±1 projections via a 1024-row signs
     VALUES join with the standard VARCHAR→decimal dot convention;
     ns_kcenter_coreset chains k-1 farthest-point selection CTEs with
-    the shared list_reduce distance folds); the
+    the shared list_reduce distance folds; ns_pmi_collocations rides
+    det_ln over exact integer marginal products; ns_winnowing_
+    fingerprint / ns_winnowing_overlap are pure integer
+    min/distinct/sum arithmetic over ONE shared selection fragment);
+    the
     rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF

@@ -105,6 +105,7 @@ HEADLINE = [
     "ns_quality_ccnet_buckets",
     "ns_embedding_rp",
     "ns_kcenter_coreset",
+    "ns_winnowing_overlap",
 ]
 
 

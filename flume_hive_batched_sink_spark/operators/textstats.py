@@ -21,7 +21,7 @@ from pyspark.sql.window import Window as W
 
 from .dedup import _CKEY as _DEDUP_CKEY
 from .dedup import _ckey_col as _dedup_ckey_col
-from .registry import ORACLE, query, tbl
+from .registry import ORACLE, det_ln_int, query, sql_det_ln_ctes, tbl
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 # (The fixture text is synthetic; the heuristic's job is to be a
@@ -2045,4 +2045,386 @@ def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---- PMI collocations ----
+
+# Minimum bigram count for a collocation candidate (rare pairs have
+# unstable PMI and would flood the top-k with count-1 flukes); 2 keeps
+# the filter exercised at every test SF.
+_PMI_MIN_COUNT = 2
+_PMI_TOPK = 50
+
+# Row-local adjacent-pair extraction (same shape as curation._PAIRS:
+# pairs come straight out of the token array in the scan projection —
+# no per-doc window shuffle).
+_PMI_PAIRS = (
+    "transform(sequence(0, greatest(size(t) - 2, 0)),"
+    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+)
+
+
+@query(
+    "ns_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM bc),
+    m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+    m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+    j AS (
+      SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12, m1.c1, m2.c2,
+             bc.c12 * tot.b AS num, m1.c1 * m2.c2 AS den
+      FROM bc JOIN m1 ON bc.w1 = m1.w1 JOIN m2 ON bc.w2 = m2.w2
+      CROSS JOIN tot
+      WHERE bc.c12 >= {_PMI_MIN_COUNT}
+    ),
+    {sql_det_ln_ctes("lnp", "j", {"num": "ln_num", "den": "ln_den"})}
+    SELECT w1, w2, c12, c1, c2, ln_num - ln_den AS pmi
+    FROM lnp
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def ns_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the top bigrams by
+    association strength rather than raw count — PMI(w1,w2) =
+    ln(P(w1,w2) / (P(w1·)·P(·w2))) over bigram events, the classic
+    collocation-extraction / multi-word-expression miner (and the
+    association score behind phrase-aware tokenizer vocabularies),
+    complementing ns_bigram_stats' frequency ranking.
+
+    All marginals are exact integer counts from ONE bigram aggregate,
+    so PMI = det_ln(c12·B) − det_ln(c1·c2) — two deterministic integer
+    logarithms (registry.det_ln_int), bit-identical cross-engine; the
+    min-count gate keeps count-1 flukes out of the top-k.
+
+    Scale: pair extraction is row-local array work in the scan
+    projection (no per-doc window); ONE (w1,w2) hash aggregate over
+    the corpus (map-side combine absorbs hot-pair skew); marginals and
+    the scoring joins run over the vocab²-bounded AGGREGATE, never the
+    corpus; B rides a 1-row broadcast; top-k is
+    TakeOrderedAndProject with a full tiebreak."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    pairs = (
+        d.select(F.split(F.lower(F.trim("text")), " ").alias("t"))
+        .select(F.explode(F.expr(_PMI_PAIRS)).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    tot = bc.agg(F.sum("c12").cast("bigint").alias("b"))
+    m1 = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    m2 = bc.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    j = (
+        bc.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            "c1",
+            "c2",
+            (F.col("c12") * F.col("b")).alias("num"),
+            (F.col("c1") * F.col("c2")).alias("den"),
+        )
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (det_ln_int(F.col("num")) - det_ln_int(F.col("den"))).alias(
+                "pmi"
+            ),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+# ---- winnowing fingerprints (MOSS) ----
+
+_WINNOW_K = 4  # k-gram length in tokens
+_WINNOW_W = 5  # winnowing window in k-grams
+_WINNOW_MOD = 1_000_000_007
+# position field width: (hash << 20) | (2^20-1-pos) makes the combined
+# int64 pick the SMALLEST hash and the RIGHTMOST position on hash ties
+# in one min() — the canonical winnowing selection rule. Documents are
+# contract-bounded below 2^20 tokens (ns_doc_chunk is the long-doc
+# pass); the 40-bit md5 hash rides the bloom-filter precedent.
+_WINNOW_POS = 1 << 20
+
+
+# The winnowing pipeline as a reusable CTE fragment (no WITH): token
+# arrays → packed k-gram hashes → per-window rightmost-min selection →
+# distinct per-doc fingerprint list. Shared by ns_winnowing_fingerprint
+# and ns_winnowing_overlap so the two oracles replay the IDENTICAL
+# selection.
+_WINNOW_SQL_CTES = f"""
+    toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             CAST(greatest(len(t) - {_WINNOW_K} + 1, 0) AS BIGINT) AS m,
+             list_transform(
+               range(0, greatest(len(t) - {_WINNOW_K} + 1, 0)),
+               i -> CAST('0x' || substring(
+                      md5(array_to_string(t[i + 1 : i + {_WINNOW_K}], ' ')),
+                      1, 10) AS BIGINT) * {_WINNOW_POS}
+                    + ({_WINNOW_POS} - 1 - i)
+             ) AS carr
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id, m,
+             CAST(greatest(m - {_WINNOW_W}, 0) + 1 AS BIGINT) AS n_windows,
+             list_distinct(list_transform(
+               range(0, greatest(m - {_WINNOW_W}, 0) + 1),
+               j -> list_aggregate(carr[j + 1 : j + {_WINNOW_W}], 'min')
+             )) AS fps
+      FROM kg WHERE m > 0
+    )
+"""
+
+
+def _winnow_sel(d: DataFrame) -> DataFrame:
+    """Spark twin of _WINNOW_SQL_CTES: (doc_id, m, n_windows, fps) with
+    fps the distinct packed (hash << 20 | inverted-pos) selections
+    (NULL for docs shorter than k tokens). ONE implementation feeds
+    both winnowing consumers."""
+    t = F.split(F.lower(F.trim("text")), " ")
+    m = F.greatest(F.size(t) - F.lit(_WINNOW_K - 1), F.lit(0)).cast(
+        "bigint"
+    )
+
+    def kgram_hash(i: Column) -> Column:
+        s = F.concat_ws(" ", F.slice(t, i + 1, _WINNOW_K))
+        return F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast(
+            "bigint"
+        ) * F.lit(_WINNOW_POS) + (F.lit(_WINNOW_POS - 1) - i)
+
+    carr = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0)).cast("int")),
+        kgram_hash,
+    )
+    n_windows = (
+        F.greatest(m - F.lit(_WINNOW_W), F.lit(0)) + F.lit(1)
+    ).cast("bigint")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(m - F.lit(_WINNOW_W), F.lit(0)).cast("int"),
+            ),
+            lambda j: F.array_min(F.slice(carr, j + 1, _WINNOW_W)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        m.alias("m"),
+        F.when(F.col("m") > 0, n_windows)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_windows"),
+        F.when(F.col("m") > 0, fps).otherwise(None).alias("fps"),
+    )
+
+
+@query(
+    "ns_winnowing_fingerprint",
+    f"""
+    WITH {_WINNOW_SQL_CTES}
+    SELECT k.doc_id,
+           k.m AS n_kgrams,
+           COALESCE(s.n_windows, 0) AS n_windows,
+           CAST(COALESCE(len(s.fps), 0) AS BIGINT) AS n_fp,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(s.fps, x -> x % {_WINNOW_MOD}), 'sum'),
+                0) AS BIGINT) AS fp_digest,
+           CAST(list_aggregate(s.fps, 'min') // {_WINNOW_POS}
+                AS BIGINT) AS min_fp_hash,
+           CAST(COALESCE(len(s.fps), 0) AS DOUBLE)
+             / CAST(greatest(COALESCE(s.n_windows, 0), 1) AS DOUBLE)
+             AS density
+    FROM kg k LEFT JOIN sel s ON k.doc_id = s.doc_id
+    """,
+)
+def ns_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    algorithm): per document, hash every {k}-token k-gram, slide a
+    {w}-k-gram window, keep each window's minimum hash (rightmost on
+    ties — the (hash << 20) | inverted-position packing makes ONE
+    integer min implement the canonical rule), and dedupe the
+    selections. The selected set is the guarantee-bearing LOCAL
+    fingerprint family (any shared run of w+k-1 tokens shares at least
+    one fingerprint) that partial-overlap / near-plagiarism detection
+    joins on — the local complement to ns_doc_fingerprint's whole-doc
+    hash and ns_dedup_exact_substring's exact windows.
+
+    Output: per-doc k-gram/window/fingerprint counts, selection
+    density (≈ 2/(w+1) for random text — the winnowing paper's
+    expected value), the order-independent modular digest of the
+    selected set, and the minimum selected hash.
+
+    Determinism: hashes are 40-bit md5 prefixes (the bloom-filter
+    precedent), selection/dedup/digest are integer min/distinct/sum —
+    order-independent, so Spark's array_distinct and DuckDB's
+    list_distinct agree despite different internal orders.
+
+    Scale: the ENTIRE operator is row-local array HOFs in the scan
+    projection — zero shuffle, zero joins at any corpus size (the
+    oracle's kg/sel CTEs are DuckDB-only structuring). At 100 TB this
+    is the embarrassingly-parallel fingerprint pass; the downstream
+    fingerprint-equality join (not registered here) is a standard
+    keyed shuffle on the exploded selections (registered as
+    ns_winnowing_overlap)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    scored = _winnow_sel(d)
+    digest = F.aggregate(
+        F.col("fps"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x % F.lit(_WINNOW_MOD),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("m").alias("n_kgrams"),
+        "n_windows",
+        F.coalesce(F.size("fps"), F.lit(0)).cast("bigint").alias("n_fp"),
+        F.coalesce(digest, F.lit(0)).cast("bigint").alias("fp_digest"),
+        # integer shift, NOT double division: the packed min is ~2^60
+        # and a double quotient rounds the low bit (caught by the
+        # oracle gate on first run)
+        F.shiftright(F.array_min("fps"), _WINNOW_POS.bit_length() - 1)
+        .cast("bigint")
+        .alias("min_fp_hash"),
+        (
+            F.coalesce(F.size("fps"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_windows"), F.lit(1)).cast("double")
+        ).alias("density"),
+    )
+
+
+# Posting cap for the overlap join: a fingerprint hash present in more
+# than this many documents is boilerplate (common phrase) and is
+# dropped BEFORE pair generation — the same hot-postings guard the
+# containment dedup uses, and the bound that keeps candidate volume
+# sub-quadratic at any corpus size.
+_WINNOW_HOT_CAP = 100
+
+
+@query(
+    "ns_winnowing_overlap",
+    f"""
+    WITH {_WINNOW_SQL_CTES},
+    ex AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(fps, x -> x // {_WINNOW_POS}))) AS fp
+      FROM sel
+    ),
+    cool AS (
+      SELECT fp FROM ex GROUP BY fp
+      HAVING COUNT(*) <= {_WINNOW_HOT_CAP}
+    ),
+    exf AS (SELECT ex.* FROM ex JOIN cool ON ex.fp = cool.fp),
+    nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM exf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
+      FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.ida, p.idb,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(na.n_fp AS BIGINT) AS n_fp_a,
+           CAST(nb.n_fp AS BIGINT) AS n_fp_b,
+           p.n_shared / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
+             AS overlap
+    FROM pairs p
+    JOIN nfp na ON p.ida = na.doc_id
+    JOIN nfp nb ON p.idb = nb.doc_id
+    """,
+)
+def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs over the winnowing fingerprints
+    (the MOSS report stage): documents sharing at least one selected
+    k-gram hash, with the shared count and the containment-style
+    overlap coefficient n_shared / min(|A|, |B|). This is the
+    guarantee-carrying complement to MinHash (any shared token run of
+    w+k-1 tokens IS caught), the join ns_winnowing_fingerprint's
+    docstring promises — and a candidate generator ns_dedup_* can
+    consume like the LSH bucket pairs.
+
+    Scale shape: fingerprints come from the shared row-local winnowing
+    projection (_winnow_sel — one implementation, both engines); the
+    join key is the fingerprint HASH (positions stripped + re-deduped
+    per doc), hot hashes above _WINNOW_HOT_CAP docs are dropped before
+    pair generation (the containment-dedup posting cap: boilerplate
+    phrases can't go quadratic), so candidate volume is
+    Σ|posting|² over capped postings — the standard bucketed-candidate
+    bound. Everything downstream of the explode is keyed aggregates
+    and 1:1 doc_id joins; counts exact ints, overlap ONE double
+    division."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    ex = (
+        _winnow_sel(d)
+        .filter(F.col("fps").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        "fps",
+                        lambda x: F.shiftright(
+                            x, _WINNOW_POS.bit_length() - 1
+                        ),
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    cool = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= _WINNOW_HOT_CAP)
+        .select("fp")
+    )
+    exf = ex.join(cool, "fp")
+    nfp = exf.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = exf.select(F.col("doc_id").alias("ida"), "fp")
+    b = exf.select(F.col("doc_id").alias("idb"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = nfp.select(F.col("doc_id").alias("ida"), F.col("n_fp").alias("n_fp_a"))
+    nb = nfp.select(F.col("doc_id").alias("idb"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_fp_a").cast("bigint").alias("n_fp_a"),
+            F.col("n_fp_b").cast("bigint").alias("n_fp_b"),
+            (
+                F.col("n_shared")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("overlap"),
+        )
     )

@@ -104,6 +104,8 @@ PLAN_QUERIES = [
     "ns_quality_ccnet_buckets",
     "ns_sample_temperature",
     "ns_kcenter_coreset",
+    "ns_pmi_collocations",
+    "ns_winnowing_fingerprint",
 ]
 
 
@@ -686,6 +688,36 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         not bad_nodes,
         bad_nodes[0] if bad_nodes
         else "project-over-scan only")
+
+    # ns_winnowing_fingerprint (r11): the whole operator is row-local
+    # array HOFs in the scan projection — same zero-shuffle contract
+    # as ns_embedding_rp (round-robin parallelism repartition is the
+    # only allowed Exchange).
+    p = _executed(ops.QUERIES["ns_winnowing_fingerprint"](spark, sf_dir))
+    bad_nodes = [
+        ln.strip() for ln in p.splitlines()
+        if _re.search(r"Exchange (hash|range)partitioning", ln)
+        or _node(ln) in ("Sort", "Window")
+        or "Join" in _node(ln)
+    ]
+    add("ns_winnowing_fingerprint",
+        "row-local winnowing (no keyed exchange/sort/window/join)",
+        not bad_nodes,
+        bad_nodes[0] if bad_nodes
+        else "project-over-scan with RoundRobin repartition only")
+
+    # ns_pmi_collocations (r11): scoring joins run over the bigram
+    # AGGREGATE (vocab²-bounded), never the corpus — the corpus-side
+    # plan is exactly one hash aggregate above the pair explode, the
+    # top-k is TakeOrderedAndProject (no global Sort), and no Window
+    # exists anywhere.
+    p = _executed(ops.QUERIES["ns_pmi_collocations"](spark, sf_dir))
+    has_tops = "TakeOrderedAndProject" in p
+    n_windows = sum(_node(ln) == "Window" for ln in p.splitlines())
+    add("ns_pmi_collocations",
+        "TakeOrderedAndProject top-k, zero Window",
+        has_tops and n_windows == 0,
+        f"TakeOrdered={has_tops}, windows={n_windows}")
     return checks
 
 

@@ -72,6 +72,9 @@ ALLOWED = {
     "total, exact-decimal weight-sum normalizer) joined onto the "
     "|langs|-row weight table — nothing corpus-scaled on either "
     "side of a nested loop",
+    "ns_pmi_collocations": "1-row broadcast total-bigram scalar (B "
+    "in the PMI numerator) joined onto the vocab²-bounded bigram "
+    "aggregate — never the corpus",
     "ns_quality_ccnet_buckets": "the perplexity pipeline's 1-row "
     "broadcast vocab-size scalar (shared _ppl_perdoc front); the "
     "cutoff join itself is lang-KEYED, not a nested loop",

@@ -2578,3 +2578,120 @@ def test_kcenter_coreset_invariants(spark):
     for i in range(len(cs)):
         for j in range(i + 1, len(cs)):
             assert float(((cs[i] - cs[j]) ** 2).sum()) >= radius - 1e-6
+
+
+def test_pmi_collocations_invariants(spark):
+    """ns_pmi_collocations invariants: the top-k is sorted by (pmi
+    desc, w1, w2), every row clears the min-count gate, and each pmi
+    equals ln(c12*B / (c1*c2)) within det_ln's truncation bound
+    (B recomputed independently from the corpus bigram count)."""
+    import math
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _PMI_MIN_COUNT,
+    )
+
+    rows = QUERIES["ns_pmi_collocations"](spark, SF_ORACLE).collect()
+    assert rows
+    b = duckdb.sql(
+        f"SELECT SUM(len(string_split(lower(trim(text)), ' ')) - 1) "
+        f"FROM read_parquet('{SF_ORACLE}/documents.parquet') "
+        f"WHERE len(string_split(lower(trim(text)), ' ')) > 1"
+    ).fetchone()[0]
+    keys = [(-r.pmi, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.c12 >= _PMI_MIN_COUNT, r
+        expect = math.log(r.c12 * b / (r.c1 * r.c2))
+        assert abs(r.pmi - expect) < 1e-8, (r, expect)
+
+
+def test_winnowing_fingerprint_replay(spark):
+    """ns_winnowing_fingerprint: independent pure-Python replay of the
+    algorithm (k-gram md5 hashes, rightmost-min window selection,
+    distinct, modular digest) must reproduce every output column for a
+    sample of docs, and the density column must respect winnowing's
+    bounds (one selection per window => density <= 1; every stretch of
+    w windows contributes >= 1 => density >= 1/w)."""
+    import hashlib
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _WINNOW_K,
+        _WINNOW_MOD,
+        _WINNOW_POS,
+        _WINNOW_W,
+    )
+
+    out = {r.doc_id: r for r in
+           QUERIES["ns_winnowing_fingerprint"](spark, SF_ORACLE).collect()}
+    assert out
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(trim(text)) FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT 8"
+    ).fetchall()
+    for doc_id, text in docs:
+        t = text.split(" ")
+        m = max(len(t) - _WINNOW_K + 1, 0)
+        carr = []
+        for i in range(m):
+            s = " ".join(t[i:i + _WINNOW_K])
+            h = int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+            carr.append(h * _WINNOW_POS + (_WINNOW_POS - 1 - i))
+        r = out[doc_id]
+        assert r.n_kgrams == m
+        if m == 0:
+            assert r.n_fp == 0 and r.fp_digest == 0
+            continue
+        wins = max(m - _WINNOW_W, 0) + 1
+        fps = {min(carr[j:j + _WINNOW_W]) for j in range(wins)}
+        assert r.n_windows == wins
+        assert r.n_fp == len(fps), doc_id
+        assert r.fp_digest == sum(x % _WINNOW_MOD for x in fps), doc_id
+        assert r.min_fp_hash == min(fps) >> 20, doc_id
+        assert 1.0 / _WINNOW_W <= r.density <= 1.0, r
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Winnowing's detection guarantee, on a planted pair: two docs
+    sharing a contiguous run of >= w+k-1 tokens MUST share at least
+    one selected fingerprint hash (Schleimer et al. thm 1 — every
+    w-window inside the shared run selects from the run on both
+    sides). Also fixture-level overlap invariants: ida < idb,
+    n_shared <= min(n_fp), 0 < overlap <= 1."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _WINNOW_K,
+        _WINNOW_POS,
+        _WINNOW_W,
+        _winnow_sel,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(_WINNOW_W + _WINNOW_K - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + run + " delta epsilon zeta"),
+            (2, "one two three four five " + run + " six seven"),
+            (3, "totally unrelated words only here nothing common"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = {
+        r.doc_id: {x >> (_WINNOW_POS.bit_length() - 1) for x in r.fps}
+        for r in _winnow_sel(docs).collect()
+    }
+    assert sel[1] & sel[2], "planted shared run produced no shared fp"
+    assert not (sel[1] & sel[3])
+
+    rows = QUERIES["ns_winnowing_overlap"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.ida < r.idb
+        assert 1 <= r.n_shared <= min(r.n_fp_a, r.n_fp_b), r
+        assert 0.0 < r.overlap <= 1.0, r
