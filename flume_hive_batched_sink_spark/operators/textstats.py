@@ -2378,6 +2378,11 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 1:1 doc_id joins; counts exact ints, overlap ONE double
     division."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
+    # persist: the winnowing projection is the expensive pass and four
+    # consumers sit on it (hot-cap count, both pair-join sides, per-doc
+    # totals) — without it the per-row HOF selection re-executes per
+    # subtree (measured 4x at sf0.1; the minhash signature-frame
+    # precedent, dedup.py)
     ex = (
         _winnow_sel(d)
         .filter(F.col("fps").isNotNull())
@@ -2394,6 +2399,7 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("fp"),
         )
+        .persist()
     )
     cool = (
         ex.groupBy("fp")
