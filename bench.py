@@ -269,6 +269,21 @@ def main() -> None:
                     "working-set parity with r2-r4); observed ambient "
                     "spread 17.2-19.5s on identical frozen code"
                 ),
+                # The r11 solo box ran UNIFORMLY ~1.4x slower than
+                # r10's on frozen, unchanged plans (median per-query
+                # ratio 1.41 across all 48 overlapping queries, no
+                # outlier family; PLANCHECK green; fresh-JVM probes on
+                # the oldest frozen queries reproduce the shift) — the
+                # r4 ambient episode's signature. Read r11-vs-r10
+                # comparisons through the frozen-subtotal ratios, not
+                # absolute seconds.
+                "note_r11_uniform_shift": (
+                    "r11 box uniformly ~1.4x slower than r10 on "
+                    "frozen unchanged plans (median ratio 1.41, all "
+                    "48 overlapping queries; plans unchanged, "
+                    "PLANCHECK green) - ambient boot-to-boot "
+                    "throughput shift, the r4 precedent"
+                ),
             }
         )
     )
