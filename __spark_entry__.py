@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 207 queries are registered (SURVEY §2 Part B, which matches the
+# 208 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 207
+# tests/test_properties.py::test_survey_registry_lockstep); all 208
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,22 +33,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 8 operators NEW in r11 (never driver-checked):
+# (a) 9 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
 #     ns_embedding_rp / ns_kcenter_coreset / ns_pmi_collocations /
-#     ns_winnowing_fingerprint / ns_winnowing_overlap — the r11
-#     second-wave additions;
+#     ns_winnowing_fingerprint / ns_winnowing_overlap /
+#     ns_tokenizer_fertility — the r11 second-wave additions;
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 34 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 33 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 8 + 8 + 34 = 50. Displaced to r12: the r06 alphabetical tail —
-# sample_hash, scan_parquet, sink_jsonl_export, sort_limit_topk,
+# 9 + 8 + 33 = 50. Displaced to r12: the r06 alphabetical tail —
+# project_compute, sample_hash, scan_parquet, sink_jsonl_export,
+# sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these ten lead the r12 window together with
+# win_first_last (these eleven lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -61,6 +62,7 @@ _ROUND11_FRONT = [
     "ns_pmi_collocations",
     "ns_winnowing_fingerprint",
     "ns_winnowing_overlap",
+    "ns_tokenizer_fertility",
     # (b) r05-stale rows (oldest in the repo)
     "ts_cumulative_uniques",
     "ts_retention_cohort",
@@ -70,7 +72,7 @@ _ROUND11_FRONT = [
     "udtf_arrow_map",
     "unpivot_melt",
     "win_streaks",
-    # (c) r06-stale cohort (first 34 alphabetically)
+    # (c) r06-stale cohort (first 33 alphabetically)
     "agg_cube",
     "agg_distinct",
     "agg_group_having",
@@ -104,7 +106,6 @@ _ROUND11_FRONT = [
     "ns_multimodal_pool",
     "ns_pii_scrub",
     "pivot_counts",
-    "project_compute",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -121,8 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 207/207 as of r11
-    (the eight r11 additions were oracle-backed from birth:
+    """DuckDB twins for EVERY registered query — 208/208 as of r11
+    (the nine r11 additions were oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;
     ns_sample_temperature rides sqrt — the one IEEE-correctly-rounded
@@ -135,8 +136,9 @@ def oracle_sql() -> dict[str, str]:
     the shared list_reduce distance folds; ns_pmi_collocations rides
     det_ln over exact integer marginal products; ns_winnowing_
     fingerprint / ns_winnowing_overlap are pure integer
-    min/distinct/sum arithmetic over ONE shared selection fragment);
-    the
+    min/distinct/sum arithmetic over ONE shared selection fragment;
+    ns_tokenizer_fertility reuses ns_bpe_encode's train-and-apply
+    fragments verbatim); the
     rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF

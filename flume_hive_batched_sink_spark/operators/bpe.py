@@ -277,10 +277,13 @@ def ns_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 ns_bpe_merges.__doc__ = ns_bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)
 
 
-@query(
-    "ns_bpe_encode",
-    f"""
-    WITH wf AS (
+# Train-and-apply CTE chain shared by ns_bpe_encode and
+# ns_tokenizer_fertility (no WITH): replay the merge rounds, derive
+# each vocabulary word's post-merge symbol count + merged flag, and
+# explode the corpus token stream (with lang, which encode's final
+# SELECT simply doesn't read).
+_BPE_APPLY_CTES = f"""
+    wf AS (
       SELECT w AS word, COUNT(*) AS cnt
       FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
             FROM documents)
@@ -306,12 +309,19 @@ ns_bpe_merges.__doc__ = ns_bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)
       FROM s2
     ),
     docw AS (
-      SELECT doc_id, w AS word
-      FROM (SELECT doc_id,
+      SELECT doc_id, lang, w AS word
+      FROM (SELECT doc_id, lang,
                    unnest(string_split(lower(trim(text)), ' ')) AS w
             FROM documents)
       WHERE w <> ''
     )
+"""
+
+
+@query(
+    "ns_bpe_encode",
+    f"""
+    WITH {_BPE_APPLY_CTES}
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(v.n_syms) AS BIGINT) AS n_symbols,
@@ -341,6 +351,24 @@ def ns_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles for the join; the per-doc rollup is one keyed
     aggregate with map-side combine. Symbol-membership flags are
     row-local string ops on the vocab side only."""
+    vocab, docw = _bpe_apply(spark, sf_dir)
+    return docw.join(F.broadcast(vocab), ["word"]).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("n_syms").cast("bigint").alias("n_symbols"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_tok"),
+        F.sum("has_merge").cast("bigint").alias("n_merged_tokens"),
+    )
+
+
+ns_bpe_encode.__doc__ = ns_bpe_encode.__doc__.format(rounds=_BPE_ROUNDS)
+
+
+def _bpe_apply(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _BPE_APPLY_CTES: (vocab frame with per-word
+    n_syms/has_merge/n_chars, exploded corpus token stream with lang).
+    ONE implementation feeds both apply-side consumers."""
     seqs, stats = bpe_train(spark, sf_dir)
     _require_rounds(stats, _BPE_ROUNDS)
     merged = [f"{l}{r}" for _rnd, l, r, _c, _t, _n in stats]
@@ -359,18 +387,67 @@ def ns_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = (
         d.select(
             "doc_id",
+            "lang",
             F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), " ")
             ).alias("word"),
         )
         .filter(F.col("word") != "")
     )
-    return docw.join(F.broadcast(vocab), ["word"]).groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.sum("n_syms").cast("bigint").alias("n_symbols"),
-        F.sum("n_chars").cast("bigint").alias("n_chars_tok"),
-        F.sum("has_merge").cast("bigint").alias("n_merged_tokens"),
+    return vocab, docw
+
+
+@query(
+    "ns_tokenizer_fertility",
+    f"""
+    WITH {_BPE_APPLY_CTES}
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.n_syms) AS BIGINT) AS n_symbols,
+           CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+           SUM(v.n_syms) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+           SUM(length(d.word)) / CAST(SUM(v.n_syms) AS DOUBLE)
+             AS chars_per_symbol,
+           SUM(v.has_merge) / CAST(COUNT(*) AS DOUBLE) AS merged_share
+    FROM docw d JOIN wsym v ON d.word = v.word
+    GROUP BY d.lang
+    """,
+)
+def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY under the trained BPE state —
+    the standard multilingual tokenizer-equity eval (symbols per word,
+    chars per symbol, merged-token share, per language): a vocabulary
+    trained on a skewed mixture over-segments tail languages, and this
+    is the table (mBERT/XLM-R analyses, 'tokenizer fairness') that
+    quantifies it BEFORE a costly corpus re-encode. Composes the
+    shared train-and-apply pipeline (_bpe_apply / _BPE_APPLY_CTES)
+    with ns_sample_temperature's lang axis: high-fertility languages
+    are exactly the ones temperature mixing up-weights.
+
+    Both engines train AND apply (shared fragments with
+    ns_bpe_encode, so the vocabulary cannot drift between the per-doc
+    audit and the per-lang eval); ratios are divisions of exactly-
+    summed integers — bit-identical.
+
+    Scale: identical to ns_bpe_encode's shape — Zipf-small vocabulary
+    BROADCAST onto the exploded token stream, then ONE |langs|-keyed
+    aggregate with map-side combine; the corpus never shuffles."""
+    vocab, docw = _bpe_apply(spark, sf_dir)
+    return (
+        docw.join(F.broadcast(vocab), ["word"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            (
+                F.sum("n_syms") / F.count("*").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum("n_chars") / F.sum("n_syms").cast("double")
+            ).alias("chars_per_symbol"),
+            (
+                F.sum("has_merge") / F.count("*").cast("double")
+            ).alias("merged_share"),
+        )
     )
-
-
-ns_bpe_encode.__doc__ = ns_bpe_encode.__doc__.format(rounds=_BPE_ROUNDS)

@@ -2695,3 +2695,26 @@ def test_winnowing_overlap_guarantee(spark):
         assert r.ida < r.idb
         assert 1 <= r.n_shared <= min(r.n_fp_a, r.n_fp_b), r
         assert 0.0 < r.overlap <= 1.0, r
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """ns_tokenizer_fertility invariants: every language's fertility
+    (BPE symbols per word) is >= 1 with at least one merged word
+    corpus-wide pulling SOME language strictly below the char-level
+    ceiling; chars_per_symbol >= 1; merged_share in [0, 1]; the
+    aggregate totals reconcile with ns_bpe_encode's per-doc audit
+    (same shared train-and-apply state)."""
+    from .conftest import SF_ORACLE
+
+    rows = QUERIES["ns_tokenizer_fertility"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.fertility >= 1.0, r
+        assert r.chars_per_symbol >= 1.0, r
+        assert 0.0 <= r.merged_share <= 1.0, r
+        assert r.fertility == r.n_symbols / r.n_tokens, r
+    assert any(r.merged_share > 0 for r in rows)
+
+    enc = QUERIES["ns_bpe_encode"](spark, SF_ORACLE).collect()
+    assert sum(r.n_tokens for r in rows) == sum(e.n_tokens for e in enc)
+    assert sum(r.n_symbols for r in rows) == sum(e.n_symbols for e in enc)
