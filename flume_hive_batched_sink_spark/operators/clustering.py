@@ -821,6 +821,43 @@ ns_semdedup_components.__doc__ = ns_semdedup_components.__doc__.format(
 _KC_K = 4
 
 
+def kcenter_select(
+    em: DataFrame, k: int, checkpoint_every: int = 32
+) -> list[tuple[int, list[float]]]:
+    """Gonzalez farthest-point selection: k (vec_id, embedding)
+    centers. The running-min frame is localCheckpointed every
+    `checkpoint_every` rounds — without it the lazy least() chain
+    re-executes every prior fold per round (k²·n/2 total; measured in
+    SCALING.md's k-center cadence row), with it total fold work is
+    ~n·k·cadence/2 = O(n·k) and plan depth stays bounded. Pass 0 to
+    disable (the measurement baseline)."""
+    first = em.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[tuple[int, list[float]]] = [
+        (int(first.vec_id), [float(x) for x in first.embedding])
+    ]
+    cur = em.select(
+        "vec_id",
+        "embedding",
+        _sqdiff_chain(F.col("embedding"), centers[0][1]).alias("dmin"),
+    )
+    for rnd in range(k - 1):
+        win = cur.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        centers.append(
+            (int(win.vec_id), [float(x) for x in win.embedding])
+        )
+        cur = cur.select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("dmin"),
+                _sqdiff_chain(F.col("embedding"), centers[-1][1]),
+            ).alias("dmin"),
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return centers
+
+
 def _kc_sql() -> str:
     """k-1 chained selection rounds in SQL: each round picks the
     vector with the LARGEST running min-distance (tie: min vec_id) as
@@ -908,38 +945,21 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; winner selection is a (dmin DESC, vec_id) total order.
 
     Iterative shape on Spark (the Lloyd/BPE loop pattern): each round
-    is ONE corpus pass — the candidate frame carries a running `dmin`
-    column that folds in ONE new distance per round (O(k·n) total
-    distance evals, not k²·n) — plus a bounded TakeOrdered(1) driver
-    collect for the winner. Zero shuffle in the selection loop (the
-    orderBy-limit-1 is TakeOrderedAndProject); the final assignment is
-    a row-local array_min over k broadcast-literal structs. At
-    production k, localCheckpoint the candidate frame every ~32 rounds
-    (bpe_train's measured cadence) to cap lineage depth; at 100 TB the
-    per-round collect stays 1 row regardless of corpus size."""
+    is ONE corpus pass plus a bounded TakeOrdered(1) driver collect
+    for the winner. The candidate frame's `dmin` is a LAZY least()
+    chain, so without materialization round t re-executes all t prior
+    folds (k²·n/2 total — the same lineage trap bpe_train measured);
+    kcenter_select therefore localCheckpoints the frame every
+    `checkpoint_every` rounds (default 32, bpe_train's measured
+    cadence), capping total fold work at ~n·k·cadence/2 = O(n·k) and
+    plan depth at the cadence. Zero shuffle in the selection loop
+    (the orderBy-limit-1 is TakeOrderedAndProject); the final
+    assignment is a row-local array_min over k broadcast-literal
+    structs (at very large k the _use_join_assign broadcast-join form
+    applies, the kmeans crossover). At 100 TB the per-round collect
+    stays 1 row regardless of corpus size."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    first = em.orderBy("vec_id").limit(1).collect()[0]
-    centers: list[tuple[int, list[float]]] = [
-        (int(first.vec_id), [float(x) for x in first.embedding])
-    ]
-    cur = em.select(
-        "vec_id",
-        "embedding",
-        _sqdiff_chain(F.col("embedding"), centers[0][1]).alias("dmin"),
-    )
-    for _ in range(_KC_K - 1):
-        win = cur.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
-        centers.append(
-            (int(win.vec_id), [float(x) for x in win.embedding])
-        )
-        cur = cur.select(
-            "vec_id",
-            "embedding",
-            F.least(
-                F.col("dmin"),
-                _sqdiff_chain(F.col("embedding"), centers[-1][1]),
-            ).alias("dmin"),
-        )
+    centers = kcenter_select(em, _KC_K)
     structs = F.array(
         *[
             F.struct(
