@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 208 queries are registered (SURVEY §2 Part B, which matches the
+# 212 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 208
+# tests/test_properties.py::test_survey_registry_lockstep); all 212
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,23 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 9 operators NEW in r11 (never driver-checked):
+# (a) 13 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
 #     ns_embedding_rp / ns_kcenter_coreset / ns_pmi_collocations /
 #     ns_winnowing_fingerprint / ns_winnowing_overlap /
 #     ns_tokenizer_fertility — the r11 second-wave additions;
+#     ns_zipf_fit / ns_token_burstiness / ns_lang_divergence /
+#     ns_ngram_novelty — the r11 third-wave additions (Zipf
+#     power-law fit, Church-Gale burstiness, per-language JS drift,
+#     per-doc shingle novelty);
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 33 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 29 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 9 + 8 + 33 = 50. Displaced to r12: the r06 alphabetical tail —
-# project_compute, sample_hash, scan_parquet, sink_jsonl_export,
-# sort_limit_topk,
+# 13 + 8 + 29 = 50. Displaced to r12: the r06 alphabetical tail —
+# ns_multimodal_framesample, ns_multimodal_pool, ns_pii_scrub,
+# pivot_counts, project_compute, sample_hash, scan_parquet,
+# sink_jsonl_export, sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these eleven lead the r12 window together with
+# win_first_last (these fifteen lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -63,6 +68,10 @@ _ROUND11_FRONT = [
     "ns_winnowing_fingerprint",
     "ns_winnowing_overlap",
     "ns_tokenizer_fertility",
+    "ns_zipf_fit",
+    "ns_token_burstiness",
+    "ns_lang_divergence",
+    "ns_ngram_novelty",
     # (b) r05-stale rows (oldest in the repo)
     "ts_cumulative_uniques",
     "ts_retention_cohort",
@@ -102,10 +111,6 @@ _ROUND11_FRONT = [
     "ns_dedup_exact",
     "ns_multimodal_cols",
     "ns_multimodal_decode",
-    "ns_multimodal_framesample",
-    "ns_multimodal_pool",
-    "ns_pii_scrub",
-    "pivot_counts",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).

@@ -1100,3 +1100,113 @@ def ns_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "weight", "group_chars")
     )
+
+
+# ---------- n-gram novelty ----------
+
+# 8-token shingles: long enough that cross-document collisions mean
+# real shared phrasing (the contamination-ngram precedent), short
+# enough that every fixture doc yields a saturated shingle set.
+_NOVELTY_K = 8
+
+
+def _novelty_sql() -> str:
+    sh_list = (
+        f"[array_to_string(string_split({_NORM}, ' ')"
+        f"[i:i+{_NOVELTY_K - 1}], ' ')"
+        f" FOR i IN range(1, greatest(len(string_split({_NORM}, ' '))"
+        f" - {_NOVELTY_K - 1}, 1) + 1)]"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(list_distinct({sh_list}),
+                              s -> {_h32_sql('s')}))) AS fp
+      FROM documents
+    ),
+    firsts AS (SELECT fp, MIN(doc_id) AS first_doc FROM sh GROUP BY fp),
+    per AS (
+      SELECT sh.doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh JOIN firsts f ON sh.fp = f.fp
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN per.n_sh > 0
+                THEN per.n_novel / CAST(per.n_sh AS DOUBLE)
+                ELSE NULL END AS novelty
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+@query("ns_ngram_novelty", _novelty_sql())
+def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 8-token shingles whose FIRST corpus occurrence (min
+    doc_id — ingest-order proxy) is this document. The marginal-value
+    curve behind dedup-aware data valuation ("how much genuinely new
+    text does each document add?"): near-duplicates and
+    boilerplate-heavy docs score near 0, fresh text near 1 — the
+    per-document complement to the corpus-level dedup family, and the
+    metric a curation pipeline thresholds to drop low-information
+    late arrivals without computing explicit pairs.
+
+    Determinism: shingles are the dedup family's normalized token
+    shingles hashed through _h32 (md5-derived, byte-identical in
+    DuckDB); firsts/counts are exact integer min/count; novelty is
+    ONE int/int double division behind an n>0 gate that can't diverge
+    (left-joined docs with no shingles surface as 0/0/NULL on both
+    engines).
+
+    Scale: shingle extraction + hashing + per-doc distinct are
+    row-local array HOFs in the scan projection (the 8-byte hash —
+    not the 8-token string — is what shuffles, the _h32 width
+    precedent); ONE fp-keyed hash aggregate for first-occurrence,
+    ONE fp-keyed equi-join back (both bucketed on the same key, and
+    AQE coalesces the two exchanges), then a doc_id-keyed rollup.
+    No candidate pairs, no windows, no BNLJ at any corpus size."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    ex = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(_norm_col(), _NOVELTY_K), _h32
+                )
+            )
+        ).alias("fp"),
+    )
+    firsts = ex.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(firsts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sh"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.when(
+                F.col("n_sh") > 0,
+                F.col("n_novel") / F.col("n_sh").cast("double"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("novelty"),
+        )
+    )

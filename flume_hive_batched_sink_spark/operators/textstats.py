@@ -21,7 +21,15 @@ from pyspark.sql.window import Window as W
 
 from .dedup import _CKEY as _DEDUP_CKEY
 from .dedup import _ckey_col as _dedup_ckey_col
-from .registry import ORACLE, det_ln_int, query, sql_det_ln_ctes, tbl
+from .registry import (
+    ORACLE,
+    det_ln_int,
+    dsum,
+    query,
+    sql_det_ln_ctes,
+    sql_dsum,
+    tbl,
+)
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 # (The fixture text is synthetic; the heuristic's job is to be a
@@ -2433,4 +2441,372 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.least("n_fp_a", "n_fp_b").cast("double")
             ).alias("overlap"),
         )
+    )
+
+
+# ---- Zipf fit ----
+
+# OLS over the top-N (ln rank, ln count) points per language. 100
+# ranks is the standard head-of-distribution fit window (the tail
+# bends away from the power law and would bias the slope); every test
+# SF has >= 100 token types per language so the window is saturated.
+_ZIPF_TOPN = 100
+
+
+@query(
+    "ns_zipf_fit",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, tok, c,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY c DESC, tok
+             ) AS r
+      FROM tc
+    ),
+    top AS (SELECT lang, r, c FROM ranked WHERE r <= {_ZIPF_TOPN}),
+    {sql_det_ln_ctes("lnz", "top", {"r": "x", "c": "y"})},
+    s AS (
+      SELECT lang, COUNT(*) AS n,
+             {sql_dsum("x", "sx")}, {sql_dsum("y", "sy")},
+             {sql_dsum("x * x", "sxx")}, {sql_dsum("x * y", "sxy")},
+             {sql_dsum("y * y", "syy")}
+      FROM lnz GROUP BY lang HAVING COUNT(*) >= 2
+    ),
+    fit AS (
+      SELECT lang, n, sx, sy,
+             (CAST(n AS DOUBLE) * sxy - sx * sy) AS cov_n,
+             (CAST(n AS DOUBLE) * sxx - sx * sx) AS var_x,
+             (CAST(n AS DOUBLE) * syy - sy * sy) AS var_y
+      FROM s
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_points,
+           cov_n / var_x AS zipf_slope,
+           (sy - (cov_n / var_x) * sx) / CAST(n AS DOUBLE)
+             AS zipf_intercept,
+           CASE WHEN var_y > CAST(0.0 AS DOUBLE)
+                THEN cov_n * cov_n / (var_x * var_y)
+                ELSE NULL END AS r2
+    FROM fit
+    """,
+)
+def ns_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope/intercept of ln(count)
+    against ln(rank) over each language's top-{100} token ranks, plus
+    the fit's r² — the corpus-health diagnostic run before tokenizer
+    training (a slope far from −1 or a poor r² flags synthetic,
+    boilerplate-heavy, or mis-segmented text; Zipf 1949, and the
+    power-law sanity check in every corpus datasheet).
+
+    Determinism: both coordinates are det_ln over exact integers
+    (rank from a fully tie-broken row_number, count from the token
+    aggregate); all five OLS sums go through the exact-decimal dsum;
+    the closing slope/intercept/r² arithmetic is the same +,-,*,/
+    tree on both engines (IEEE correctly rounded). The r² guard
+    compares the variance term to 0.0 identically, so the NULL branch
+    can't diverge.
+
+    Scale: ONE corpus token hash aggregate (map-side combine); the
+    rank window runs over the vocabulary-bounded aggregate, never the
+    corpus; the OLS aggregate sees ≤ {100}·|langs| rows. Zero
+    corpus-scaled joins or windows."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    tc = (
+        d.select(
+            "lang",
+            F.explode(_TOKENS(F.lower(F.trim("text")))).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = tc.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.desc("c"), "tok")
+        ),
+    ).filter(F.col("r") <= _ZIPF_TOPN)
+    pts = ranked.select(
+        "lang",
+        det_ln_int(F.col("r")).alias("x"),
+        det_ln_int(F.col("c")).alias("y"),
+    )
+    s = (
+        pts.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("x"), "sx"),
+            dsum(F.col("y"), "sy"),
+            dsum(F.col("x") * F.col("x"), "sxx"),
+            dsum(F.col("x") * F.col("y"), "sxy"),
+            dsum(F.col("y") * F.col("y"), "syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_points"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("zipf_intercept"),
+        F.when(var_y > F.lit(0.0), cov_n * cov_n / (var_x * var_y))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("r2"),
+    )
+
+
+# ---- token burstiness ----
+
+# Church & Gale: content words "burst" (recur within the documents
+# they touch) while function words spread evenly — burstiness = cf/df
+# (mean within-document occurrences over containing documents) ranks
+# topical/templated terms that raw frequency hides. Min-df gate keeps
+# one-document flukes (whose cf/df is just their repeat count) out of
+# the top-k.
+_BURST_MIN_DF = 3
+_BURST_TOPK = 50
+
+
+@query(
+    "ns_token_burstiness",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    dtc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    tc AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM dtc GROUP BY tok HAVING COUNT(*) >= {_BURST_MIN_DF}
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok, cf, df,
+           cf / CAST(df AS DOUBLE) AS burstiness,
+           df / CAST(nd.n_docs AS DOUBLE) AS df_ratio
+    FROM tc CROSS JOIN nd
+    ORDER BY burstiness DESC, tok
+    LIMIT {_BURST_TOPK}
+    """,
+)
+def ns_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995): cf/df — a token's mean
+    within-document repeat count over the documents containing it —
+    with the document-frequency ratio alongside. High-burstiness
+    tokens recur heavily inside few documents (topical terms,
+    templates, boilerplate markers: dedup/quality candidates); evenly
+    spread tokens score ~1 (function words). The clumping complement
+    to ns_token_commonness' coverage ranking.
+
+    Determinism: cf and df are exact integers from two hash
+    aggregates; burstiness and df_ratio are single int/int double
+    divisions (IEEE-exactly equal cross-engine); the top-k carries the
+    token itself as tiebreak.
+
+    Scale: the (doc_id, token) aggregate map-side combines inside the
+    scan's own partitions (a document's rows are co-located, so the
+    per-doc counts collapse before any exchange); the second
+    aggregate and the HAVING run over the vocabulary-bounded frame;
+    n_docs rides a 1-row broadcast; the top-k is
+    TakeOrderedAndProject. The corpus is read ONCE and never
+    joined."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    dtc = (
+        d.select(
+            "doc_id",
+            F.explode(_TOKENS(F.lower(F.trim("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tc = (
+        dtc.groupBy("tok")
+        .agg(
+            F.sum("c").cast("bigint").alias("cf"),
+            F.count("*").cast("bigint").alias("df"),
+        )
+        .filter(F.col("df") >= _BURST_MIN_DF)
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        tc.crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "cf",
+            "df",
+            (F.col("cf") / F.col("df").cast("double")).alias("burstiness"),
+            (F.col("df") / F.col("n_docs").cast("double")).alias("df_ratio"),
+        )
+        .orderBy(F.desc("burstiness"), "tok")
+        .limit(_BURST_TOPK)
+    )
+
+
+# ---- language JS divergence ----
+
+
+def _lang_div_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS a
+      FROM toks GROUP BY 1, 2
+    ),
+    ct AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS c_t FROM tc GROUP BY 1),
+    lt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS aa FROM tc GROUP BY 1),
+    nn AS (SELECT CAST(SUM(aa) AS BIGINT) AS n FROM lt),
+    frame AS (
+      SELECT lt.lang, ct.tok, COALESCE(tc.a, 0) AS a,
+             ct.c_t - COALESCE(tc.a, 0) AS b,
+             lt.aa, nn.n - lt.aa AS bb
+      FROM ct CROSS JOIN lt CROSS JOIN nn
+      LEFT JOIN tc ON tc.lang = lt.lang AND tc.tok = ct.tok
+    ),
+    {sql_det_ln_ctes(
+        "lnj",
+        "frame",
+        {
+            "greatest(2 * a * bb, 1)": "ln_pn",
+            "greatest(a * bb + b * aa, 1)": "ln_den",
+            "greatest(2 * b * aa, 1)": "ln_qn",
+        },
+    )},
+    terms AS (
+      SELECT lang, aa, bb,
+             CASE WHEN a >= 1 THEN a * (ln_pn - ln_den)
+                  ELSE CAST(0.0 AS DOUBLE) END AS pt,
+             CASE WHEN b >= 1 THEN b * (ln_qn - ln_den)
+                  ELSE CAST(0.0 AS DOUBLE) END AS qt,
+             CASE WHEN a >= 1 THEN 1 ELSE 0 END AS has_a
+      FROM lnj
+    ),
+    s AS (
+      SELECT lang, aa, bb, SUM(has_a) AS n_types,
+             {sql_dsum("pt", "sp")}, {sql_dsum("qt", "sq")}
+      FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT lang, CAST(n_types AS BIGINT) AS n_types,
+           aa AS n_tokens,
+           CAST(0.5 AS DOUBLE) * (sp / CAST(aa AS DOUBLE)
+                                  + sq / CAST(bb AS DOUBLE))
+             AS js_vs_rest
+    FROM s WHERE aa >= 1 AND bb >= 1
+    """
+
+
+@query("ns_lang_divergence", _lang_div_sql())
+def ns_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distribution drift: Jensen-Shannon divergence (in
+    nats, 0 ≤ JS ≤ ln 2) between each language's unigram distribution
+    and the REST of the corpus — the mixture-monitoring statistic a
+    multilingual pipeline tracks across snapshots (a language whose
+    JS jumps got polluted or re-segmented; the distributional twin of
+    ns_domain_mixture's volume shares).
+
+    Every log is a ratio of INTEGER count products, so JS decomposes
+    into det_ln differences: with a = count(tok|lang), A = Σa,
+    b = count(tok|rest), B = Σb, the p-side term is
+    a·[det_ln(2aB) − det_ln(aB + bA)] (zero-count sides contribute
+    exactly 0 behind integer CASE gates; greatest(·,1) keeps det_ln's
+    domain without affecting any gated-in value). Per-lang sums ride
+    the exact-decimal dsum; the closing 0.5·(sp/A + sq/B) is the same
+    IEEE tree both engines. Count products stay inside int64 up to
+    ~2e9 tokens per side — beyond that shard the corpus or rescale
+    counts (the PMI c12·B precedent, same bound).
+
+    Scale: ONE corpus token aggregate; everything downstream (ct, lt,
+    the |vocab|·|langs| frame, the left join) is vocabulary-bounded
+    with the language totals and corpus total riding broadcasts; the
+    output is |langs| rows. The corpus is read once and never
+    joined."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    tc = (
+        d.select(
+            "lang",
+            F.explode(_TOKENS(F.lower(F.trim("text")))).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("a"))
+    )
+    ct = tc.groupBy("tok").agg(F.sum("a").cast("bigint").alias("c_t"))
+    lt = tc.groupBy("lang").agg(F.sum("a").cast("bigint").alias("aa"))
+    nn = lt.agg(F.sum("aa").cast("bigint").alias("n"))
+    frame = (
+        ct.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(nn))
+        .join(tc, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            (F.col("c_t") - F.coalesce(F.col("a"), F.lit(0))).alias("b"),
+            "aa",
+            (F.col("n") - F.col("aa")).alias("bb"),
+        )
+    )
+    one = F.lit(1)
+    lnj = frame.select(
+        "lang",
+        "a",
+        "b",
+        "aa",
+        "bb",
+        det_ln_int(
+            F.greatest(F.lit(2) * F.col("a") * F.col("bb"), one)
+        ).alias("ln_pn"),
+        det_ln_int(
+            F.greatest(
+                F.col("a") * F.col("bb") + F.col("b") * F.col("aa"), one
+            )
+        ).alias("ln_den"),
+        det_ln_int(
+            F.greatest(F.lit(2) * F.col("b") * F.col("aa"), one)
+        ).alias("ln_qn"),
+    )
+    terms = lnj.select(
+        "lang",
+        "aa",
+        "bb",
+        F.when(
+            F.col("a") >= 1,
+            F.col("a") * (F.col("ln_pn") - F.col("ln_den")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pt"),
+        F.when(
+            F.col("b") >= 1,
+            F.col("b") * (F.col("ln_qn") - F.col("ln_den")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qt"),
+        F.when(F.col("a") >= 1, 1).otherwise(0).alias("has_a"),
+    )
+    s = terms.groupBy("lang", "aa", "bb").agg(
+        F.sum("has_a").alias("n_types"),
+        dsum(F.col("pt"), "sp"),
+        dsum(F.col("qt"), "sq"),
+    )
+    return s.filter((F.col("aa") >= 1) & (F.col("bb") >= 1)).select(
+        "lang",
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("aa").alias("n_tokens"),
+        (
+            F.lit(0.5)
+            * (
+                F.col("sp") / F.col("aa").cast("double")
+                + F.col("sq") / F.col("bb").cast("double")
+            )
+        ).alias("js_vs_rest"),
     )

@@ -2718,3 +2718,196 @@ def test_tokenizer_fertility_invariants(spark):
     enc = QUERIES["ns_bpe_encode"](spark, SF_ORACLE).collect()
     assert sum(r.n_tokens for r in rows) == sum(e.n_tokens for e in enc)
     assert sum(r.n_symbols for r in rows) == sum(e.n_symbols for e in enc)
+
+
+def test_zipf_fit_invariants(spark):
+    """ns_zipf_fit: one row per language, negative slope (counts fall
+    with rank), r2 in (0, 1], and slope/intercept match an independent
+    numpy OLS over the same (ln rank, ln count) points within the
+    det_ln + decimal-sum tolerance."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _ZIPF_TOPN,
+    )
+
+    rows = {r.lang: r for r in QUERIES["ns_zipf_fit"](spark, SF_ORACLE).collect()}
+    assert rows
+    langs = duckdb.sql(
+        f"SELECT DISTINCT lang FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchall()
+    assert set(rows) == {l[0] for l in langs}
+    for lang, r in rows.items():
+        assert r.n_points <= _ZIPF_TOPN
+        assert r.zipf_slope < 0, r
+        assert r.r2 is None or 0.0 < r.r2 <= 1.0 + 1e-12, r
+        pts = duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+              FROM read_parquet('{SF_ORACLE}/documents.parquet')
+              WHERE lang = '{lang}'
+            ),
+            tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+            rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+                   FROM tc)
+            SELECT r, c FROM rk WHERE r <= {_ZIPF_TOPN}
+            """
+        ).fetchall()
+        assert r.n_points == len(pts)
+        x = np.log([p[0] for p in pts])
+        y = np.log([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.zipf_slope - slope) < 1e-3, (lang, r.zipf_slope, slope)
+        assert abs(r.zipf_intercept - intercept) < 1e-3
+        if r.r2 is not None:
+            cc = np.corrcoef(x, y)[0, 1]
+            assert abs(r.r2 - cc * cc) < 1e-3
+
+
+def test_token_burstiness_invariants(spark):
+    """ns_token_burstiness: ordered by (burstiness desc, tok), every
+    row clears the min-df gate, burstiness >= 1 (cf >= df by
+    construction) and equals an independent DuckDB cf/df replay."""
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _BURST_MIN_DF,
+        _BURST_TOPK,
+    )
+
+    rows = QUERIES["ns_token_burstiness"](spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= _BURST_TOPK
+    keys = [(-r.burstiness, r.tok) for r in rows]
+    assert keys == sorted(keys)
+    ref = dict(
+        duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(text)), ' ')) AS tok
+              FROM read_parquet('{SF_ORACLE}/documents.parquet')
+            ),
+            dtc AS (SELECT doc_id, tok, COUNT(*) AS c
+                    FROM toks GROUP BY 1, 2)
+            SELECT tok, SUM(c) / CAST(COUNT(*) AS DOUBLE)
+            FROM dtc GROUP BY tok
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.df >= _BURST_MIN_DF, r
+        assert r.burstiness >= 1.0, r
+        assert r.burstiness == r.cf / r.df, r
+        assert abs(ref[r.tok] - r.burstiness) < 1e-12, r
+        assert 0.0 < r.df_ratio <= 1.0
+
+
+def test_lang_divergence_invariants(spark):
+    """ns_lang_divergence: one row per language, 0 <= JS <= ln 2, and
+    each JS matches an independent math.log replay of the
+    each-vs-rest Jensen-Shannon divergence within det_ln tolerance."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+
+    rows = {
+        r.lang: r
+        for r in QUERIES["ns_lang_divergence"](spark, SF_ORACLE).collect()
+    }
+    assert rows
+    docs = duckdb.sql(
+        f"SELECT lang, lower(trim(text)) FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchall()
+    per_lang: dict[str, Counter] = {}
+    for lang, text in docs:
+        per_lang.setdefault(lang, Counter()).update(text.split(" "))
+    assert set(rows) == set(per_lang)
+    total = Counter()
+    for c in per_lang.values():
+        total.update(c)
+    n_total = sum(total.values())
+    for lang, r in rows.items():
+        cnt = per_lang[lang]
+        a_tot = sum(cnt.values())
+        b_tot = n_total - a_tot
+        assert r.n_tokens == a_tot
+        assert r.n_types == len(cnt)
+        js = 0.0
+        for tok, ct in total.items():
+            a = cnt.get(tok, 0)
+            b = ct - a
+            p = a / a_tot
+            q = b / b_tot
+            if a:
+                js += 0.5 * p * math.log(2 * p / (p + q))
+            if b:
+                js += 0.5 * q * math.log(2 * q / (p + q))
+        assert -1e-12 <= r.js_vs_rest <= math.log(2) + 1e-12, r
+        assert abs(r.js_vs_rest - js) < 1e-6, (lang, r.js_vs_rest, js)
+
+
+def test_ngram_novelty_invariants(spark):
+    """ns_ngram_novelty: one row per document; n_novel <= n_shingles;
+    novelty in [0, 1]; the corpus-minimum doc_id scores exactly 1;
+    an exact-duplicate of an earlier document scores exactly 0; and
+    sum(n_novel) equals the corpus-wide distinct fingerprint count
+    (every fingerprint is novel in exactly one document)."""
+    import hashlib
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.dedup import _NOVELTY_K
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["ns_ngram_novelty"](spark, SF_ORACLE).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(trim(text)) FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchall()
+    assert set(rows) == {d[0] for d in docs}
+
+    def fps(text: str) -> set[int]:
+        t = text.split(" ")
+        n = max(len(t) - _NOVELTY_K + 1, 1)
+        out = set()
+        for i in range(n):
+            s = " ".join(t[i:i + _NOVELTY_K])
+            out.add(int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+        return out
+
+    all_fp: set[int] = set()
+    first_text: dict[str, int] = {}
+    for doc_id, text in sorted(docs):
+        f = fps(text)
+        r = rows[doc_id]
+        assert r.n_shingles == len(f), (doc_id, r.n_shingles, len(f))
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty <= 1.0
+        novel = f - all_fp
+        assert r.n_novel == len(novel), doc_id
+        all_fp |= f
+        if text not in first_text:
+            first_text[text] = doc_id
+
+    min_doc = min(rows)
+    assert rows[min_doc].novelty == 1.0
+    dup_seen = 0
+    for doc_id, text in docs:
+        if first_text[text] != doc_id:
+            assert rows[doc_id].novelty == 0.0, doc_id
+            dup_seen += 1
+    assert sum(r.n_novel for r in rows.values()) == len(all_fp)
