@@ -106,6 +106,13 @@ PLAN_QUERIES = [
     "ns_kcenter_coreset",
     "ns_pmi_collocations",
     "ns_winnowing_fingerprint",
+    # round 11 third wave: vocab-bounded Zipf rank window, sort-free
+    # burstiness top-k, bounded-broadcast JS divergence, fp-keyed
+    # novelty join.
+    "ns_zipf_fit",
+    "ns_token_burstiness",
+    "ns_lang_divergence",
+    "ns_ngram_novelty",
 ]
 
 
@@ -718,6 +725,55 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "TakeOrderedAndProject top-k, zero Window",
         has_tops and n_windows == 0,
         f"TakeOrdered={has_tops}, windows={n_windows}")
+
+    # ns_token_burstiness (r11): same shape contract as PMI — the
+    # top-k is TakeOrderedAndProject (never a global Sort) and no
+    # Window exists (the ranking is the limit, not a rank function).
+    p = _executed(ops.QUERIES["ns_token_burstiness"](spark, sf_dir))
+    has_tops = "TakeOrderedAndProject" in p
+    n_windows = sum(_node(ln) == "Window" for ln in p.splitlines())
+    add("ns_token_burstiness",
+        "TakeOrderedAndProject top-k, zero Window",
+        has_tops and n_windows == 0,
+        f"TakeOrdered={has_tops}, windows={n_windows}")
+
+    # ns_zipf_fit (r11): the rank window must run over the
+    # vocab-bounded token AGGREGATE, never the corpus — exactly one
+    # Window node, and a HashAggregate sits BELOW it in the plan text
+    # (the corpus collapses before any sort).
+    p = _executed(ops.QUERIES["ns_zipf_fit"](spark, sf_dir))
+    lines_ = p.splitlines()
+    win_idx = [i for i, ln in enumerate(lines_) if _node(ln) == "Window"]
+    # executed-plan text prints "HashAggregate(keys=..." (no space
+    # before the paren), so match on the node-name prefix
+    agg_below = any(
+        _node(ln).startswith("HashAggregate")
+        for ln in lines_[win_idx[0]:]) if win_idx else False
+    add("ns_zipf_fit",
+        "ONE rank Window, fed by a HashAggregate (vocab-bounded, "
+        "never the corpus)",
+        len(win_idx) == 1 and agg_below,
+        f"windows={len(win_idx)}, agg_below_window={agg_below}")
+
+    # ns_ngram_novelty (r11): every exchange is keyed on the 8-byte
+    # fingerprint or doc_id — no exchange ever carries the shingle
+    # STRING (the _h32 shuffle-width contract) — and no Window exists.
+    p = _executed(ops.QUERIES["ns_ngram_novelty"](spark, sf_dir))
+    n_windows = sum(_node(ln) == "Window" for ln in p.splitlines())
+    hashparts = [
+        ln.strip() for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    bad_keys = [
+        ln for ln in hashparts
+        if not ("fp" in ln or "doc_id" in ln)
+    ]
+    add("ns_ngram_novelty",
+        "zero Window; every hash exchange keyed on fp/doc_id (8-byte "
+        "hash shuffles, never shingle strings)",
+        n_windows == 0 and not bad_keys and hashparts,
+        f"windows={n_windows}, exchanges={len(hashparts)}, "
+        f"bad={bad_keys[:1]}")
     return checks
 
 

@@ -75,6 +75,13 @@ ALLOWED = {
     "ns_pmi_collocations": "1-row broadcast total-bigram scalar (B "
     "in the PMI numerator) joined onto the vocab²-bounded bigram "
     "aggregate — never the corpus",
+    "ns_token_burstiness": "1-row broadcast n_docs scalar joined "
+    "onto the vocab-bounded token aggregate (the PMI total-scalar "
+    "pattern) — never the corpus",
+    "ns_lang_divergence": "two bounded broadcasts (|langs|-row "
+    "totals, 1-row corpus total) crossed onto the vocab-bounded "
+    "token aggregate to build the |vocab|·|langs| frame — never the "
+    "corpus, which is read once and only aggregated",
     "ns_quality_ccnet_buckets": "the perplexity pipeline's 1-row "
     "broadcast vocab-size scalar (shared _ppl_perdoc front); the "
     "cutoff join itself is lang-KEYED, not a nested loop",
