@@ -106,6 +106,12 @@ HEADLINE = [
     "ns_embedding_rp",
     "ns_kcenter_coreset",
     "ns_winnowing_overlap",
+    # round 11 third wave (the 52-query set above stays frozen): the
+    # corpus-analysis additions — fp-keyed novelty join (the heaviest
+    # new plan: corpus-wide shingle first-occurrence) and the
+    # vocab-bounded Zipf OLS window.
+    "ns_ngram_novelty",
+    "ns_zipf_fit",
 ]
 
 
