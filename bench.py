@@ -284,11 +284,14 @@ def main() -> None:
                 # comparisons through the frozen-subtotal ratios, not
                 # absolute seconds.
                 "note_r11_uniform_shift": (
-                    "r11 box uniformly ~1.4x slower than r10 on "
-                    "frozen unchanged plans (median ratio 1.41, all "
-                    "48 overlapping queries; plans unchanged, "
-                    "PLANCHECK green) - ambient boot-to-boot "
-                    "throughput shift, the r4 precedent"
+                    "an early-r11 solo run was uniformly ~1.4x "
+                    "slower than r10 on frozen unchanged plans "
+                    "(median ratio 1.41, all 48 overlapping queries; "
+                    "plans unchanged, PLANCHECK green); a later-r11 "
+                    "solo run on identical code RECOVERED r10's "
+                    "frozen subtotals exactly (r06 28.6 vs 28.5 s) - "
+                    "confirming ambient boot-to-boot throughput, the "
+                    "r4 precedent, not code"
                 ),
             }
         )
