@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 13 operators NEW in r11 (never driver-checked):
+# (a) 17 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
@@ -41,20 +41,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_winnowing_fingerprint / ns_winnowing_overlap /
 #     ns_tokenizer_fertility — the r11 second-wave additions;
 #     ns_zipf_fit / ns_token_burstiness / ns_lang_divergence /
-#     ns_ngram_novelty — the r11 third-wave additions (Zipf
-#     power-law fit, Church-Gale burstiness, per-language JS drift,
-#     per-doc shingle novelty);
+#     ns_ngram_novelty / ns_sample_cluster_balanced /
+#     ns_embedding_outlier / ns_srp_hamming_pairs — the r11
+#     third-wave additions (Zipf power-law fit, Church-Gale
+#     burstiness, per-language JS drift, per-doc shingle novelty,
+#     per-cluster quota sampling, mean-distance z-score outlier
+#     screen, SRP Hamming-band candidate pairs, curriculum mixture
+#     annealing);
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 29 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 25 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 13 + 8 + 29 = 50. Displaced to r12: the r06 alphabetical tail —
+# 17 + 8 + 25 = 50. Displaced to r12: the r06 alphabetical tail —
+# lateral_explode,
+# ns_dedup_exact, ns_multimodal_cols, ns_multimodal_decode,
 # ns_multimodal_framesample, ns_multimodal_pool, ns_pii_scrub,
 # pivot_counts, project_compute, sample_hash, scan_parquet,
 # sink_jsonl_export, sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these fifteen lead the r12 window together with
+# win_first_last (these nineteen lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -72,7 +78,12 @@ _ROUND11_FRONT = [
     "ns_token_burstiness",
     "ns_lang_divergence",
     "ns_ngram_novelty",
-    # (b) r05-stale rows (oldest in the repo)
+    "ns_sample_cluster_balanced",
+    "ns_embedding_outlier",
+    "ns_srp_hamming_pairs",
+    "ns_mix_anneal",
+    # (b) r05-stale rows (oldest in the repo; ns_dedup_exact displaced
+    # from (c) to keep the window at 50)
     "ts_cumulative_uniques",
     "ts_retention_cohort",
     "ts_seasonality_profile",
@@ -107,10 +118,6 @@ _ROUND11_FRONT = [
     "join_left_outer",
     "join_semi",
     "join_skew_salted",
-    "lateral_explode",
-    "ns_dedup_exact",
-    "ns_multimodal_cols",
-    "ns_multimodal_decode",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).

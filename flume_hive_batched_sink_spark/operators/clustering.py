@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import min_label_components
-from .registry import query, sql_dsum, tbl, unrolled_dot_enabled
+from .registry import dsum, query, sql_dsum, tbl, unrolled_dot_enabled
 from .similarity import _dot_dbl, unrolled_left_chain
 
 _KM_K = 8  # clusters (fixed oracle geometry; production scales with n)
@@ -980,4 +980,208 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id").isin(center_ids), 1)
         .otherwise(0)
         .alias("is_center"),
+    )
+
+
+# ---------- cluster-balanced diversity sampling ----------
+
+# Per-cluster quota: large enough to matter, small enough that the
+# rank gate actually drops rows at every test SF (500 vectors / k=8
+# clusters ~= 62 per cell >> 16).
+_BALANCED_QUOTA = 16
+
+
+@query(
+    "ns_sample_cluster_balanced",
+    f"""
+    WITH {_KM_SQL_PREFIX},
+    ranked AS (
+      SELECT vec_id, cl,
+             row_number() OVER (
+               PARTITION BY cl
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS pick_rank
+      FROM ka2
+    ),
+    sizes AS (
+      SELECT cl, CAST(COUNT(*) AS BIGINT) AS cluster_n
+      FROM ka2 GROUP BY cl
+    )
+    SELECT r.vec_id, CAST(r.cl AS BIGINT) AS cluster_id,
+           CAST(r.pick_rank AS BIGINT) AS pick_rank, s.cluster_n
+    FROM ranked r JOIN sizes s ON r.cl = s.cl
+    WHERE r.pick_rank <= {_BALANCED_QUOTA}
+    """,
+)
+def ns_sample_cluster_balanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the D4/SemDeDup-era
+    "sample evenly across semantic space" selection): assign every
+    vector to its k-means cell (the SHARED 2-iteration kmeans_assign
+    — one implementation with ns_cluster_kmeans / ns_semdedup), then
+    keep a fixed per-cluster quota chosen by a deterministic
+    md5-of-id rank — head clusters stop dominating the sample, tail
+    clusters survive in full. Emits the kept vectors with their
+    cluster, pick rank, and the cluster's pre-sampling size (the
+    skew-vs-quota audit).
+
+    Determinism: cluster assignment replays the Lloyd chain both
+    engines already hash-gate; the pick key is md5 of the decimal
+    vec_id string (byte-identical cross-engine, the ccnet-sample
+    precedent) with vec_id itself as tiebreak.
+
+    Scale: assignment is the kmeans_assign path (row-local folds vs
+    literal centroids at small k; join/hierarchical beyond the
+    measured crossovers); the quota rank is a cl-partitioned window
+    whose rank<=Q filter Spark pushes into WindowGroupLimit (top-Q
+    per partition, never a full per-cell sort materialization); the
+    sizes join is a k-row broadcast."""
+    from pyspark.sql.window import Window as W
+
+    a = kmeans_assign(spark, sf_dir)
+    ranked = a.select("vec_id", "cl").withColumn(
+        "pick_rank",
+        F.row_number().over(
+            W.partitionBy("cl").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+        ),
+    )
+    sizes = a.groupBy("cl").agg(
+        F.count("*").cast("bigint").alias("cluster_n")
+    )
+    return (
+        ranked.filter(F.col("pick_rank") <= _BALANCED_QUOTA)
+        .join(F.broadcast(sizes), "cl")
+        .select(
+            "vec_id",
+            F.col("cl").cast("bigint").alias("cluster_id"),
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+            "cluster_n",
+        )
+    )
+
+
+# ---------- embedding outlier screen ----------
+
+_OUTLIER_Z = 2.0
+
+
+@query(
+    "ns_embedding_outlier",
+    f"""
+    WITH idx AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
+    mu AS (
+      SELECT i.i AS dim,
+             CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                                AS VARCHAR) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings e CROSS JOIN idx i
+      GROUP BY 1
+    ),
+    muc AS (SELECT list(m ORDER BY dim) AS c FROM mu),
+    d AS (
+      SELECT e.vec_id,
+             list_reduce(
+               list({_SQL_SQDIFF.format(e="e.embedding", c="c.c")}
+                    ORDER BY i.i),
+               (a, b) -> a + b) AS d2
+      FROM embeddings e CROSS JOIN muc c CROSS JOIN idx i
+      GROUP BY e.vec_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, {sql_dsum("d2", "sd")},
+             {sql_dsum("d2 * d2", "sdd")}
+      FROM d
+    ),
+    zf AS (
+      SELECT d.vec_id, d.d2,
+             (sd / CAST(n AS DOUBLE)) AS mean_d2,
+             (sdd / CAST(n AS DOUBLE))
+               - (sd / CAST(n AS DOUBLE)) * (sd / CAST(n AS DOUBLE))
+               AS var_d2
+      FROM d CROSS JOIN stats
+    )
+    SELECT vec_id, d2,
+           CASE WHEN var_d2 > CAST(0.0 AS DOUBLE)
+                THEN (d2 - mean_d2) / sqrt(var_d2) END AS z,
+           CASE WHEN var_d2 > CAST(0.0 AS DOUBLE)
+                     AND (d2 - mean_d2) / sqrt(var_d2)
+                         > CAST({_OUTLIER_Z!r} AS DOUBLE)
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM zf
+    """,
+)
+def ns_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen: squared distance of every vector to
+    the corpus mean vector, z-scored against the corpus's own
+    distance distribution — the "drop the weird 0.1%" filter run
+    before clustering/semdedup (mis-embedded, truncated, or
+    wrong-modality rows sit far from the mass and poison centroids).
+    Emits d2, z, and the is_outlier flag at z > 2.
+
+    Determinism: the mean vector is the VARCHAR-routed exact-decimal
+    per-dim mean (the kmeans means1 / km1 convention — one bounded
+    1-row collect, the Lloyd pattern), replayed against literals with
+    the shared _sqdiff_chain left fold; distance moments ride dsum;
+    z's (d2 - mean)/sqrt(var) is the same IEEE tree both engines
+    (sqrt is correctly rounded), behind a var > 0 gate that cannot
+    diverge.
+
+    Scale: ONE corpus pass for the 64 per-dim sums (posexplode-free
+    row-local getItem projections, map-side combined), one bounded
+    collect, ONE corpus pass for d2 (row-local fold against 64
+    literals — no join), one 3-column stats aggregate, and a 1-row
+    broadcast back onto the d2 frame. Nothing corpus-scaled ever
+    joins or sorts."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    x = F.col("embedding")
+    means = (
+        em.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(x.getItem(i).cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                .alias(f"s{i}")
+                for i in range(_KM_DIM)
+            ],
+        )
+        .select(
+            *[
+                (F.col(f"s{i}") / F.col("n").cast("double")).alias(f"m{i}")
+                for i in range(_KM_DIM)
+            ],
+        )
+        .collect()[0]
+    )
+    mu = [float(means[f"m{i}"]) for i in range(_KM_DIM)]
+    d = em.select(
+        "vec_id", _sqdiff_chain(x, mu).alias("d2")
+    )
+    stats = d.agg(
+        F.count("*").alias("n"),
+        dsum(F.col("d2"), "sd"),
+        dsum(F.col("d2") * F.col("d2"), "sdd"),
+    )
+    nd = F.col("n").cast("double")
+    mean_d2 = F.col("sd") / nd
+    var_d2 = F.col("sdd") / nd - (F.col("sd") / nd) * (F.col("sd") / nd)
+    zf = d.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "d2",
+        mean_d2.alias("mean_d2"),
+        var_d2.alias("var_d2"),
+    )
+    z = (F.col("d2") - F.col("mean_d2")) / F.sqrt(F.col("var_d2"))
+    return zf.select(
+        "vec_id",
+        "d2",
+        F.when(F.col("var_d2") > F.lit(0.0), z).alias("z"),
+        F.when(
+            (F.col("var_d2") > F.lit(0.0)) & (z > F.lit(_OUTLIER_Z)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_outlier"),
     )

@@ -1433,3 +1433,205 @@ def ns_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         code.cast("bigint").alias("srp_code"),
         *[F.col(f"p{j}").alias(f"proj_{j}") for j in range(4)],
     )
+
+
+# ---- SRP Hamming-band candidate pairs ----
+
+# Band geometry over the 16-bit srp_code: 4 bands x 4 bits. By
+# pigeonhole, any pair with Hamming distance <= _SRP_HAM_MAX = 3
+# agrees on at least one full band — banded recall at h <= 3 is
+# GUARANTEED, not probabilistic (the simhash-band argument). At
+# production code width (64-128 bits) the same 4-band split yields
+# 16-32-bit bands whose random-collision rate is 2^-16..2^-32 per
+# band; the 4-bit test bands are hot by design so every test SF
+# exercises the hot-bucket cap.
+_SRP_BANDS = 4
+_SRP_BAND_BITS = _SRP_P // _SRP_BANDS
+_SRP_BAND_MASK = (1 << _SRP_BAND_BITS) - 1
+_SRP_HAM_MAX = 3
+_SRP_HOT_CAP = 100  # band buckets hotter than this are boilerplate-dense
+
+
+def _srp_codes_sql_ctes() -> str:
+    """The srp_code derivation as a reusable CTE chain ending in
+    `codes(vec_id, srp_code)`. Generated from the SAME _SRP sign
+    table and bit weights ns_embedding_rp's oracle embeds, so the two
+    oracles cannot drift (the Python constants are the shared
+    source of truth; Spark-side both operators share _srp_code_cols)."""
+    signs = ", ".join(
+        f"({j}, {i + 1}, CAST({s!r} AS DOUBLE))"
+        for j, row in enumerate(_SRP)
+        for i, s in enumerate(row)
+    )
+    pw = ", ".join(f"({j}, {1 << j})" for j in range(_SRP_P))
+    return f"""
+    signs(j, i, s) AS (VALUES {signs}),
+    pw(j, p2) AS (VALUES {pw}),
+    un AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, {_SRP_DIM + 1})) AS i) i
+    ),
+    p AS (
+      SELECT un.vec_id, s.j,
+             CAST(SUM(CAST(CAST(un.v * s.s AS VARCHAR)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS proj
+      FROM un JOIN signs s ON s.i = un.i
+      GROUP BY 1, 2
+    ),
+    codes AS (
+      SELECT p.vec_id,
+             CAST(SUM(CASE WHEN p.proj > 0 THEN pw.p2 ELSE 0 END)
+                  AS BIGINT) AS srp_code
+      FROM p JOIN pw ON pw.j = p.j
+      GROUP BY 1
+    )"""
+
+
+def _srp_code_cols(em: DataFrame) -> DataFrame:
+    """(vec_id, srp_code) via the row-local sign-fold projections —
+    the Spark-side shared fragment (ns_embedding_rp projects the same
+    folds and additionally surfaces proj_0..3)."""
+
+    def proj(j: int) -> Column:
+        signs = F.array(*[F.lit(s) for s in _SRP[j]])
+        prods = F.zip_with(
+            F.col("embedding"),
+            signs,
+            lambda x, y: (x.cast("double") * y).cast(_DEC),
+        )
+        return F.aggregate(
+            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
+        ).cast("double")
+
+    projected = em.select(
+        "vec_id", *[proj(j).alias(f"p{j}") for j in range(_SRP_P)]
+    )
+    code = None
+    for j in range(_SRP_P):
+        bit = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return projected.select(
+        "vec_id", code.cast("bigint").alias("srp_code")
+    )
+
+
+@query(
+    "ns_srp_hamming_pairs",
+    f"""
+    WITH {_srp_codes_sql_ctes()},
+    bands AS (
+      SELECT vec_id, srp_code, b.b AS band_id,
+             (srp_code >> ({_SRP_BAND_BITS} * b.b)) & {_SRP_BAND_MASK}
+               AS band_val
+      FROM codes,
+           (SELECT unnest(range(0, {_SRP_BANDS})) AS b) b
+    ),
+    cool AS (
+      SELECT band_id, band_val FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) <= {_SRP_HOT_CAP}
+    ),
+    bf AS (
+      SELECT bands.* FROM bands
+      JOIN cool ON bands.band_id = cool.band_id
+              AND bands.band_val = cool.band_val
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ida, a.srp_code AS code_a,
+                      b.vec_id AS idb, b.srp_code AS code_b
+      FROM bf a JOIN bf b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT ida, idb,
+           CAST(bit_count(xor(code_a, code_b)) AS BIGINT) AS hamming,
+           CAST({_SRP_P} - bit_count(xor(code_a, code_b)) AS DOUBLE)
+             / {_SRP_P} AS match_frac
+    FROM cand
+    WHERE bit_count(xor(code_a, code_b)) <= {_SRP_HAM_MAX}
+    """,
+)
+def ns_srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded candidate pairs over the SRP codes — the
+    consumer ns_embedding_rp's docstring promises ("a 100 TB corpus
+    bands these 2-byte codes instead of 256-byte vectors"): split
+    each 16-bit srp_code into 4 bands, self-join on band equality,
+    keep pairs with exact code Hamming distance <= 3. By pigeonhole
+    the banded recall at h <= 3 is GUARANTEED (a pair differing in
+    <= 3 bits leaves at least one of 4 bands untouched — the simhash
+    band argument), and P(bit match) = 1 - θ/π makes match_frac an
+    angle estimate the downstream exact-cosine verifier thresholds.
+
+    Determinism: codes replay the shared _SRP sign-fold (bit-exact
+    both engines, same literals/decimal fold as ns_embedding_rp);
+    banding, Hamming (bit_count over xor), and the h-gate are pure
+    integer arithmetic; match_frac is ONE int/int double division.
+
+    Scale: code building is row-local (zero shuffle); the band
+    self-join is keyed on (band_id, band_val) with buckets hotter
+    than {100} vectors dropped BEFORE pair generation (the winnowing
+    hot-cap bound: candidate volume is Σ|bucket|² over capped
+    buckets); the Hamming verify reads the 2-byte codes carried
+    through the join — the 256-byte vectors are never touched after
+    the projection pass. At production code width the bands widen to
+    16-32 bits and the hot cap stops firing."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    codes = _srp_code_cols(em).persist()
+    # literal per-band shifts (shiftright needs an int, not a column)
+    bands = codes.select(
+        "vec_id",
+        "srp_code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(
+                            F.col("srp_code"), b * _SRP_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit(_SRP_BAND_MASK))
+                        .alias("band_val"),
+                    )
+                    for b in range(_SRP_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", "srp_code", "bv.band_id", "bv.band_val")
+    cool = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _SRP_HOT_CAP)
+        .select("band_id", "band_val")
+    )
+    bf = bands.join(cool, ["band_id", "band_val"])
+    a = bf.select(
+        "band_id",
+        "band_val",
+        F.col("vec_id").alias("ida"),
+        F.col("srp_code").alias("code_a"),
+    )
+    b = bf.select(
+        "band_id",
+        "band_val",
+        F.col("vec_id").alias("idb"),
+        F.col("srp_code").alias("code_b"),
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "code_a", "idb", "code_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("code_a").bitwiseXOR(F.col("code_b"))
+    )
+    return (
+        cand.filter(ham <= _SRP_HAM_MAX)
+        .select(
+            "ida",
+            "idb",
+            ham.cast("bigint").alias("hamming"),
+            (
+                (F.lit(_SRP_P) - ham).cast("double") / F.lit(_SRP_P)
+            ).alias("match_frac"),
+        )
+    )

@@ -2810,3 +2810,90 @@ def ns_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("js_vs_rest"),
     )
+
+
+# ---- curriculum mixture annealing ----
+
+# Schedule geometry: epochs 0..3 interpolate natural -> uniform. The
+# per-epoch fractions e/(E-1) are int/int divisions (correctly
+# rounded, identical both engines); a generic cosine/poly schedule
+# would ride transcendentals that are NOT cross-engine bit-stable.
+_ANNEAL_EPOCHS = 4
+_ANNEAL_BUDGET = 1000  # docs per epoch at the planning budget
+
+
+@query(
+    "ns_mix_anneal",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS nl
+      FROM counts
+    ),
+    ep AS (SELECT unnest(range(0, {_ANNEAL_EPOCHS})) AS e)
+    SELECT CAST(ep.e AS BIGINT) AS epoch, c.lang,
+           c.n / CAST(t.nn AS DOUBLE) AS natural_share,
+           CAST(1.0 AS DOUBLE) / t.nl AS target_share,
+           c.n / CAST(t.nn AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) / t.nl - c.n / CAST(t.nn AS DOUBLE))
+               * (ep.e / CAST({_ANNEAL_EPOCHS - 1} AS DOUBLE)) AS weight,
+           CAST(floor({_ANNEAL_BUDGET}
+                      * (c.n / CAST(t.nn AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) / t.nl
+                            - c.n / CAST(t.nn AS DOUBLE))
+                           * (ep.e / CAST({_ANNEAL_EPOCHS - 1} AS DOUBLE)))
+                      + 0.5) AS BIGINT) AS planned_docs
+    FROM counts c CROSS JOIN tot t CROSS JOIN ep
+    """,
+)
+def ns_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mixture annealing: a per-epoch language-mixture
+    schedule that linearly interpolates from the corpus's NATURAL
+    shares (epoch 0 — train on data as it comes) to the UNIFORM
+    target (final epoch — the ns_mix_plan/temperature-sampling
+    endpoint), with planned docs per (epoch, lang) at a fixed budget.
+    This is the schedule a staged pretraining run hands to its
+    per-epoch samplers (natural-first→balanced-last curricula, the
+    multilingual warm-up pattern), complementing the STATIC planners
+    (ns_mix_plan, ns_sample_temperature) with the time axis.
+
+    Determinism: shares are int/int double divisions of exact counts;
+    the epoch fractions e/(E-1) are int/int divisions; the
+    interpolation is one shared IEEE tree; planned docs floor(B·w+½)
+    over identical doubles. No transcendentals anywhere (a cosine
+    schedule could never hash-gate — the α=0.5 / det_ln story).
+
+    Scale: ONE corpus hash aggregate on lang (the scan reads one
+    column); everything downstream is the |langs|-row frame crossed
+    with a 1-row totals broadcast and the |epochs|-row literal grid —
+    output |langs|·|epochs| rows."""
+    d = tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("nl"),
+    )
+    ep = spark.range(_ANNEAL_EPOCHS).select(F.col("id").alias("e"))
+    nat = F.col("n") / F.col("nn").cast("double")
+    tgt = F.lit(1.0) / F.col("nl")
+    w = nat + (tgt - nat) * (
+        F.col("e") / F.lit(float(_ANNEAL_EPOCHS - 1))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ep))
+        .select(
+            F.col("e").cast("bigint").alias("epoch"),
+            "lang",
+            nat.alias("natural_share"),
+            tgt.alias("target_share"),
+            w.alias("weight"),
+            F.floor(F.lit(_ANNEAL_BUDGET) * w + F.lit(0.5))
+            .cast("bigint")
+            .alias("planned_docs"),
+        )
+    )

@@ -82,6 +82,14 @@ ALLOWED = {
     "totals, 1-row corpus total) crossed onto the vocab-bounded "
     "token aggregate to build the |vocab|·|langs| frame — never the "
     "corpus, which is read once and only aggregated",
+    "ns_embedding_outlier": "1-row broadcast distance-moments scalar "
+    "(n, Σd2, Σd2²) joined back onto the d2 frame for z-scoring — "
+    "the join-the-corpus-with-a-scalar pattern; the mean vector "
+    "itself is row-local literals, no join",
+    "ns_mix_anneal": "|langs|-row aggregate crossed with a 1-row "
+    "totals broadcast and the |epochs|-row literal grid — every "
+    "nested-loop side is bounded; the corpus contributes one lang "
+    "hash agg",
     "ns_quality_ccnet_buckets": "the perplexity pipeline's 1-row "
     "broadcast vocab-size scalar (shared _ppl_perdoc front); the "
     "cutoff join itself is lang-KEYED, not a nested loop",

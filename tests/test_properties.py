@@ -2911,3 +2911,167 @@ def test_ngram_novelty_invariants(spark):
             assert rows[doc_id].novelty == 0.0, doc_id
             dup_seen += 1
     assert sum(r.n_novel for r in rows.values()) == len(all_fp)
+
+
+def test_sample_cluster_balanced_invariants(spark):
+    """ns_sample_cluster_balanced: at most the quota per cluster,
+    contiguous pick ranks from 1, cluster sizes consistent with the
+    shared kmeans assignment, and the pick order is exactly the
+    (md5(vec_id), vec_id) rank — verified by replaying the key."""
+    import hashlib
+    from collections import Counter
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _BALANCED_QUOTA,
+        kmeans_assign,
+    )
+
+    rows = QUERIES["ns_sample_cluster_balanced"](spark, SF_ORACLE).collect()
+    assert rows
+    per_cl: dict[int, list] = {}
+    for r in rows:
+        per_cl.setdefault(r.cluster_id, []).append(r)
+    assign = kmeans_assign(spark, SF_ORACLE).select("vec_id", "cl").collect()
+    sizes = Counter(r.cl for r in assign)
+    members: dict[int, list[int]] = {}
+    for a in assign:
+        members.setdefault(a.cl, []).append(a.vec_id)
+    assert set(per_cl) <= set(sizes)
+    for cl, picked in per_cl.items():
+        assert len(picked) == min(_BALANCED_QUOTA, sizes[cl])
+        ranks = sorted(p.pick_rank for p in picked)
+        assert ranks == list(range(1, len(picked) + 1))
+        assert all(p.cluster_n == sizes[cl] for p in picked)
+        want = sorted(
+            members[cl],
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[: len(picked)]
+        got = [p.vec_id for p in sorted(picked, key=lambda p: p.pick_rank)]
+        assert got == want, cl
+
+
+def test_embedding_outlier_invariants(spark):
+    """ns_embedding_outlier: one row per vector; d2 matches an
+    independent numpy mean-distance replay; z has ~zero mean / unit
+    variance over the corpus; is_outlier == (z > 2) exactly."""
+    import duckdb
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _OUTLIER_Z,
+    )
+
+    rows = {
+        r.vec_id: r
+        for r in QUERIES["ns_embedding_outlier"](spark, SF_ORACLE).collect()
+    }
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_ORACLE}/embeddings.parquet')"
+        ).fetchall()
+    )
+    assert set(rows) == set(vecs)
+    m = np.mean(np.array(list(vecs.values()), dtype=np.float64), axis=0)
+    d2s = {}
+    for vid, v in vecs.items():
+        d2s[vid] = float(((np.array(v, dtype=np.float64) - m) ** 2).sum())
+        assert abs(rows[vid].d2 - d2s[vid]) < 1e-9, vid
+    # dsum's decimal(28,6) rounds each d2/d2² term before summing, so
+    # the corpus moments carry ~1e-5 relative error — standardization
+    # is near-exact, not bit-exact (the VALUES are hash-gated; this
+    # pins the statistical contract)
+    zs = np.array([rows[v].z for v in rows])
+    assert abs(zs.mean()) < 1e-4
+    assert abs(zs.std() - 1.0) < 1e-3
+    for vid, r in rows.items():
+        assert r.is_outlier == int(r.z > _OUTLIER_Z), vid
+
+
+def test_srp_hamming_pairs_recall(spark):
+    """ns_srp_hamming_pairs: codes agree with ns_embedding_rp's
+    srp_code column (the shared sign-table contract); every output
+    pair's hamming is the exact bit_count of the code xor and clears
+    the h <= 3 gate; and the pigeonhole GUARANTEE holds — every
+    brute-force pair with hamming <= 3 whose shared band bucket is
+    not hot appears in the output."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _SRP_BAND_BITS,
+        _SRP_BAND_MASK,
+        _SRP_BANDS,
+        _SRP_HAM_MAX,
+        _SRP_HOT_CAP,
+        _SRP_P,
+    )
+
+    codes = {
+        r.vec_id: r.srp_code
+        for r in QUERIES["ns_embedding_rp"](spark, SF_ORACLE).collect()
+    }
+    pairs = {
+        (r.ida, r.idb): r
+        for r in QUERIES["ns_srp_hamming_pairs"](spark, SF_ORACLE).collect()
+    }
+    for (ida, idb), r in pairs.items():
+        h = bin(codes[ida] ^ codes[idb]).count("1")
+        assert r.hamming == h <= _SRP_HAM_MAX, r
+        assert r.match_frac == (_SRP_P - h) / _SRP_P, r
+
+    from collections import Counter
+
+    bucket_sizes: Counter = Counter()
+    for c in codes.values():
+        for b in range(_SRP_BANDS):
+            bucket_sizes[(b, (c >> (b * _SRP_BAND_BITS)) & _SRP_BAND_MASK)] += 1
+    ids = sorted(codes)
+    missed = []
+    for i, ida in enumerate(ids):
+        for idb in ids[i + 1:]:
+            if bin(codes[ida] ^ codes[idb]).count("1") > _SRP_HAM_MAX:
+                continue
+            shared_cool = any(
+                (codes[ida] >> (b * _SRP_BAND_BITS)) & _SRP_BAND_MASK
+                == (codes[idb] >> (b * _SRP_BAND_BITS)) & _SRP_BAND_MASK
+                and bucket_sizes[
+                    (b, (codes[ida] >> (b * _SRP_BAND_BITS)) & _SRP_BAND_MASK)
+                ]
+                <= _SRP_HOT_CAP
+                for b in range(_SRP_BANDS)
+            )
+            if shared_cool and (ida, idb) not in pairs:
+                missed.append((ida, idb))
+    assert not missed, missed[:5]
+    assert pairs  # the gate is exercised, not vacuously green
+
+
+def test_mix_anneal_invariants(spark):
+    """ns_mix_anneal: |langs|·|epochs| rows; epoch-0 weights equal the
+    natural shares exactly; final-epoch weights equal the uniform
+    target exactly; weights are monotone along each language's
+    schedule; per-epoch weights sum to ~1."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _ANNEAL_BUDGET,
+        _ANNEAL_EPOCHS,
+    )
+
+    rows = QUERIES["ns_mix_anneal"](spark, SF_ORACLE).collect()
+    langs = {r.lang for r in rows}
+    assert len(rows) == len(langs) * _ANNEAL_EPOCHS
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.planned_docs == int(_ANNEAL_BUDGET * r.weight + 0.5)
+    for lang, sched in by_lang.items():
+        sched.sort(key=lambda r: r.epoch)
+        assert [r.epoch for r in sched] == list(range(_ANNEAL_EPOCHS))
+        assert sched[0].weight == sched[0].natural_share
+        assert sched[-1].weight == sched[-1].target_share
+        ws = [r.weight for r in sched]
+        assert ws == sorted(ws) or ws == sorted(ws, reverse=True), lang
+    for e in range(_ANNEAL_EPOCHS):
+        s = sum(r.weight for r in rows if r.epoch == e)
+        assert abs(s - 1.0) < 1e-9, (e, s)
