@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 212 queries are registered (SURVEY §2 Part B, which matches the
+# 217 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 212
+# tests/test_properties.py::test_survey_registry_lockstep); all 217
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 17 operators NEW in r11 (never driver-checked):
+# (a) 18 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
@@ -42,25 +42,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_tokenizer_fertility — the r11 second-wave additions;
 #     ns_zipf_fit / ns_token_burstiness / ns_lang_divergence /
 #     ns_ngram_novelty / ns_sample_cluster_balanced /
-#     ns_embedding_outlier / ns_srp_hamming_pairs — the r11
+#     ns_embedding_outlier / ns_srp_hamming_pairs / ns_mix_anneal /
+#     ns_embedding_pq — the r11
 #     third-wave additions (Zipf power-law fit, Church-Gale
 #     burstiness, per-language JS drift, per-doc shingle novelty,
 #     per-cluster quota sampling, mean-distance z-score outlier
 #     screen, SRP Hamming-band candidate pairs, curriculum mixture
-#     annealing);
+#     annealing, product quantization);
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 25 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 24 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 17 + 8 + 25 = 50. Displaced to r12: the r06 alphabetical tail —
-# lateral_explode,
+# 18 + 8 + 24 = 50. Displaced to r12: the r06 alphabetical tail —
+# join_skew_salted, lateral_explode,
 # ns_dedup_exact, ns_multimodal_cols, ns_multimodal_decode,
 # ns_multimodal_framesample, ns_multimodal_pool, ns_pii_scrub,
 # pivot_counts, project_compute, sample_hash, scan_parquet,
 # sink_jsonl_export, sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these nineteen lead the r12 window together with
+# win_first_last (these twenty lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -82,6 +83,7 @@ _ROUND11_FRONT = [
     "ns_embedding_outlier",
     "ns_srp_hamming_pairs",
     "ns_mix_anneal",
+    "ns_embedding_pq",
     # (b) r05-stale rows (oldest in the repo; ns_dedup_exact displaced
     # from (c) to keep the window at 50)
     "ts_cumulative_uniques",
@@ -92,7 +94,7 @@ _ROUND11_FRONT = [
     "udtf_arrow_map",
     "unpivot_melt",
     "win_streaks",
-    # (c) r06-stale cohort (first 33 alphabetically)
+    # (c) r06-stale cohort (first 24 alphabetically)
     "agg_cube",
     "agg_distinct",
     "agg_group_having",
@@ -117,7 +119,6 @@ _ROUND11_FRONT = [
     "join_inner_equi",
     "join_left_outer",
     "join_semi",
-    "join_skew_salted",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -134,7 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 208/208 as of r11
+    """DuckDB twins for EVERY registered query — 217/217 as of r11
     (the nine r11 additions were oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;

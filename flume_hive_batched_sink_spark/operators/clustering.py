@@ -1185,3 +1185,215 @@ def ns_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     )
+
+
+# ---------- product quantization ----------
+
+# PQ geometry: 8 subspaces x 8 dims, 4 codewords each — a 64-dim
+# vector compresses to 8 2-bit codes (2 bytes). Tiny K keeps the
+# oracle's 8 parallel Lloyd chains tractable at the gate SF while the
+# mechanism (per-subspace k-means, argmin encode, additive error) is
+# exactly the production shape (Jégou et al. 2011; production K=256
+# per subspace = 8 bytes/vector).
+_PQ_M = 8
+_PQ_DSUB = _KM_DIM // _PQ_M
+_PQ_K = 4
+
+
+def _pq_sql() -> str:
+    sq = (
+        "(CAST(e.embedding[{b}.m * {ds} + i.i] AS DOUBLE) - {c})"
+        " * (CAST(e.embedding[{b}.m * {ds} + i.i] AS DOUBLE) - {c})"
+    )
+    sq1 = sq.format(
+        b="s", ds=_PQ_DSUB,
+        c=f"CAST(c.c[s.m * {_PQ_DSUB} + i.i] AS DOUBLE)",
+    )
+    sq2 = sq.format(b="b", ds=_PQ_DSUB, c="b.cc[i.i]")
+    cpiv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN cl END) AS c{m}" for m in range(_PQ_M)
+    )
+    epiv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN d2 END) AS e{m}" for m in range(_PQ_M)
+    )
+    code = " + ".join(f"c{m} * {_PQ_K ** m}" for m in range(_PQ_M))
+    qerr = "e0"
+    for m in range(1, _PQ_M):
+        qerr = f"({qerr} + e{m})"
+    return f"""
+    WITH e4 AS (
+      SELECT j, c FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+               embedding AS c
+        FROM embeddings
+      ) WHERE j < {_PQ_K}
+    ),
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    i8 AS (SELECT unnest(range(1, {_PQ_DSUB + 1})) AS i),
+    d1 AS (
+      SELECT e.vec_id, s.m, c.j,
+             list_reduce(list({sq1} ORDER BY i.i), (a, b) -> a + b) AS d2
+      FROM embeddings e CROSS JOIN sub s CROSS JOIN e4 c CROSS JOIN i8 i
+      GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+      SELECT vec_id, m, j AS cl FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, j) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    mu AS (
+      SELECT a.m, a.cl, i.i AS dim,
+             CAST(SUM(CAST(CAST(CAST(
+                    e.embedding[a.m * {_PQ_DSUB} + i.i] AS DOUBLE)
+                    AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+      CROSS JOIN i8 i
+      GROUP BY 1, 2, 3
+    ),
+    cb AS (
+      SELECT s.m, c.j,
+             list(COALESCE(mu.v,
+                           CAST(c.c[s.m * {_PQ_DSUB} + i.i] AS DOUBLE))
+                  ORDER BY i.i) AS cc
+      FROM sub s CROSS JOIN e4 c CROSS JOIN i8 i
+      LEFT JOIN mu ON mu.m = s.m AND mu.cl = c.j AND mu.dim = i.i
+      GROUP BY 1, 2
+    ),
+    d2f AS (
+      SELECT e.vec_id, b.m, b.j,
+             list_reduce(list({sq2} ORDER BY i.i), (a, b) -> a + b) AS d2
+      FROM embeddings e CROSS JOIN cb b CROSS JOIN i8 i
+      GROUP BY 1, 2, 3
+    ),
+    a2 AS (
+      SELECT vec_id, m, cl, d2 FROM (
+        SELECT vec_id, m, j AS cl, d2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, j) AS rn
+        FROM d2f) WHERE rn = 1
+    ),
+    piv AS (
+      SELECT vec_id, {cpiv}, {epiv}
+      FROM a2 GROUP BY 1
+    )
+    SELECT vec_id,
+           CAST({code} AS BIGINT) AS pq_code,
+           {qerr} AS qerr,
+           CAST(c0 AS BIGINT) AS code_0,
+           CAST(c1 AS BIGINT) AS code_1
+    FROM piv
+    """
+
+
+@query("ns_embedding_pq", _pq_sql())
+def ns_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011 — the codebook
+    compression inside every production ANN index): split each 64-dim
+    vector into 8 subspaces of 8 dims, run a per-subspace k-means
+    (K=4, the shared 2-assignment Lloyd shape), and encode every
+    vector as its 8 nearest-codeword indices packed into ONE pq_code
+    integer (2 bits per subspace here; 8 bits at production K=256),
+    plus the additive quantization error — a 256-byte vector becomes
+    2 bytes that asymmetric-distance search scans.
+
+    Determinism: init codewords are the first K vectors' subvectors
+    (the c0 convention); assignments are the _sqdiff_chain left fold
+    against literals with (d2, j) argmin tie-break (array_min struct
+    == ORDER BY d2, j); per-(subspace, codeword, dim) means ride the
+    VARCHAR-routed exact decimal (km1); EMPTY codeword cells keep
+    their init position on BOTH engines (COALESCE in the oracle, the
+    dict-copy in Spark — the _cluster_centroids rule); qerr is the
+    explicit left-associated 8-term chain, never an order-free SUM.
+
+    Scale: both assignment passes are row-local folds against M·K
+    literal codewords (zero shuffle — cheaper than flat k-means at
+    equal code count: M·K·D_SUB = 256 mults/row vs k·64); the means
+    pass is ONE (m, cl, dim)-keyed aggregate over the posexploded
+    subvectors (the ns_embedding_profile shape, ≤ M·K·D_SUB = 256
+    output rows) and ONE bounded 256-value collect (Lloyd pattern).
+    At production K=256 the codebook is 16k literals — the
+    _JOIN_ASSIGN crossover heuristic applies the same way."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    init = em.orderBy("vec_id").limit(_PQ_K).collect()
+    cb0 = {
+        (m, j): [
+            float(v)
+            for v in init[j].embedding[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+        ]
+        for j in range(_PQ_K)
+        for m in range(_PQ_M)
+    }
+
+    def sub(m: int) -> Column:
+        return F.slice(F.col("embedding"), m * _PQ_DSUB + 1, _PQ_DSUB)
+
+    def argmin(m: int, cb: dict) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdiff_chain(sub(m), cb[(m, j)]).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(_PQ_K)
+                ]
+            )
+        )
+
+    a1 = em.select(
+        "vec_id",
+        "embedding",
+        *[argmin(m, cb0).getField("j").alias(f"cl{m}") for m in range(_PQ_M)],
+    )
+    exr = (
+        a1.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"cl{m}").alias("cl"),
+                            sub(m).alias("sv"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.cl", F.posexplode("s.sv").alias("pos", "v"))
+        .select("m", "cl", (F.col("pos") + 1).alias("dim"), "v")
+    )
+    mu = (
+        exr.groupBy("m", "cl", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .collect()
+    )
+    cb1 = {k: list(v) for k, v in cb0.items()}
+    for r in mu:
+        cb1[(r.m, r.cl)][r.dim - 1] = float(r.v)
+
+    mins = [argmin(m, cb1) for m in range(_PQ_M)]
+    code = None
+    for m in range(_PQ_M):
+        term = mins[m].getField("j").cast("bigint") * F.lit(_PQ_K ** m)
+        code = term if code is None else code + term
+    qerr = None
+    for m in range(_PQ_M):
+        e = mins[m].getField("d")
+        qerr = e if qerr is None else qerr + e
+    return em.select(
+        "vec_id",
+        code.cast("bigint").alias("pq_code"),
+        qerr.alias("qerr"),
+        mins[0].getField("j").cast("bigint").alias("code_0"),
+        mins[1].getField("j").cast("bigint").alias("code_1"),
+    )

@@ -3075,3 +3075,77 @@ def test_mix_anneal_invariants(spark):
     for e in range(_ANNEAL_EPOCHS):
         s = sum(r.weight for r in rows if r.epoch == e)
         assert abs(s - 1.0) < 1e-9, (e, s)
+
+
+def test_embedding_pq_invariants(spark):
+    """ns_embedding_pq: pq_code decomposes into the per-subspace
+    codes; qerr is non-negative and matches an independent numpy
+    replay of the whole train-and-encode path (init-4 codebook,
+    assign, mean, re-assign) within float tolerance; codes match the
+    replay exactly away from near-ties."""
+    import duckdb
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+    )
+
+    rows = {
+        r.vec_id: r
+        for r in QUERIES["ns_embedding_pq"](spark, SF_ORACLE).collect()
+    }
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_ORACLE}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    )
+    assert set(rows) == set(vecs)
+    ids = sorted(vecs)
+    X = np.array([vecs[v] for v in ids], dtype=np.float64)
+    n_tie_tol = 0
+    for m in range(_PQ_M):
+        sub = X[:, m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+        cb = sub[:_PQ_K].copy()
+        d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        cb1 = cb.copy()
+        for j in range(_PQ_K):
+            if (a == j).any():
+                cb1[j] = sub[a == j].mean(axis=0)
+        d1 = ((sub[:, None, :] - cb1[None, :, :]) ** 2).sum(axis=2)
+        codes = d1.argmin(axis=1)
+        errs = d1.min(axis=1)
+        for i, vid in enumerate(ids):
+            got = (rows[vid].pq_code // (_PQ_K ** m)) % _PQ_K
+            if got != codes[i]:
+                # decimal-exact vs numpy means can flip genuine
+                # near-ties only — the two candidates must be
+                # within float-noise of each other
+                assert abs(d1[i, got] - errs[i]) < 1e-9, (vid, m)
+                n_tie_tol += 1
+    assert n_tie_tol <= len(ids) * _PQ_M // 100  # <1% near-ties
+    for vid, r in rows.items():
+        assert r.qerr >= 0
+        assert r.code_0 == r.pq_code % _PQ_K
+        assert r.code_1 == (r.pq_code // _PQ_K) % _PQ_K
+    replay_qerr = {}
+    for i, vid in enumerate(ids):
+        tot = 0.0
+        for m in range(_PQ_M):
+            sub = X[:, m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+            cb = sub[:_PQ_K].copy()
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            cb1 = cb.copy()
+            for j in range(_PQ_K):
+                if (a == j).any():
+                    cb1[j] = sub[a == j].mean(axis=0)
+            tot += ((sub[i] - cb1[((sub[i] - cb1) ** 2).sum(
+                axis=1).argmin()]) ** 2).sum()
+        replay_qerr[vid] = tot
+    for vid, r in rows.items():
+        assert abs(r.qerr - replay_qerr[vid]) < 1e-6, vid
