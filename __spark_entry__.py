@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 18 operators NEW in r11 (never driver-checked):
+# (a) 19 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
@@ -48,20 +48,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     burstiness, per-language JS drift, per-doc shingle novelty,
 #     per-cluster quota sampling, mean-distance z-score outlier
 #     screen, SRP Hamming-band candidate pairs, curriculum mixture
-#     annealing, product quantization);
+#     annealing, product quantization, PQ asymmetric-distance
+#     search);
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 24 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 23 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 18 + 8 + 24 = 50. Displaced to r12: the r06 alphabetical tail —
-# join_skew_salted, lateral_explode,
+# 19 + 8 + 23 = 50. Displaced to r12: the r06 alphabetical tail —
+# join_semi, join_skew_salted, lateral_explode,
 # ns_dedup_exact, ns_multimodal_cols, ns_multimodal_decode,
 # ns_multimodal_framesample, ns_multimodal_pool, ns_pii_scrub,
 # pivot_counts, project_compute, sample_hash, scan_parquet,
 # sink_jsonl_export, sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these twenty lead the r12 window together with
+# win_first_last (these twenty-one lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -84,6 +85,7 @@ _ROUND11_FRONT = [
     "ns_srp_hamming_pairs",
     "ns_mix_anneal",
     "ns_embedding_pq",
+    "ns_similarity_pq_adc",
     # (b) r05-stale rows (oldest in the repo; ns_dedup_exact displaced
     # from (c) to keep the window at 50)
     "ts_cumulative_uniques",
@@ -94,7 +96,7 @@ _ROUND11_FRONT = [
     "udtf_arrow_map",
     "unpivot_melt",
     "win_streaks",
-    # (c) r06-stale cohort (first 24 alphabetically)
+    # (c) r06-stale cohort (first 23 alphabetically)
     "agg_cube",
     "agg_distinct",
     "agg_group_having",
@@ -118,7 +120,6 @@ _ROUND11_FRONT = [
     "join_cross",
     "join_inner_equi",
     "join_left_outer",
-    "join_semi",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).

@@ -112,6 +112,9 @@ HEADLINE = [
     # vocab-bounded Zipf OLS window.
     "ns_ngram_novelty",
     "ns_zipf_fit",
+    # round 11 fourth wave: the PQ train → encode → ADC-search chain
+    # end to end (the heaviest new plan of the wave).
+    "ns_similarity_pq_adc",
 ]
 
 

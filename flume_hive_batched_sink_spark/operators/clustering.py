@@ -1200,7 +1200,11 @@ _PQ_DSUB = _KM_DIM // _PQ_M
 _PQ_K = 4
 
 
-def _pq_sql() -> str:
+def _pq_sql_prefix() -> str:
+    """PQ train-and-encode CTE chain ending in `a2(vec_id, m, cl,
+    d2)` (per-subspace codes) and `cb(m, j, cc)` (the trained
+    codebook) — shared by ns_embedding_pq and ns_similarity_pq_adc so
+    both oracles replay the IDENTICAL codebook."""
     sq = (
         "(CAST(e.embedding[{b}.m * {ds} + i.i] AS DOUBLE) - {c})"
         " * (CAST(e.embedding[{b}.m * {ds} + i.i] AS DOUBLE) - {c})"
@@ -1210,18 +1214,8 @@ def _pq_sql() -> str:
         c=f"CAST(c.c[s.m * {_PQ_DSUB} + i.i] AS DOUBLE)",
     )
     sq2 = sq.format(b="b", ds=_PQ_DSUB, c="b.cc[i.i]")
-    cpiv = ", ".join(
-        f"MAX(CASE WHEN m = {m} THEN cl END) AS c{m}" for m in range(_PQ_M)
-    )
-    epiv = ", ".join(
-        f"MAX(CASE WHEN m = {m} THEN d2 END) AS e{m}" for m in range(_PQ_M)
-    )
-    code = " + ".join(f"c{m} * {_PQ_K ** m}" for m in range(_PQ_M))
-    qerr = "e0"
-    for m in range(1, _PQ_M):
-        qerr = f"({qerr} + e{m})"
     return f"""
-    WITH e4 AS (
+    e4 AS (
       SELECT j, c FROM (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
                embedding AS c
@@ -1274,7 +1268,103 @@ def _pq_sql() -> str:
                row_number() OVER (PARTITION BY vec_id, m
                                   ORDER BY d2, j) AS rn
         FROM d2f) WHERE rn = 1
-    ),
+    )"""
+
+
+def _pq_sub(m: int) -> Column:
+    """Subvector m as a 1-based slice of the embedding column."""
+    return F.slice(F.col("embedding"), m * _PQ_DSUB + 1, _PQ_DSUB)
+
+
+def _pq_argmin(m: int, cb: dict) -> Column:
+    """Row-local nearest-codeword struct (d, j) for subspace m — the
+    _assign array_min convention ((d2, j) lexicographic == the
+    oracle's ORDER BY d2, j)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdiff_chain(_pq_sub(m), cb[(m, j)]).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(_PQ_K)
+            ]
+        )
+    )
+
+
+def _pq_train(em: DataFrame) -> dict:
+    """Train the PQ codebook (one Lloyd update per subspace) and
+    return {(m, j): [D_SUB floats]}. Two bounded collects: the K init
+    rows and the ≤ M·K·D_SUB = 256 mean values; empty codeword cells
+    keep their init position (the _cluster_centroids rule, mirrored
+    by the oracle's COALESCE). Shared by ns_embedding_pq and
+    ns_similarity_pq_adc so both encode against the SAME codebook."""
+    init = em.orderBy("vec_id").limit(_PQ_K).collect()
+    cb0 = {
+        (m, j): [
+            float(v)
+            for v in init[j].embedding[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+        ]
+        for j in range(_PQ_K)
+        for m in range(_PQ_M)
+    }
+    a1 = em.select(
+        "vec_id",
+        "embedding",
+        *[
+            _pq_argmin(m, cb0).getField("j").alias(f"cl{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    exr = (
+        a1.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"cl{m}").alias("cl"),
+                            _pq_sub(m).alias("sv"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.cl", F.posexplode("s.sv").alias("pos", "v"))
+        .select("m", "cl", (F.col("pos") + 1).alias("dim"), "v")
+    )
+    mu = (
+        exr.groupBy("m", "cl", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .collect()
+    )
+    cb1 = {k: list(v) for k, v in cb0.items()}
+    for r in mu:
+        cb1[(r.m, r.cl)][r.dim - 1] = float(r.v)
+    return cb1
+
+
+def _pq_sql() -> str:
+    cpiv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN cl END) AS c{m}" for m in range(_PQ_M)
+    )
+    epiv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN d2 END) AS e{m}" for m in range(_PQ_M)
+    )
+    code = " + ".join(f"c{m} * {_PQ_K ** m}" for m in range(_PQ_M))
+    qerr = "e0"
+    for m in range(1, _PQ_M):
+        qerr = f"({qerr} + e{m})"
+    return f"""
+    WITH {_pq_sql_prefix()},
     piv AS (
       SELECT vec_id, {cpiv}, {epiv}
       FROM a2 GROUP BY 1
@@ -1317,71 +1407,8 @@ def ns_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     At production K=256 the codebook is 16k literals — the
     _JOIN_ASSIGN crossover heuristic applies the same way."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    init = em.orderBy("vec_id").limit(_PQ_K).collect()
-    cb0 = {
-        (m, j): [
-            float(v)
-            for v in init[j].embedding[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
-        ]
-        for j in range(_PQ_K)
-        for m in range(_PQ_M)
-    }
-
-    def sub(m: int) -> Column:
-        return F.slice(F.col("embedding"), m * _PQ_DSUB + 1, _PQ_DSUB)
-
-    def argmin(m: int, cb: dict) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdiff_chain(sub(m), cb[(m, j)]).alias("d"),
-                        F.lit(j).alias("j"),
-                    )
-                    for j in range(_PQ_K)
-                ]
-            )
-        )
-
-    a1 = em.select(
-        "vec_id",
-        "embedding",
-        *[argmin(m, cb0).getField("j").alias(f"cl{m}") for m in range(_PQ_M)],
-    )
-    exr = (
-        a1.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.col(f"cl{m}").alias("cl"),
-                            sub(m).alias("sv"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.m", "s.cl", F.posexplode("s.sv").alias("pos", "v"))
-        .select("m", "cl", (F.col("pos") + 1).alias("dim"), "v")
-    )
-    mu = (
-        exr.groupBy("m", "cl", "dim")
-        .agg(
-            (
-                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
-                .cast("double")
-                / F.count("*")
-            ).alias("v")
-        )
-        .collect()
-    )
-    cb1 = {k: list(v) for k, v in cb0.items()}
-    for r in mu:
-        cb1[(r.m, r.cl)][r.dim - 1] = float(r.v)
-
-    mins = [argmin(m, cb1) for m in range(_PQ_M)]
+    cb1 = _pq_train(em)
+    mins = [_pq_argmin(m, cb1) for m in range(_PQ_M)]
     code = None
     for m in range(_PQ_M):
         term = mins[m].getField("j").cast("bigint") * F.lit(_PQ_K ** m)
@@ -1396,4 +1423,146 @@ def ns_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         qerr.alias("qerr"),
         mins[0].getField("j").cast("bigint").alias("code_0"),
         mins[1].getField("j").cast("bigint").alias("code_1"),
+    )
+
+
+# ---------- PQ asymmetric-distance search ----------
+
+_ADC_TOPK = 10
+_ADC_N_PROBES = 5  # the vec_id < 5 probe convention (similarity.py)
+
+
+def _adc_sql() -> str:
+    sqq = (
+        f"(CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE) - b.cc[i.i])"
+        f" * (CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE) - b.cc[i.i])"
+    )
+    tpiv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN t END) AS t{m}" for m in range(_PQ_M)
+    )
+    adc = "t0"
+    for m in range(1, _PQ_M):
+        adc = f"({adc} + t{m})"
+    return f"""
+    WITH {_pq_sql_prefix()},
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS q
+      FROM embeddings WHERE vec_id < {_ADC_N_PROBES}
+    ),
+    tt AS (
+      SELECT p.probe_id, b.m, b.j,
+             list_reduce(list({sqq} ORDER BY i.i), (a, b) -> a + b) AS t
+      FROM probes p CROSS JOIN cb b CROSS JOIN i8 i
+      GROUP BY 1, 2, 3
+    ),
+    adcm AS (
+      SELECT a.vec_id, t.probe_id, a.m, t.t
+      FROM a2 a JOIN tt t ON t.m = a.m AND t.j = a.cl
+    ),
+    piva AS (
+      SELECT vec_id, probe_id, {tpiv}
+      FROM adcm GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT probe_id, vec_id, {adc} AS adc_d2
+      FROM piva WHERE vec_id != probe_id
+    )
+    SELECT probe_id, vec_id AS neighbor_id, adc_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_id ORDER BY adc_d2, vec_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_ADC_TOPK}
+    """
+
+
+@query("ns_similarity_pq_adc", _adc_sql())
+def ns_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the ADC scan of Jégou et al. —
+    what a production ANN index actually executes per query): for
+    each probe, precompute the M×K table of exact probe-subvector →
+    codeword distances, then score every corpus vector as the sum of
+    8 TABLE LOOKUPS on its pq codes — the query never touches the
+    256-byte vectors, only the 2-byte codes — and return the top-10
+    by (adc_d2, vec_id). The consumer ns_embedding_pq's codes exist
+    for, closing the train → encode → search chain (probes follow
+    the vec_id < 5 convention of ns_similarity_topk, whose exact
+    top-k is this operator's recall baseline).
+
+    Determinism: the codebook is the SHARED _pq_train state (both
+    oracles replay one _pq_sql_prefix); distance tables are
+    left-associated squared-diff sums over identical doubles (driver
+    Python loop ≡ list_reduce); adc is the explicit left-associated
+    8-term lookup chain; ranks carry the vec_id tiebreak.
+
+    Scale: tables are M·K·|probes| = 160 driver-computed literals
+    (bounded); the corpus pass is ONE row-local projection — encode
+    (256 mults) + 8 array-literal lookups per row, zero joins; the
+    per-probe top-k is a probe_id window whose rank gate Spark
+    pushes into WindowGroupLimit (per-input-partition partial top-10
+    before the 5-key exchange — the corpus never piles into 5
+    tasks)."""
+    from pyspark.sql.window import Window as W
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cb1 = _pq_train(em)
+    probes = (
+        em.filter(F.col("vec_id") < _ADC_N_PROBES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    tables: dict[tuple[int, int], list[float]] = {}
+    for p in probes:
+        for m in range(_PQ_M):
+            qsub = [
+                float(v)
+                for v in p.embedding[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+            ]
+            row = []
+            for j in range(_PQ_K):
+                acc = 0.0
+                for a, b in zip(qsub, cb1[(m, j)]):
+                    acc = acc + (a - b) * (a - b)
+                row.append(acc)
+            tables[(p.vec_id, m)] = row
+    codes = [
+        _pq_argmin(m, cb1).getField("j").alias(f"c{m}")
+        for m in range(_PQ_M)
+    ]
+    enc = em.select("vec_id", *codes)
+    per_probe = []
+    for p in probes:
+        adc = None
+        for m in range(_PQ_M):
+            lut = F.array(*[F.lit(t) for t in tables[(p.vec_id, m)]])
+            term = F.element_at(lut, F.col(f"c{m}") + 1)
+            adc = term if adc is None else adc + term
+        per_probe.append(
+            F.struct(
+                F.lit(p.vec_id).alias("probe_id"), adc.alias("adc_d2")
+            )
+        )
+    scored = (
+        enc.select(
+            "vec_id", F.explode(F.array(*per_probe)).alias("s")
+        )
+        .select(
+            F.col("s.probe_id").cast("bigint").alias("probe_id"),
+            "vec_id",
+            "s.adc_d2",
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

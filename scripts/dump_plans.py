@@ -113,6 +113,10 @@ PLAN_QUERIES = [
     "ns_token_burstiness",
     "ns_lang_divergence",
     "ns_ngram_novelty",
+    # round 11 fourth wave: the PQ chain (row-local encode, pushed
+    # per-probe top-k).
+    "ns_embedding_pq",
+    "ns_similarity_pq_adc",
 ]
 
 
@@ -774,6 +778,33 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         n_windows == 0 and not bad_keys and hashparts,
         f"windows={n_windows}, exchanges={len(hashparts)}, "
         f"bad={bad_keys[:1]}")
+
+    # ns_embedding_pq (r11): the final encode is ONE row-local
+    # projection against literal codewords — zero Window, zero Join,
+    # zero hash exchange in the returned plan (training's bounded
+    # collects happen before the plan is built).
+    p = _executed(ops.QUERIES["ns_embedding_pq"](spark, sf_dir))
+    n_windows = sum(_node(ln) == "Window" for ln in p.splitlines())
+    n_joins = sum("Join" in _node(ln) for ln in p.splitlines())
+    n_hash_ex = sum(
+        "Exchange hashpartitioning" in ln for ln in p.splitlines()
+    )
+    add("ns_embedding_pq",
+        "row-local encode: zero Window/Join/hash-Exchange",
+        n_windows == 0 and n_joins == 0 and n_hash_ex == 0,
+        f"windows={n_windows}, joins={n_joins}, hash_ex={n_hash_ex}")
+
+    # ns_similarity_pq_adc (r11): the per-probe top-k rank must be
+    # pushed into WindowGroupLimit (partial top-10 per input
+    # partition) so the corpus never piles into |probes| tasks; the
+    # scoring itself is join-free (table lookups on literals).
+    p = _executed(ops.QUERIES["ns_similarity_pq_adc"](spark, sf_dir))
+    has_wgl = "WindowGroupLimit" in p
+    n_joins = sum("Join" in _node(ln) for ln in p.splitlines())
+    add("ns_similarity_pq_adc",
+        "WindowGroupLimit-pushed per-probe top-k; join-free scoring",
+        has_wgl and n_joins == 0,
+        f"wgl={has_wgl}, joins={n_joins}")
     return checks
 
 

@@ -3149,3 +3149,85 @@ def test_embedding_pq_invariants(spark):
         replay_qerr[vid] = tot
     for vid, r in rows.items():
         assert abs(r.qerr - replay_qerr[vid]) < 1e-6, vid
+
+
+def test_similarity_pq_adc_invariants(spark):
+    """ns_similarity_pq_adc: exactly top-10 per probe, ranks
+    contiguous and ordered by (adc_d2, neighbor_id), never the probe
+    itself; each adc_d2 equals the independent numpy replay of the
+    table-lookup sum; and ADC recall@10 against the EXACT
+    mean-squared-distance top-10 clears a floor (the coarse 2-bit
+    test geometry still has to find signal)."""
+    import duckdb
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _ADC_N_PROBES,
+        _ADC_TOPK,
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+    )
+
+    out = QUERIES["ns_similarity_pq_adc"](spark, SF_ORACLE).collect()
+    per_probe: dict[int, list] = {}
+    for r in out:
+        per_probe.setdefault(r.probe_id, []).append(r)
+    assert set(per_probe) == set(range(_ADC_N_PROBES))
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_ORACLE}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    )
+    ids = sorted(vecs)
+    X = np.array([vecs[v] for v in ids], dtype=np.float64)
+    # replay the codebook (same algorithm as the PQ test)
+    cb = {}
+    for m in range(_PQ_M):
+        sub = X[:, m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+        c0 = sub[:_PQ_K].copy()
+        a = ((sub[:, None, :] - c0[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        c1 = c0.copy()
+        for j in range(_PQ_K):
+            if (a == j).any():
+                c1[j] = sub[a == j].mean(axis=0)
+        cb[m] = c1
+    codes = np.stack(
+        [
+            ((X[:, m * _PQ_DSUB:(m + 1) * _PQ_DSUB][:, None, :]
+              - cb[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for m in range(_PQ_M)
+        ],
+        axis=1,
+    )
+    idx = {v: i for i, v in enumerate(ids)}
+    recalls = []
+    for pid, rows in per_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, _ADC_TOPK + 1))
+        keys = [(r.adc_d2, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)
+        assert all(r.neighbor_id != pid for r in rows)
+        q = X[idx[pid]]
+        tabs = np.stack(
+            [
+                ((q[m * _PQ_DSUB:(m + 1) * _PQ_DSUB][None, :]
+                  - cb[m]) ** 2).sum(axis=1)
+                for m in range(_PQ_M)
+            ]
+        )
+        for r in rows:
+            replay = sum(
+                tabs[m][codes[idx[r.neighbor_id], m]] for m in range(_PQ_M)
+            )
+            assert abs(r.adc_d2 - replay) < 1e-6, r
+        exact = ((X - q[None, :]) ** 2).sum(axis=1)
+        exact[idx[pid]] = np.inf
+        true_top = {ids[i] for i in np.argsort(exact)[:_ADC_TOPK]}
+        got = {r.neighbor_id for r in rows}
+        recalls.append(len(got & true_top) / _ADC_TOPK)
+    # 2-bit codes are coarse: require signal well above random
+    # (random recall@10 over ~500 vectors ≈ 0.02)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
