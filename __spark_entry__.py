@@ -152,7 +152,16 @@ def oracle_sql() -> dict[str, str]:
     fingerprint / ns_winnowing_overlap are pure integer
     min/distinct/sum arithmetic over ONE shared selection fragment;
     ns_tokenizer_fertility reuses ns_bpe_encode's train-and-apply
-    fragments verbatim); the
+    fragments verbatim; the third/fourth-wave ten ride the same
+    conventions — det_ln OLS coordinates for ns_zipf_fit, integer
+    count-product logs for ns_lang_divergence, _h32 shingle hashes
+    for ns_ngram_novelty, the shared Lloyd/codebook CTE prefixes for
+    ns_sample_cluster_balanced / ns_embedding_pq /
+    ns_similarity_pq_adc (one _pq_sql_prefix, both PQ oracles), the
+    shared _SRP sign table for ns_srp_hamming_pairs, VARCHAR-routed
+    decimal means + correctly-rounded sqrt for ns_embedding_outlier,
+    and pure int/int share arithmetic for ns_mix_anneal /
+    ns_token_burstiness); the
     rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF
