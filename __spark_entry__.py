@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 217 queries are registered (SURVEY §2 Part B, which matches the
+# 220 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 217
+# tests/test_properties.py::test_survey_registry_lockstep); all 220
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 19 operators NEW in r11 (never driver-checked):
+# (a) 21 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
@@ -43,18 +43,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_zipf_fit / ns_token_burstiness / ns_lang_divergence /
 #     ns_ngram_novelty / ns_sample_cluster_balanced /
 #     ns_embedding_outlier / ns_srp_hamming_pairs / ns_mix_anneal /
-#     ns_embedding_pq — the r11
-#     third-wave additions (Zipf power-law fit, Church-Gale
+#     ns_embedding_pq / ns_similarity_pq_adc / ns_host_cap /
+#     ns_ocr_noise — the r11
+#     third- and fourth-wave additions (Zipf power-law fit, Church-Gale
 #     burstiness, per-language JS drift, per-doc shingle novelty,
 #     per-cluster quota sampling, mean-distance z-score outlier
 #     screen, SRP Hamming-band candidate pairs, curriculum mixture
 #     annealing, product quantization, PQ asymmetric-distance
-#     search);
+#     search, per-host frequency capping, OCR-noise screening);
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 23 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 21 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 19 + 8 + 23 = 50. Displaced to r12: the r06 alphabetical tail —
+# 21 + 8 + 21 = 50. Displaced to r12: the r06 alphabetical tail —
+# join_inner_equi, join_left_outer,
 # join_semi, join_skew_salted, lateral_explode,
 # ns_dedup_exact, ns_multimodal_cols, ns_multimodal_decode,
 # ns_multimodal_framesample, ns_multimodal_pool, ns_pii_scrub,
@@ -62,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sink_jsonl_export, sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these twenty-one lead the r12 window together with
+# win_first_last (these twenty-three lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -86,6 +88,8 @@ _ROUND11_FRONT = [
     "ns_mix_anneal",
     "ns_embedding_pq",
     "ns_similarity_pq_adc",
+    "ns_host_cap",
+    "ns_ocr_noise",
     # (b) r05-stale rows (oldest in the repo; ns_dedup_exact displaced
     # from (c) to keep the window at 50)
     "ts_cumulative_uniques",
@@ -96,7 +100,7 @@ _ROUND11_FRONT = [
     "udtf_arrow_map",
     "unpivot_melt",
     "win_streaks",
-    # (c) r06-stale cohort (first 23 alphabetically)
+    # (c) r06-stale cohort (first 21 alphabetically)
     "agg_cube",
     "agg_distinct",
     "agg_group_having",
@@ -118,8 +122,6 @@ _ROUND11_FRONT = [
     "join_broadcast",
     "join_bucketed",
     "join_cross",
-    "join_inner_equi",
-    "join_left_outer",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -136,7 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 217/217 as of r11
+    """DuckDB twins for EVERY registered query — 220/220 as of r11
     (the nine r11 additions were oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;
@@ -152,7 +154,7 @@ def oracle_sql() -> dict[str, str]:
     fingerprint / ns_winnowing_overlap are pure integer
     min/distinct/sum arithmetic over ONE shared selection fragment;
     ns_tokenizer_fertility reuses ns_bpe_encode's train-and-apply
-    fragments verbatim; the third/fourth-wave ten ride the same
+    fragments verbatim; the third/fourth-wave twelve ride the same
     conventions — det_ln OLS coordinates for ns_zipf_fit, integer
     count-product logs for ns_lang_divergence, _h32 shingle hashes
     for ns_ngram_novelty, the shared Lloyd/codebook CTE prefixes for
@@ -160,8 +162,9 @@ def oracle_sql() -> dict[str, str]:
     ns_similarity_pq_adc (one _pq_sql_prefix, both PQ oracles), the
     shared _SRP sign table for ns_srp_hamming_pairs, VARCHAR-routed
     decimal means + correctly-rounded sqrt for ns_embedding_outlier,
-    and pure int/int share arithmetic for ns_mix_anneal /
-    ns_token_burstiness); the
+    pure int/int share arithmetic for ns_mix_anneal /
+    ns_token_burstiness / ns_host_cap, and the shared class-string
+    regexp chain for ns_ocr_noise); the
     rows-only category is empty. r8 emptied it (md5-derived
     hashes for MinHash/SimHash/ANN-LSH; value-bounded envelopes for
     the four sketch aggregates; list_reduce replay of the IVF

@@ -2897,3 +2897,187 @@ def ns_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("planned_docs"),
         )
     )
+
+
+# ---- per-host frequency capping ----
+
+# RefinedWeb/FineWeb "host frequency capping": no single host may
+# contribute more than CAP documents; within a host, keep the
+# highest-value docs first. 20 binds at every test SF (25 docs/host
+# at sf0.01) so the drop path is always exercised. Host derives from
+# `source` via the ns_url_canonicalize synthesized-host convention.
+_HOST_CAP = 20
+
+
+@query(
+    "ns_host_cap",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id, n_chars,
+             lower(source) || '.example.com' AS host
+      FROM documents
+    ),
+    sizes AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS host_n,
+             CAST(SUM(n_chars) AS BIGINT) AS host_chars
+      FROM hosts GROUP BY host
+    ),
+    ranked AS (
+      SELECT doc_id, host, n_chars,
+             row_number() OVER (
+               PARTITION BY host ORDER BY n_chars DESC, doc_id
+             ) AS host_rank
+      FROM hosts
+    )
+    SELECT r.doc_id, r.host,
+           CAST(r.host_rank AS BIGINT) AS host_rank,
+           s.host_n,
+           s.host_n - least(s.host_n, {_HOST_CAP}) AS n_dropped
+    FROM ranked r JOIN sizes s ON r.host = s.host
+    WHERE r.host_rank <= {_HOST_CAP}
+    """,
+)
+def ns_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host frequency capping (the RefinedWeb/FineWeb curation
+    step: no host may dominate the corpus): rank each host's
+    documents by value (n_chars desc, doc_id tiebreak — swap in a
+    quality score in production) and keep at most {20} per host,
+    emitting the kept docs with their rank, the host's pre-cap
+    volume, and how many the cap dropped. Complements
+    ns_sample_cluster_balanced (quota in SEMANTIC space) with the
+    quota in PROVENANCE space — the two caps a web pipeline runs
+    side by side.
+
+    Determinism: the rank order is exact ints with a full tiebreak;
+    host_n / n_dropped are exact counts.
+
+    Scale: the rank <= cap filter pushes into WindowGroupLimit
+    (partial top-{20} per input partition BEFORE the host exchange —
+    a hot host never funnels the corpus into one task's full sort);
+    the sizes join is a |hosts|-row broadcast."""
+    d = tbl(spark, sf_dir, "documents")
+    hosts = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lower("source"), F.lit(".example.com")).alias("host"),
+    )
+    sizes = hosts.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("host_n"),
+        F.sum("n_chars").cast("bigint").alias("host_chars"),
+    )
+    ranked = hosts.withColumn(
+        "host_rank",
+        F.row_number().over(
+            W.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+        ),
+    ).filter(F.col("host_rank") <= _HOST_CAP)
+    return ranked.join(F.broadcast(sizes), "host").select(
+        "doc_id",
+        "host",
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+        "host_n",
+        (
+            F.col("host_n")
+            - F.least(F.col("host_n"), F.lit(_HOST_CAP).cast("bigint"))
+        ).alias("n_dropped"),
+    )
+
+
+# ---- OCR/noise scoring ----
+
+# Character-class transition density: clean prose switches class
+# (letter/digit/space/punct) about twice per word; OCR garbage,
+# code-dumps, and digit-riddled text switch far more often. The
+# synthetic fixture is all lowercase words, so its ratios cluster
+# around 2/(avg word len + 1) ≈ 0.36 — τ = 0.375 sits at its ~93rd
+# percentile so BOTH flag branches are exercised at every SF
+# (production recalibrates τ against its own corpus; real OCR
+# garbage lands far above any prose).
+_NOISE_TAU = 0.375
+
+# class string: letters -> 'a', digits -> 'd', space stays, rest ->
+# 'p'. ONE definition serves both engines (Spark replaces all matches
+# by default; DuckDB needs the explicit 'g' flag).
+_CLS = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "lower(text), '[a-z]', 'a'{g}), '[0-9]', 'd'{g}), '[^ad ]', 'p'{g})"
+)
+_CLS_SPARK = _CLS.format(g="")
+_CLS_DUCK = _CLS.format(g=", 'g'")
+
+
+@query(
+    "ns_ocr_noise",
+    f"""
+    WITH cs AS (
+      SELECT doc_id, length(text) AS n_chars,
+             {_CLS_DUCK} AS cls
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len([x FOR x IN range(1, n_chars)
+                     IF cls[x] != cls[x + 1]]) AS BIGINT)
+             AS n_transitions,
+           len([x FOR x IN range(1, n_chars)
+                IF cls[x] != cls[x + 1]])
+             / CAST(greatest(n_chars - 1, 1) AS DOUBLE)
+             AS transition_ratio,
+           length(regexp_replace(cls, '[^d]', '', 'g'))
+             / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+           CASE WHEN len([x FOR x IN range(1, n_chars)
+                          IF cls[x] != cls[x + 1]])
+                     / CAST(greatest(n_chars - 1, 1) AS DOUBLE)
+                     > CAST({_NOISE_TAU!r} AS DOUBLE)
+                THEN 1 ELSE 0 END AS is_noisy
+    FROM cs
+    """,
+)
+def ns_ocr_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/noise screen: character-class transition density — map the
+    text onto a 4-class alphabet (letter/digit/space/other), count
+    adjacent positions that switch class, and flag documents whose
+    switch rate exceeds τ={0.5} (OCR garbage, interleaved
+    digits/markup, code dumps). The classic rule-based complement to
+    the model-based ns_quality_perplexity: perplexity needs a trained
+    LM, this needs three regexes — a pipeline runs the cheap one
+    first. digit_ratio rides along (the '% numeric chars' Gopher-rule
+    cousin this corpus's Gopher set doesn't carry). τ is calibrated
+    to the synthetic corpus's ~93rd percentile so both flag branches
+    stay exercised (see _NOISE_TAU).
+
+    Determinism: the class string is ONE regexp chain (Java regex and
+    RE2 agree on these character-class patterns; Spark replaces all
+    matches by default, the DuckDB twin passes 'g'); transitions are
+    exact integer counts from pairwise class-char comparison; ratios
+    are int/int doubles behind greatest(·,1) guards.
+
+    Scale: entirely row-local (regexp projection + one HOF filter
+    over the class string — the n_chars cost per row is linear, the
+    class string computed ONCE in the projection), zero shuffle at
+    any corpus size."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    cs = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr(_CLS_SPARK).alias("cls"),
+    )
+    # built via expr: DSL lambdas can't parameterize substring
+    # positions with the loop variable
+    trans = F.expr(
+        "size(filter(sequence(1, n_chars - 1),"
+        " x -> substring(cls, x, 1) != substring(cls, x + 1, 1)))"
+    )
+    ratio = trans / F.greatest(F.col("n_chars") - 1, F.lit(1)).cast(
+        "double"
+    )
+    digits = F.length(F.regexp_replace("cls", "[^d]", ""))
+    return cs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        trans.cast("bigint").alias("n_transitions"),
+        ratio.alias("transition_ratio"),
+        (
+            digits / F.greatest("n_chars", F.lit(1)).cast("double")
+        ).alias("digit_ratio"),
+        F.when(ratio > F.lit(_NOISE_TAU), 1).otherwise(0).alias("is_noisy"),
+    )

@@ -114,9 +114,12 @@ PLAN_QUERIES = [
     "ns_lang_divergence",
     "ns_ngram_novelty",
     # round 11 fourth wave: the PQ chain (row-local encode, pushed
-    # per-probe top-k).
+    # per-probe top-k), provenance-space capping, row-local noise
+    # screen.
     "ns_embedding_pq",
     "ns_similarity_pq_adc",
+    "ns_host_cap",
+    "ns_ocr_noise",
 ]
 
 
@@ -805,6 +808,18 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "WindowGroupLimit-pushed per-probe top-k; join-free scoring",
         has_wgl and n_joins == 0,
         f"wgl={has_wgl}, joins={n_joins}")
+
+    # ns_host_cap (r11): the rank <= cap filter must push into
+    # WindowGroupLimit (partial top-N per input partition before the
+    # host exchange) and the sizes join must be broadcast — a hot
+    # host never funnels the corpus into one full-sort task.
+    p = _executed(ops.QUERIES["ns_host_cap"](spark, sf_dir))
+    has_wgl = "WindowGroupLimit" in p
+    has_bhj = "BroadcastHashJoin" in p
+    add("ns_host_cap",
+        "WindowGroupLimit-pushed cap; broadcast sizes join",
+        has_wgl and has_bhj,
+        f"wgl={has_wgl}, bhj={has_bhj}")
     return checks
 
 

@@ -3231,3 +3231,80 @@ def test_similarity_pq_adc_invariants(spark):
     # 2-bit codes are coarse: require signal well above random
     # (random recall@10 over ~500 vectors ≈ 0.02)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_host_cap_invariants(spark):
+    """ns_host_cap: at most the cap per host, contiguous ranks from 1
+    in (n_chars desc, doc_id) order (replayed independently), host_n
+    consistent with the corpus, and n_dropped = host_n - kept."""
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _HOST_CAP,
+    )
+
+    rows = QUERIES["ns_host_cap"](spark, SF_ORACLE).collect()
+    assert rows
+    docs = duckdb.sql(
+        f"SELECT lower(source) || '.example.com', doc_id, n_chars FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchall()
+    per_host: dict[str, list] = {}
+    for host, doc_id, n_chars in docs:
+        per_host.setdefault(host, []).append((doc_id, n_chars))
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r.host, []).append(r)
+    assert set(got) == set(per_host)
+    for host, members in per_host.items():
+        kept = sorted(got[host], key=lambda r: r.host_rank)
+        assert len(kept) == min(_HOST_CAP, len(members))
+        assert [r.host_rank for r in kept] == list(range(1, len(kept) + 1))
+        want = sorted(members, key=lambda t: (-t[1], t[0]))[: len(kept)]
+        assert [r.doc_id for r in kept] == [t[0] for t in want], host
+        for r in kept:
+            assert r.host_n == len(members)
+            assert r.n_dropped == len(members) - min(_HOST_CAP, len(members))
+
+
+def test_ocr_noise_invariants(spark):
+    """ns_ocr_noise: one row per doc; transitions match a pure-Python
+    class-string replay exactly; ratios bounded; the flag fires on
+    the digit-laden zh fixture and not on plain-letter docs."""
+    import re
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _NOISE_TAU,
+    )
+
+    rows = {
+        r.doc_id: r for r in QUERIES["ns_ocr_noise"](spark, SF_ORACLE).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchall()
+    assert set(rows) == {d[0] for d in docs}
+    n_fired = 0
+    for doc_id, text, lang in docs:
+        cls = re.sub(
+            "[^ad ]", "p",
+            re.sub("[0-9]", "d", re.sub("[a-z]", "a", text.lower())),
+        )
+        trans = sum(
+            1 for i in range(len(cls) - 1) if cls[i] != cls[i + 1]
+        )
+        r = rows[doc_id]
+        assert r.n_chars == len(text)
+        assert r.n_transitions == trans, doc_id
+        assert 0.0 <= r.transition_ratio <= 1.0
+        assert 0.0 <= r.digit_ratio <= 1.0
+        assert r.is_noisy == int(
+            trans / max(len(cls) - 1, 1) > _NOISE_TAU
+        )
+        n_fired += r.is_noisy
+    assert 0 < n_fired < len(docs)  # both branches populated
