@@ -1068,10 +1068,13 @@ def ns_sample_cluster_balanced(
 _OUTLIER_Z = 2.0
 
 
-@query(
-    "ns_embedding_outlier",
-    f"""
-    WITH idx AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
+def _outlier_sql_ctes() -> str:
+    """Mean-distance z-score CTE chain ending in `zf(vec_id, d2,
+    mean_d2, var_d2)` — shared by ns_embedding_outlier and the
+    curation-verdict composition so both replay the identical
+    screen."""
+    return f"""
+    idx AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
     mu AS (
       SELECT i.i AS dim,
              CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE)
@@ -1102,40 +1105,22 @@ _OUTLIER_Z = 2.0
                - (sd / CAST(n AS DOUBLE)) * (sd / CAST(n AS DOUBLE))
                AS var_d2
       FROM d CROSS JOIN stats
-    )
-    SELECT vec_id, d2,
-           CASE WHEN var_d2 > CAST(0.0 AS DOUBLE)
-                THEN (d2 - mean_d2) / sqrt(var_d2) END AS z,
-           CASE WHEN var_d2 > CAST(0.0 AS DOUBLE)
-                     AND (d2 - mean_d2) / sqrt(var_d2)
-                         > CAST({_OUTLIER_Z!r} AS DOUBLE)
-                THEN 1 ELSE 0 END AS is_outlier
-    FROM zf
-    """,
+    )"""
+
+
+# the flag expression over zf's columns — ONE definition reused by
+# both oracle queries
+_OUTLIER_FLAG_SQL = (
+    f"CASE WHEN var_d2 > CAST(0.0 AS DOUBLE)"
+    f" AND (d2 - mean_d2) / sqrt(var_d2)"
+    f" > CAST({_OUTLIER_Z!r} AS DOUBLE) THEN 1 ELSE 0 END"
 )
-def ns_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding outlier screen: squared distance of every vector to
-    the corpus mean vector, z-scored against the corpus's own
-    distance distribution — the "drop the weird 0.1%" filter run
-    before clustering/semdedup (mis-embedded, truncated, or
-    wrong-modality rows sit far from the mass and poison centroids).
-    Emits d2, z, and the is_outlier flag at z > 2.
 
-    Determinism: the mean vector is the VARCHAR-routed exact-decimal
-    per-dim mean (the kmeans means1 / km1 convention — one bounded
-    1-row collect, the Lloyd pattern), replayed against literals with
-    the shared _sqdiff_chain left fold; distance moments ride dsum;
-    z's (d2 - mean)/sqrt(var) is the same IEEE tree both engines
-    (sqrt is correctly rounded), behind a var > 0 gate that cannot
-    diverge.
 
-    Scale: ONE corpus pass for the 64 per-dim sums (posexplode-free
-    row-local getItem projections, map-side combined), one bounded
-    collect, ONE corpus pass for d2 (row-local fold against 64
-    literals — no join), one 3-column stats aggregate, and a 1-row
-    broadcast back onto the d2 frame. Nothing corpus-scaled ever
-    joins or sorts."""
-    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+def _outlier_frame(em: DataFrame) -> DataFrame:
+    """(vec_id, d2, z, is_outlier) — the Spark-side shared screen
+    (one bounded 1-row mean collect, row-local fold, 1-row moments
+    broadcast)."""
     x = F.col("embedding")
     means = (
         em.agg(
@@ -1156,9 +1141,7 @@ def ns_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     mu = [float(means[f"m{i}"]) for i in range(_KM_DIM)]
-    d = em.select(
-        "vec_id", _sqdiff_chain(x, mu).alias("d2")
-    )
+    d = em.select("vec_id", _sqdiff_chain(x, mu).alias("d2"))
     stats = d.agg(
         F.count("*").alias("n"),
         dsum(F.col("d2"), "sd"),
@@ -1185,6 +1168,43 @@ def ns_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     )
+
+
+@query(
+    "ns_embedding_outlier",
+    f"""
+    WITH {_outlier_sql_ctes()}
+    SELECT vec_id, d2,
+           CASE WHEN var_d2 > CAST(0.0 AS DOUBLE)
+                THEN (d2 - mean_d2) / sqrt(var_d2) END AS z,
+           {_OUTLIER_FLAG_SQL} AS is_outlier
+    FROM zf
+    """,
+)
+def ns_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen: squared distance of every vector to
+    the corpus mean vector, z-scored against the corpus's own
+    distance distribution — the "drop the weird 0.1%" filter run
+    before clustering/semdedup (mis-embedded, truncated, or
+    wrong-modality rows sit far from the mass and poison centroids).
+    Emits d2, z, and the is_outlier flag at z > 2.
+
+    Determinism: the mean vector is the VARCHAR-routed exact-decimal
+    per-dim mean (the kmeans means1 / km1 convention — one bounded
+    1-row collect, the Lloyd pattern), replayed against literals with
+    the shared _sqdiff_chain left fold; distance moments ride dsum;
+    z's (d2 - mean)/sqrt(var) is the same IEEE tree both engines
+    (sqrt is correctly rounded), behind a var > 0 gate that cannot
+    diverge.
+
+    Scale: ONE corpus pass for the 64 per-dim sums (posexplode-free
+    row-local getItem projections, map-side combined), one bounded
+    collect, ONE corpus pass for d2 (row-local fold against 64
+    literals — no join), one 3-column stats aggregate, and a 1-row
+    broadcast back onto the d2 frame. Nothing corpus-scaled ever
+    joins or sorts."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    return _outlier_frame(em)
 
 
 # ---------- product quantization ----------

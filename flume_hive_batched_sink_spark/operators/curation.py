@@ -1242,3 +1242,134 @@ def ns_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+# ---- composed curation verdict ----
+
+# Minimum length gate for the verdict composition: n_chars 120 sits
+# near the corpus's 10th percentile, so the short branch fires on a
+# real slice at every SF.
+_VERDICT_MIN_CHARS = 120
+
+
+def _verdict_sql() -> str:
+    from .clustering import _OUTLIER_FLAG_SQL, _outlier_sql_ctes
+    from .dedup import _NORM
+    from .textstats import _CLS_DUCK, _NOISE_TAU
+
+    noisy = (
+        "len([x FOR x IN range(1, length(cls)) IF cls[x] != cls[x + 1]])"
+        " / CAST(greatest(length(cls) - 1, 1) AS DOUBLE)"
+        f" > CAST({_NOISE_TAU!r} AS DOUBLE)"
+    )
+    return f"""
+    WITH hashes AS (
+      SELECT doc_id, n_chars, sha256({_NORM}) AS h,
+             {_CLS_DUCK} AS cls
+      FROM documents
+    ),
+    keepers AS (SELECT h, MIN(doc_id) AS keeper FROM hashes GROUP BY h),
+    tflags AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id != k.keeper THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN {noisy} THEN 1 ELSE 0 END AS is_noisy,
+             CASE WHEN d.n_chars < {_VERDICT_MIN_CHARS}
+                  THEN 1 ELSE 0 END AS is_short
+      FROM hashes d JOIN keepers k ON d.h = k.h
+    ),
+    {_outlier_sql_ctes()},
+    outl AS (
+      SELECT vec_id, {_OUTLIER_FLAG_SQL} AS is_outlier FROM zf
+    )
+    SELECT t.doc_id, t.is_dup, t.is_noisy, o.is_outlier, t.is_short,
+           CASE WHEN t.is_dup + t.is_noisy + o.is_outlier + t.is_short
+                     = 0 THEN 1 ELSE 0 END AS keep,
+           CASE WHEN t.is_dup = 1 THEN 'dup'
+                WHEN t.is_noisy = 1 THEN 'noisy'
+                WHEN o.is_outlier = 1 THEN 'outlier'
+                WHEN t.is_short = 1 THEN 'short'
+                ELSE NULL END AS drop_reason
+    FROM tflags t JOIN outl o ON t.doc_id = o.vec_id
+    """
+
+
+@query("ns_curation_verdict", _verdict_sql())
+def ns_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document curation decision — four screens the
+    repo ships individually, joined into ONE keep/drop verdict with a
+    priority-ordered reason code (dup > noisy > outlier > short):
+    exact-dup non-keepers (ns_dedup_exact's hash-groupBy), class-
+    transition noise (ns_ocr_noise's screen), embedding-space
+    outliers (ns_embedding_outlier's z-score via the SHARED
+    _outlier_frame — one implementation, one oracle CTE chain), and a
+    minimum-length gate. This is the row a pipeline actually
+    materializes before writing its kept shard: every doc, every
+    flag, the final verdict, and WHY — the reason-coded audit
+    ns_filter_attrition summarizes in aggregate.
+
+    Determinism: every flag is an exact integer/compare gate the
+    component operators already hash-gate; the embeddings table is
+    doc-aligned (vec_id == doc_id, FIXTURES.md), so the outlier
+    screen joins 1:1; the verdict and reason are pure CASE over the
+    four flags.
+
+    Scale: the dup keeper is a sha256-keyed aggregate + same-key join
+    (the ns_dedup_exact shape — skew-proof key, text dropped before
+    the exchange); noise + length are row-local in the same scan
+    projection; the outlier screen is the shared bounded-collect
+    chain; the final join is doc_id-keyed 1:1. No corpus-scaled
+    windows or nested loops."""
+    from .clustering import _outlier_frame
+    from .dedup import _norm_col
+    from .textstats import _CLS_SPARK, _NOISE_TAU
+
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        F.sha2(_norm_col(), 256).alias("h"),
+        F.expr(_CLS_SPARK).alias("cls"),
+    )
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    trans = F.expr(
+        "size(filter(sequence(1, length(cls) - 1),"
+        " x -> substring(cls, x, 1) != substring(cls, x + 1, 1)))"
+    )
+    ratio = trans / F.greatest(
+        F.length("cls") - 1, F.lit(1)
+    ).cast("double")
+    tflags = h.join(keepers, "h").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("keeper"), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+        F.when(ratio > F.lit(_NOISE_TAU), 1).otherwise(0).alias("is_noisy"),
+        F.when(F.col("n_chars") < _VERDICT_MIN_CHARS, 1)
+        .otherwise(0)
+        .alias("is_short"),
+    )
+    outl = _outlier_frame(em).select(
+        F.col("vec_id").alias("doc_id"), "is_outlier"
+    )
+    j = tflags.join(outl, "doc_id")
+    total = (
+        F.col("is_dup")
+        + F.col("is_noisy")
+        + F.col("is_outlier")
+        + F.col("is_short")
+    )
+    return j.select(
+        "doc_id",
+        "is_dup",
+        "is_noisy",
+        "is_outlier",
+        "is_short",
+        F.when(total == 0, 1).otherwise(0).alias("keep"),
+        F.when(F.col("is_dup") == 1, F.lit("dup"))
+        .when(F.col("is_noisy") == 1, F.lit("noisy"))
+        .when(F.col("is_outlier") == 1, F.lit("outlier"))
+        .when(F.col("is_short") == 1, F.lit("short"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("drop_reason"),
+    )

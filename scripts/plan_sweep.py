@@ -90,6 +90,9 @@ ALLOWED = {
     "totals broadcast and the |epochs|-row literal grid — every "
     "nested-loop side is bounded; the corpus contributes one lang "
     "hash agg",
+    "ns_curation_verdict": "inherits ns_embedding_outlier's 1-row "
+    "distance-moments broadcast (the shared _outlier_frame); every "
+    "other join is sha256- or doc_id-keyed",
     "ns_quality_ccnet_buckets": "the perplexity pipeline's 1-row "
     "broadcast vocab-size scalar (shared _ppl_perdoc front); the "
     "cutoff join itself is lang-KEYED, not a nested loop",

@@ -3308,3 +3308,57 @@ def test_ocr_noise_invariants(spark):
         )
         n_fired += r.is_noisy
     assert 0 < n_fired < len(docs)  # both branches populated
+
+
+def test_curation_verdict_composition(spark):
+    """ns_curation_verdict: every flag must equal the component
+    operator's own output (dup from ns_dedup_exact's keepers, noisy
+    from ns_ocr_noise, outlier from ns_embedding_outlier), the short
+    flag replays the n_chars gate, and keep/drop_reason follow the
+    documented priority (dup > noisy > outlier > short)."""
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.curation import (
+        _VERDICT_MIN_CHARS,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["ns_curation_verdict"](spark, SF_ORACLE).collect()
+    }
+    keepers = {
+        r.keep_doc_id
+        for r in QUERIES["ns_dedup_exact"](spark, SF_ORACLE).collect()
+    }
+    noisy = {
+        r.doc_id: r.is_noisy
+        for r in QUERIES["ns_ocr_noise"](spark, SF_ORACLE).collect()
+    }
+    outlier = {
+        r.vec_id: r.is_outlier
+        for r in QUERIES["ns_embedding_outlier"](spark, SF_ORACLE).collect()
+    }
+    chars = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_chars FROM "
+            f"read_parquet('{SF_ORACLE}/documents.parquet')"
+        ).fetchall()
+    )
+    assert set(rows) == set(chars)
+    for doc_id, r in rows.items():
+        assert r.is_dup == int(doc_id not in keepers), doc_id
+        assert r.is_noisy == noisy[doc_id], doc_id
+        assert r.is_outlier == outlier[doc_id], doc_id
+        assert r.is_short == int(chars[doc_id] < _VERDICT_MIN_CHARS)
+        flags = [
+            ("dup", r.is_dup),
+            ("noisy", r.is_noisy),
+            ("outlier", r.is_outlier),
+            ("short", r.is_short),
+        ]
+        firing = [name for name, f in flags if f]
+        assert r.keep == int(not firing)
+        assert r.drop_reason == (firing[0] if firing else None), doc_id
+    assert any(r.keep == 0 for r in rows.values())
+    assert any(r.keep == 1 for r in rows.values())
