@@ -1281,15 +1281,17 @@ def _verdict_sql() -> str:
     outl AS (
       SELECT vec_id, {_OUTLIER_FLAG_SQL} AS is_outlier FROM zf
     )
-    SELECT t.doc_id, t.is_dup, t.is_noisy, o.is_outlier, t.is_short,
-           CASE WHEN t.is_dup + t.is_noisy + o.is_outlier + t.is_short
+    SELECT t.doc_id, t.is_dup, t.is_noisy,
+           COALESCE(o.is_outlier, 0) AS is_outlier, t.is_short,
+           CASE WHEN t.is_dup + t.is_noisy
+                     + COALESCE(o.is_outlier, 0) + t.is_short
                      = 0 THEN 1 ELSE 0 END AS keep,
            CASE WHEN t.is_dup = 1 THEN 'dup'
                 WHEN t.is_noisy = 1 THEN 'noisy'
-                WHEN o.is_outlier = 1 THEN 'outlier'
+                WHEN COALESCE(o.is_outlier, 0) = 1 THEN 'outlier'
                 WHEN t.is_short = 1 THEN 'short'
                 ELSE NULL END AS drop_reason
-    FROM tflags t JOIN outl o ON t.doc_id = o.vec_id
+    FROM tflags t LEFT JOIN outl o ON t.doc_id = o.vec_id
     """
 
 
@@ -1317,8 +1319,8 @@ def ns_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ns_dedup_exact shape — skew-proof key, text dropped before
     the exchange); noise + length are row-local in the same scan
     projection; the outlier screen is the shared bounded-collect
-    chain; the final join is doc_id-keyed 1:1. No corpus-scaled
-    windows or nested loops."""
+    chain; the final join is a doc_id-keyed left join. No
+    corpus-scaled windows or nested loops."""
     from .clustering import _outlier_frame
     from .dedup import _norm_col
     from .textstats import _CLS_SPARK, _NOISE_TAU
@@ -1352,7 +1354,9 @@ def ns_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     outl = _outlier_frame(em).select(
         F.col("vec_id").alias("doc_id"), "is_outlier"
     )
-    j = tflags.join(outl, "doc_id")
+    j = tflags.join(outl, "doc_id", "left").withColumn(
+        "is_outlier", F.coalesce(F.col("is_outlier"), F.lit(0))
+    )
     total = (
         F.col("is_dup")
         + F.col("is_noisy")

@@ -3362,3 +3362,30 @@ def test_curation_verdict_composition(spark):
         assert r.drop_reason == (firing[0] if firing else None), doc_id
     assert any(r.keep == 0 for r in rows.values())
     assert any(r.keep == 1 for r in rows.values())
+
+
+def test_embeddings_doc_aligned_fixture():
+    """Fixture precondition for ns_curation_verdict's left join:
+    every embeddings row matches a document on vec_id = doc_id at
+    EVERY test SF (document coverage may be partial — sf0.1 has a
+    2,000-row embedding prefix over 5,000 docs, which is why the
+    verdict LEFT-joins; FIXTURES.md r11 note). Checked in DuckDB so
+    it runs even without a Spark session."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        dp = f"/root/testdata/{sf}/documents.parquet"
+        ep = f"/root/testdata/{sf}/embeddings.parquet"
+        if not (os.path.exists(dp) and os.path.exists(ep)):
+            continue
+        nd, ne, nj = duckdb.sql(
+            f"""
+            SELECT (SELECT COUNT(*) FROM read_parquet('{dp}')),
+                   (SELECT COUNT(*) FROM read_parquet('{ep}')),
+                   (SELECT COUNT(*) FROM read_parquet('{dp}') d
+                     JOIN read_parquet('{ep}') e ON d.doc_id = e.vec_id)
+            """
+        ).fetchone()
+        assert nj == ne <= nd, (sf, nd, ne, nj)
