@@ -1115,3 +1115,85 @@ def stream_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_stream(spark, staged, schema, xform, "stream_dedup_bloom")
+
+
+# ---- streaming curation gate ----
+
+from ..operators.textstats import (  # noqa: E402  (shared screens)
+    _CLS_DUCK as _GATE_CLS_DUCK,
+    _CLS_SPARK as _GATE_CLS_SPARK,
+    _NOISE_TAU as _GATE_TAU,
+)
+from ..operators.curation import (  # noqa: E402
+    _VERDICT_MIN_CHARS as _GATE_MIN_CHARS,
+)
+
+
+@query(
+    "stream_quality_gate",
+    f"""
+    WITH cs AS (
+      SELECT doc_id, n_chars, {_GATE_CLS_DUCK} AS cls
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             len([x FOR x IN range(1, length(cls))
+                  IF cls[x] != cls[x + 1]])
+               / CAST(greatest(length(cls) - 1, 1) AS DOUBLE)
+               AS transition_ratio
+      FROM cs
+    )
+    SELECT doc_id, n_chars, transition_ratio
+    FROM scored
+    WHERE transition_ratio <= CAST({_GATE_TAU!r} AS DOUBLE)
+      AND n_chars >= {_GATE_MIN_CHARS}
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation gate: the verdict's ROW-LOCAL screens
+    (class-transition noise ≤ τ, minimum length) applied at ingest
+    time — the filter a production pipeline runs INSIDE the landing
+    stream so garbage never reaches storage, rather than as a batch
+    pass afterwards. Documents arrive in three micro-batches; kept
+    rows flow through with their score. Stateless (a pure
+    filter+projection: no watermark, no state store — the cheapest
+    possible streaming operator class), sharing the EXACT screen
+    expressions with ns_ocr_noise / ns_curation_verdict so batch and
+    streaming gates cannot drift.
+
+    Oracle: the batch equivalent of the same filter — stateless
+    transforms commute with micro-batching, so the streamed union
+    equals the batch result exactly.
+
+    Scale: per-batch work is row-local regexp + one linear HOF (zero
+    shuffle, zero state); throughput is scan-bound at any rate."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    staged, schema = stage_chunks(
+        "qgate", chunks, cache_key=f"qgate|{sf_dir}"
+    )
+
+    def xform(src: DataFrame) -> DataFrame:
+        cs = src.select(
+            "doc_id",
+            "n_chars",
+            F.expr(_GATE_CLS_SPARK).alias("cls"),
+        )
+        trans = F.expr(
+            "size(filter(sequence(1, length(cls) - 1),"
+            " x -> substring(cls, x, 1) != substring(cls, x + 1, 1)))"
+        )
+        ratio = trans / F.greatest(
+            F.length("cls") - 1, F.lit(1)
+        ).cast("double")
+        return cs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            ratio.alias("transition_ratio"),
+        ).filter(
+            (F.col("transition_ratio") <= F.lit(_GATE_TAU))
+            & (F.col("n_chars") >= _GATE_MIN_CHARS)
+        )
+
+    return run_stream(spark, staged, schema, xform, "stream_quality_gate")

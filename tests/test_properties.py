@@ -3389,3 +3389,43 @@ def test_embeddings_doc_aligned_fixture():
             """
         ).fetchone()
         assert nj == ne <= nd, (sf, nd, ne, nj)
+
+
+def test_stream_quality_gate_batch_equivalence(spark):
+    """stream_quality_gate: the streamed union must equal the batch
+    filter over the same screens exactly (stateless transforms
+    commute with micro-batching), every kept row clears both gates,
+    and the gate actually drops something."""
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.curation import (
+        _VERDICT_MIN_CHARS,
+    )
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _NOISE_TAU,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["stream_quality_gate"](spark, SF_ORACLE).collect()
+    }
+    noise = {
+        r.doc_id: r
+        for r in QUERIES["ns_ocr_noise"](spark, SF_ORACLE).collect()
+    }
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchone()[0]
+    expect = {
+        d
+        for d, r in noise.items()
+        if r.transition_ratio <= _NOISE_TAU
+        and r.n_chars >= _VERDICT_MIN_CHARS
+    }
+    assert set(rows) == expect
+    for d, r in rows.items():
+        assert r.transition_ratio == noise[d].transition_ratio
+        assert r.n_chars == noise[d].n_chars
+    assert 0 < len(rows) < n_docs
