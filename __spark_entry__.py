@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 222 queries are registered (SURVEY §2 Part B, which matches the
+# 223 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 222
+# tests/test_properties.py::test_survey_registry_lockstep); all 223
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
 # cohort. The r11 window, in priority order:
-# (a) 23 operators NEW in r11 (never driver-checked):
+# (a) 24 operators NEW in r11 (never driver-checked):
 #     ns_semdedup_components — component-level SemDeDup keepers over
 #     the shared near-pair graph (the r10 verdict's #8);
 #     ns_sample_temperature / ns_quality_ccnet_buckets /
@@ -51,13 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     screen, SRP Hamming-band candidate pairs, curriculum mixture
 #     annealing, product quantization, PQ asymmetric-distance
 #     search, per-host frequency capping, OCR-noise screening,
-#     the composed curation verdict, the streaming quality gate);
+#     the composed curation verdict, the streaming quality gate,
+#     the source-overlap dataset audit);
 # (b) the 8 r05 rows — the oldest binding checks in the repo
 #     (ts_cumulative_uniques .. win_streaks below);
-# (c) 19 of the 44 r06 rows (alphabetical; outputs unchanged since
+# (c) 18 of the 44 r06 rows (alphabetical; outputs unchanged since
 #     r06 and value-equal-gated locally every round).
-# 23 + 8 + 19 = 50. Displaced to r12: the r06 alphabetical tail —
-# join_bucketed, join_cross, join_inner_equi, join_left_outer,
+# 24 + 8 + 18 = 50. Displaced to r12: the r06 alphabetical tail —
+# join_broadcast, join_bucketed, join_cross, join_inner_equi,
+# join_left_outer,
 # join_semi, join_skew_salted, lateral_explode,
 # ns_dedup_exact, ns_multimodal_cols, ns_multimodal_decode,
 # ns_multimodal_framesample, ns_multimodal_pool, ns_pii_scrub,
@@ -65,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sink_jsonl_export, sort_limit_topk,
 # sql_exists_subquery, stream_anomaly_alert,
 # stream_windowed_topk_state, ts_anomaly_mad, upsert_last_write_wins,
-# win_first_last (these twenty-five lead the r12 window together with
+# win_first_last (these twenty-six lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
 _ROUND11_FRONT = [
@@ -93,6 +95,7 @@ _ROUND11_FRONT = [
     "ns_ocr_noise",
     "ns_curation_verdict",
     "stream_quality_gate",
+    "ns_source_overlap",
     # (b) r05-stale rows (oldest in the repo; ns_dedup_exact displaced
     # from (c) to keep the window at 50)
     "ts_cumulative_uniques",
@@ -103,7 +106,7 @@ _ROUND11_FRONT = [
     "udtf_arrow_map",
     "unpivot_melt",
     "win_streaks",
-    # (c) r06-stale cohort (first 19 alphabetically)
+    # (c) r06-stale cohort (first 18 alphabetically)
     "agg_cube",
     "agg_distinct",
     "agg_group_having",
@@ -122,7 +125,6 @@ _ROUND11_FRONT = [
     "filter_state_name",
     "flagship_pipeline",
     "join_asof",
-    "join_broadcast",
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
@@ -139,7 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 222/222 as of r11
+    """DuckDB twins for EVERY registered query — 223/223 as of r11
     (the nine r11 additions were oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;

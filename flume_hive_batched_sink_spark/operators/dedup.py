@@ -1210,3 +1210,98 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty"),
         )
     )
+
+
+# ---------- source-to-source overlap (dataset audit) ----------
+
+
+def _source_overlap_sql() -> str:
+    sh_list = (
+        f"[array_to_string(string_split({_NORM}, ' ')[i:i+{SHINGLE - 1}], ' ')"
+        f" FOR i IN range(1, greatest(len(string_split({_NORM}, ' '))"
+        f" - {SHINGLE - 1}, 1) + 1)]"
+    )
+    mins = ",\n             ".join(
+        f"MIN({_MH_A[i]} * h + {_MH_B[i]}) AS m{i}"
+        for i in range(N_HASHES)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT source, unnest(list_distinct({sh_list})) AS s
+      FROM documents
+    ),
+    hx AS (SELECT source, {_h32_sql('s')} AS h FROM sh),
+    sig AS (
+      SELECT source,
+             {mins}
+      FROM hx GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST({matches} AS BIGINT) AS n_match,
+           ({matches}) / CAST({N_HASHES} AS DOUBLE) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@query("ns_source_overlap", _source_overlap_sql())
+def ns_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source content overlap: one MinHash signature PER
+    SOURCE (min over the union of its documents' shingle hashes — min
+    is associative, so the per-source signature is exactly the
+    signature of the pooled shingle set) and the pairwise
+    matching-component fraction as the resemblance estimate — the
+    dataset-overlap audit run BEFORE mixing corpora (two sources with
+    high resemblance double-count their content in the mixture;
+    E[est_jaccard] = true Jaccard of the pooled shingle sets, the
+    Broder resemblance estimator). Per-document dedup finds duplicate
+    DOCS; this finds duplicate DATASETS.
+
+    Determinism: the same md5-derived _h32 base hashes and k affine
+    permutations every minhash operator shares (exact integer mins
+    replay in DuckDB); n_match and est_jaccard are exact integer
+    comparisons over identical signatures.
+
+    Scale: ONE corpus pass (shingle → hash → explode) into a
+    |sources|-row keyed aggregate whose map-side combine collapses
+    each partition to |sources|·k running mins before the exchange;
+    the pairwise grid is a |sources|²-bounded self-join over the
+    20-row signature frame — never the corpus. Adding a source re-mins
+    only that source's partition (the signature is mergeable)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    ex = d.select(
+        "source", F.explode(shingles(_norm_col())).alias("s")
+    ).select("source", _h32(F.col("s")).alias("h"))
+    sig = ex.groupBy("source").agg(
+        *[
+            F.min(
+                F.lit(_MH_A[i]).cast("bigint") * F.col("h")
+                + F.lit(_MH_B[i]).cast("bigint")
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    a = sig.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = None
+    for i in range(N_HASHES):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            matches.cast("bigint").alias("n_match"),
+            (matches / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
+    )

@@ -93,6 +93,10 @@ ALLOWED = {
     "ns_curation_verdict": "inherits ns_embedding_outlier's 1-row "
     "distance-moments broadcast (the shared _outlier_frame); every "
     "other join is sha256- or doc_id-keyed",
+    "ns_source_overlap": "the pairwise grid IS the operator: a "
+    "theta self-join (src_a < src_b) over the |sources|-row "
+    "signature AGGREGATE (20 rows at any corpus size) — the corpus "
+    "contributes one keyed agg and never enters a nested loop",
     "ns_quality_ccnet_buckets": "the perplexity pipeline's 1-row "
     "broadcast vocab-size scalar (shared _ppl_perdoc front); the "
     "cutoff join itself is lang-KEYED, not a nested loop",

@@ -3429,3 +3429,55 @@ def test_stream_quality_gate_batch_equivalence(spark):
         assert r.transition_ratio == noise[d].transition_ratio
         assert r.n_chars == noise[d].n_chars
     assert 0 < len(rows) < n_docs
+
+
+def test_source_overlap_invariants(spark):
+    """ns_source_overlap: |sources|·(|sources|-1)/2 pairs; n_match in
+    [0, k]; est_jaccard == n_match/k; per-source signatures replay
+    exactly in pure Python (md5 base hash + affine mins over the
+    pooled distinct shingle set), so every n_match is exact."""
+    import hashlib
+
+    import duckdb
+
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.dedup import (
+        _H32_OFFSET,
+        _MH_A,
+        _MH_B,
+        N_HASHES,
+        SHINGLE,
+    )
+
+    rows = QUERIES["ns_source_overlap"](spark, SF_ORACLE).collect()
+    docs = duckdb.sql(
+        f"SELECT source, lower(trim(text)) FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    ).fetchall()
+    pooled: dict[str, set] = {}
+    for source, text in docs:
+        t = text.split(" ")
+        n = max(len(t) - SHINGLE + 1, 1)
+        sh = {" ".join(t[i:i + SHINGLE]) for i in range(n)}
+        pooled.setdefault(source, set()).update(sh)
+    sigs = {}
+    for source, sh in pooled.items():
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) - _H32_OFFSET
+            for s in sh
+        ]
+        sigs[source] = [
+            min(_MH_A[i] * h + _MH_B[i] for h in hs)
+            for i in range(N_HASHES)
+        ]
+    ns = len(pooled)
+    assert len(rows) == ns * (ns - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        want = sum(
+            1
+            for i in range(N_HASHES)
+            if sigs[r.src_a][i] == sigs[r.src_b][i]
+        )
+        assert r.n_match == want, (r.src_a, r.src_b)
+        assert r.est_jaccard == r.n_match / N_HASHES
