@@ -287,14 +287,15 @@ def main() -> None:
                 # comparisons through the frozen-subtotal ratios, not
                 # absolute seconds.
                 "note_r11_uniform_shift": (
-                    "an early-r11 solo run was uniformly ~1.4x "
-                    "slower than r10 on frozen unchanged plans "
-                    "(median ratio 1.41, all 48 overlapping queries; "
-                    "plans unchanged, PLANCHECK green); a later-r11 "
-                    "solo run on identical code RECOVERED r10's "
-                    "frozen subtotals exactly (r06 28.6 vs 28.5 s) - "
-                    "confirming ambient boot-to-boot throughput, the "
-                    "r4 precedent, not code"
+                    "r11 box throughput oscillated across the round "
+                    "on identical frozen plans (r06-prefix spread "
+                    "28.6-37.2 s over seven clean ambient_warning="
+                    "false runs; plans unchanged, PLANCHECK green; "
+                    "the r4 precedent); the fastest clean run "
+                    "matched r10's frozen subtotals exactly (28.6 "
+                    "vs 28.5 s), so frozen-prefix deltas are "
+                    "ambient spread, not code - every isolatable "
+                    "r11 code delta moved faster"
                 ),
             }
         )
