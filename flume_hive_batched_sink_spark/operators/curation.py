@@ -1334,9 +1334,13 @@ def ns_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CLS_SPARK).alias("cls"),
     )
     keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    # length(cls) < 2 guard: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0], which would count 1 phantom transition on a 1-char doc
+    # while the oracle's range(1, length(cls)) is empty.
     trans = F.expr(
-        "size(filter(sequence(1, length(cls) - 1),"
-        " x -> substring(cls, x, 1) != substring(cls, x + 1, 1)))"
+        "if(length(cls) < 2, 0,"
+        " size(filter(sequence(1, length(cls) - 1),"
+        " x -> substring(cls, x, 1) != substring(cls, x + 1, 1))))"
     )
     ratio = trans / F.greatest(
         F.length("cls") - 1, F.lit(1)

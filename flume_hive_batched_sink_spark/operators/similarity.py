@@ -1387,6 +1387,39 @@ _SRP_SQL = f"""
 """
 
 
+def _srp_projected(em: DataFrame) -> DataFrame:
+    """(vec_id, p0..p{_SRP_P-1}): the row-local sign-fold projections
+    every SRP operator builds on — ONE implementation so
+    ns_embedding_rp and _srp_code_cols (ns_srp_hamming_pairs) cannot
+    drift. Each projection is an exact decimal fold of the vector
+    against a literal ±1 sign array; zero shuffle."""
+
+    def proj(j: int) -> Column:
+        signs = F.array(*[F.lit(s) for s in _SRP[j]])
+        prods = F.zip_with(
+            F.col("embedding"),
+            signs,
+            lambda x, y: (x.cast("double") * y).cast(_DEC),
+        )
+        return F.aggregate(
+            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
+        ).cast("double")
+
+    return em.select(
+        "vec_id", *[proj(j).alias(f"p{j}") for j in range(_SRP_P)]
+    )
+
+
+def _srp_code_expr() -> Column:
+    """The 16-bit srp_code as a sign-bit sum over p0..p15 (expects
+    _srp_projected's column names in scope)."""
+    code = None
+    for j in range(_SRP_P):
+        bit = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return code.cast("bigint")
+
+
 @query("ns_embedding_rp", _SRP_SQL)
 def ns_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection sketch of the embedding corpus: 16
@@ -1409,28 +1442,9 @@ def ns_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unnest/join shape is DuckDB-only; Spark never explodes).
     Output is one row per vector with scalar cells only."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-
-    def proj(j: int) -> Column:
-        signs = F.array(*[F.lit(s) for s in _SRP[j]])
-        prods = F.zip_with(
-            F.col("embedding"),
-            signs,
-            lambda x, y: (x.cast("double") * y).cast(_DEC),
-        )
-        return F.aggregate(
-            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
-        ).cast("double")
-
-    projected = em.select(
-        "vec_id", *[proj(j).alias(f"p{j}") for j in range(_SRP_P)]
-    )
-    code = None
-    for j in range(_SRP_P):
-        bit = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        code = bit if code is None else code + bit
-    return projected.select(
+    return _srp_projected(em).select(
         "vec_id",
-        code.cast("bigint").alias("srp_code"),
+        _srp_code_expr().alias("srp_code"),
         *[F.col(f"p{j}").alias(f"proj_{j}") for j in range(4)],
     )
 
@@ -1457,7 +1471,8 @@ def _srp_codes_sql_ctes() -> str:
     `codes(vec_id, srp_code)`. Generated from the SAME _SRP sign
     table and bit weights ns_embedding_rp's oracle embeds, so the two
     oracles cannot drift (the Python constants are the shared
-    source of truth; Spark-side both operators share _srp_code_cols)."""
+    source of truth; Spark-side both operators build on
+    _srp_projected / _srp_code_expr)."""
     signs = ", ".join(
         f"({j}, {i + 1}, CAST({s!r} AS DOUBLE))"
         for j, row in enumerate(_SRP)
@@ -1488,30 +1503,11 @@ def _srp_codes_sql_ctes() -> str:
 
 
 def _srp_code_cols(em: DataFrame) -> DataFrame:
-    """(vec_id, srp_code) via the row-local sign-fold projections —
-    the Spark-side shared fragment (ns_embedding_rp projects the same
-    folds and additionally surfaces proj_0..3)."""
-
-    def proj(j: int) -> Column:
-        signs = F.array(*[F.lit(s) for s in _SRP[j]])
-        prods = F.zip_with(
-            F.col("embedding"),
-            signs,
-            lambda x, y: (x.cast("double") * y).cast(_DEC),
-        )
-        return F.aggregate(
-            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
-        ).cast("double")
-
-    projected = em.select(
-        "vec_id", *[proj(j).alias(f"p{j}") for j in range(_SRP_P)]
-    )
-    code = None
-    for j in range(_SRP_P):
-        bit = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        code = bit if code is None else code + bit
-    return projected.select(
-        "vec_id", code.cast("bigint").alias("srp_code")
+    """(vec_id, srp_code) via _srp_projected's shared sign-fold
+    projections (ns_embedding_rp builds from the same helper and
+    additionally surfaces proj_0..3)."""
+    return _srp_projected(em).select(
+        "vec_id", _srp_code_expr().alias("srp_code")
     )
 
 

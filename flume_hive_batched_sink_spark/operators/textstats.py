@@ -3036,7 +3036,7 @@ def ns_ocr_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR/noise screen: character-class transition density — map the
     text onto a 4-class alphabet (letter/digit/space/other), count
     adjacent positions that switch class, and flag documents whose
-    switch rate exceeds τ={0.5} (OCR garbage, interleaved
+    switch rate exceeds τ=_NOISE_TAU=0.375 (OCR garbage, interleaved
     digits/markup, code dumps). The classic rule-based complement to
     the model-based ns_quality_perplexity: perplexity needs a trained
     LM, this needs three regexes — a pipeline runs the cheap one
@@ -3062,10 +3062,13 @@ def ns_ocr_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CLS_SPARK).alias("cls"),
     )
     # built via expr: DSL lambdas can't parameterize substring
-    # positions with the loop variable
+    # positions with the loop variable. The n_chars < 2 guard matters:
+    # sequence(1, 0) is the DESCENDING [1, 0] in Spark, so an unguarded
+    # 1-char doc would count 1 phantom transition where the oracle's
+    # range(1, length(cls)) is empty.
     trans = F.expr(
-        "size(filter(sequence(1, n_chars - 1),"
-        " x -> substring(cls, x, 1) != substring(cls, x + 1, 1)))"
+        "if(n_chars < 2, 0, size(filter(sequence(1, n_chars - 1),"
+        " x -> substring(cls, x, 1) != substring(cls, x + 1, 1))))"
     )
     ratio = trans / F.greatest(F.col("n_chars") - 1, F.lit(1)).cast(
         "double"

@@ -1180,9 +1180,13 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.expr(_GATE_CLS_SPARK).alias("cls"),
         )
+        # length(cls) < 2 guard: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0] — unguarded, a 1-char doc would count a
+        # phantom transition the batch oracle's range() never sees.
         trans = F.expr(
-            "size(filter(sequence(1, length(cls) - 1),"
-            " x -> substring(cls, x, 1) != substring(cls, x + 1, 1)))"
+            "if(length(cls) < 2, 0,"
+            " size(filter(sequence(1, length(cls) - 1),"
+            " x -> substring(cls, x, 1) != substring(cls, x + 1, 1))))"
         )
         ratio = trans / F.greatest(
             F.length("cls") - 1, F.lit(1)
