@@ -116,28 +116,37 @@ def land_batch(
         batch_counts.write.mode("append").parquet(book_path)
 
         # completeness epilogue (A17/A18/A24): scan BOOKKEEPING for
-        # every not-yet-CHECKED logdate whose window end has passed
-        # the high-water event time, mark those CHECKED, then notify —
-        # the reference's leader loop (getFinishedLogdateList →
-        # updateCheckedState → REST, HiveBatchedSink.scala:205-227),
-        # which re-checks ALL open logdates every tick, not just the
-        # current batch's. Batch-local checking would never finalize a
-        # logdate whose window closes during a batch carrying none of
-        # its rows (caught by the r10 notifier integration test).
-        # CHECKED-marking also makes notification once-per-logdate; a
-        # LATE row for a checked logdate flips it back to NEW (higher
-        # batch_id wins) and it re-notifies when it re-finalizes —
-        # at-least-once ON THE LATE-DATA REPLAY PATH only. Across
-        # driver crashes the guarantee is AT-MOST-ONCE: CHECKED rows
-        # are durably appended below BEFORE on_complete fires
-        # (updateCheckedState-then-POST, the reference's own order,
-        # HiveBatchedSink.scala:216-227), so a crash in that window
-        # leaves the logdate CHECKED with its notification lost —
-        # RestNotifier.failed records HTTP-level failures, not
-        # crashes. A deployment needing crash-safe notification must
-        # persist a separate notified-state column and reconcile
-        # checked-but-unnotified logdates on restart (documented
-        # trade: we keep parity with the reference's ordering).
+        # every not-yet-NOTIFIED logdate whose window end has passed
+        # the high-water event time, mark those CHECKED, notify, then
+        # mark NOTIFIED — the reference's leader loop
+        # (getFinishedLogdateList → updateCheckedState → REST,
+        # HiveBatchedSink.scala:205-227) plus a durable notified
+        # state the reference lacks. The loop re-checks ALL open
+        # logdates every tick, not just the current batch's:
+        # batch-local checking would never finalize a logdate whose
+        # window closes during a batch carrying none of its rows
+        # (caught by the r10 notifier integration test).
+        #
+        # Crash-safety (r11 verdict #5): states advance NEW → CHECKED
+        # → NOTIFIED as separate durable appends. CHECKED is written
+        # BEFORE on_complete fires (updateCheckedState-then-POST, the
+        # reference's own order, HiveBatchedSink.scala:216-227);
+        # NOTIFIED is written only AFTER on_complete returns. A crash
+        # between the CHECKED append and the POST leaves the logdate
+        # CHECKED-but-unnotified, and because the epilogue's scan
+        # includes CHECKED rows, the next tick after restart
+        # reconciles it — re-notifying instead of silently losing the
+        # notification. A crash between the POST and the NOTIFIED
+        # append re-notifies on restart, so the cross-crash guarantee
+        # is AT-LEAST-ONCE (the at-most-once window the pre-r12 code
+        # documented is closed). Within one uncrashed run NOTIFIED
+        # filters a logdate out, so notification stays once-per-
+        # logdate; a LATE row flips it back to NEW (higher batch_id
+        # wins) and it re-notifies when it re-finalizes — the same
+        # late-data replay path as before. RestNotifier swallows
+        # HTTP-level failures (recorded in .failed, DTEUtils.scala:
+        # 29-32 semantics), so an unreachable endpoint still advances
+        # to NOTIFIED — the durable state tracks crashes, not HTTP.
         if on_complete is not None:
             # ONE raw bookkeeping read serves both epilogue inputs
             # (review pass 2: the lww view re-read the same parquet):
@@ -153,7 +162,7 @@ def land_batch(
             book = lww_bookkeeping(raw_book, cfg)
             wm = raw_book.agg(F.max("updatetime")).collect()[0][0]
             finished = (
-                book.filter(F.col("state") != "CHECKED")
+                book.filter(F.col("state") != "NOTIFIED")
                 .withColumn(
                     # logdate is a LOCAL wall time (cfg.timezone);
                     # shift back to the true instant before comparing
@@ -173,38 +182,52 @@ def land_batch(
                 capture_batch_plan(finished, f"land_batch:{cfg.table}")
             rows = finished.collect() if finished is not None else []
             if rows:
+                def _mark(state: str, marked) -> None:
+                    spark.createDataFrame(
+                        [
+                            (
+                                r[cfg.partition_col],
+                                r["sinkcount"],
+                                r["updatetime"],
+                                batch_id,
+                                state,
+                            )
+                            for r in marked
+                        ],
+                        batch_counts.schema,
+                    ).write.mode("append").parquet(book_path)
+
                 # A18: mark CHECKED before notifying (the reference's
-                # order); same batch_id — read_bookkeeping breaks the
-                # tie in CHECKED's favor within a batch.
-                spark.createDataFrame(
-                    [
-                        (
-                            r[cfg.partition_col],
-                            r["sinkcount"],
-                            r["updatetime"],
-                            batch_id,
-                            "CHECKED",
-                        )
-                        for r in rows
-                    ],
-                    batch_counts.schema,
-                ).write.mode("append").parquet(book_path)
+                # order); same batch_id — lww_bookkeeping breaks the
+                # tie by state rank within a batch. Rows already
+                # CHECKED here are the restart-reconcile path (a prior
+                # run crashed between its CHECKED append and POST).
+                to_check = [r for r in rows if r["state"] != "CHECKED"]
+                if to_check:
+                    _mark("CHECKED", to_check)
                 on_complete(sorted(r[cfg.partition_col] for r in rows))
+                # NOTIFIED only after on_complete returned: a crash
+                # anywhere above re-notifies on restart (at-least-once)
+                _mark("NOTIFIED", rows)
     finally:
         routed.unpersist()
 
 
 def lww_bookkeeping(raw: DataFrame, cfg: SinkConfig) -> DataFrame:
     """Last-write-wins view over raw bookkeeping appends (A20's upsert
-    semantics reconstructed relationally). Within one batch_id a
-    CHECKED mark outranks the batch's own NEW row (the epilogue marks
-    in the same batch that landed the data); a LATER batch's NEW row
-    outranks an old CHECKED mark (late data reopens the logdate)."""
+    semantics reconstructed relationally). Within one batch_id the
+    state ranks NOTIFIED > CHECKED > NEW (the epilogue advances a
+    logdate through all three in the batch that finalized it); a
+    LATER batch's NEW row outranks any old mark (late data reopens
+    the logdate and it re-checks + re-notifies on re-finalize)."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(cfg.partition_col).orderBy(
         F.col("batch_id").desc(),
-        F.when(F.col("state") == "CHECKED", 1).otherwise(0).desc(),
+        F.when(F.col("state") == "NOTIFIED", 2)
+        .when(F.col("state") == "CHECKED", 1)
+        .otherwise(0)
+        .desc(),
     )
     return (
         raw.withColumn("rn", F.row_number().over(w))

@@ -183,3 +183,72 @@ def test_landing_stream_notifies_finalized_logdates(server, spark):
     }
     assert final and final < set(logdates)  # some closed, some open
     assert set(rec.paths) == {f"/11/{d}" for d in final}
+
+
+def test_notification_crash_window_reconciled_on_restart(spark, tmp_path):
+    """r11 verdict #5: a crash between the durable CHECKED append and
+    the REST POST must NOT lose the notification. Simulate the crash
+    by raising inside on_complete (the POST never 'happened'); the
+    next epilogue tick — the restart — must see the CHECKED-but-
+    unnotified logdate and re-notify it (at-least-once across
+    crashes), and an uncrashed run must still notify once per
+    logdate (NOTIFIED filters it from later ticks)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from flume_hive_batched_sink_spark.config import SinkConfig
+    from flume_hive_batched_sink_spark.streaming.land import (
+        land_batch,
+        read_bookkeeping,
+    )
+
+    cfg = SinkConfig(
+        table="events_crashwin",
+        output_path=str(tmp_path),
+        round_unit="day",
+        round_value=1,
+    )
+
+    def batch(*ts):
+        return spark.createDataFrame(
+            [(datetime.datetime.fromisoformat(t), 1) for t in ts],
+            "ts timestamp, v int",
+        )
+
+    day1, day2, day3 = "202401010000", "202401020000", "202401030000"
+
+    def crash(logdates):
+        raise RuntimeError("simulated crash before POST")
+
+    # batch 0: day1 closes (max ts is on day2) → CHECKED appended,
+    # then the 'POST' crashes — day1 is checked-but-unnotified.
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        land_batch(
+            batch("2024-01-01 10:00:00", "2024-01-02 12:00:00"),
+            0,
+            cfg,
+            on_complete=crash,
+        )
+    states = {
+        r[cfg.partition_col]: r["state"]
+        for r in read_bookkeeping(spark, cfg).collect()
+    }
+    assert states[day1] == "CHECKED"  # durably checked, never notified
+
+    # batch 1 = the restart: day2 also closes now; the reconcile must
+    # deliver BOTH the newly-finished day2 and the crashed-window day1.
+    got: list[str] = []
+    land_batch(batch("2024-01-03 00:01:00"), 1, cfg, on_complete=got.extend)
+    assert got == [day1, day2]
+    states = {
+        r[cfg.partition_col]: r["state"]
+        for r in read_bookkeeping(spark, cfg).collect()
+    }
+    assert states[day1] == "NOTIFIED" and states[day2] == "NOTIFIED"
+    assert states[day3] == "NEW"  # still open
+
+    # batch 2, no crash: nothing re-notifies (once-per-logdate).
+    got2: list[str] = []
+    land_batch(batch("2024-01-03 02:00:00"), 2, cfg, on_complete=got2.extend)
+    assert got2 == []

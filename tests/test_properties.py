@@ -3481,3 +3481,38 @@ def test_source_overlap_invariants(spark):
         )
         assert r.n_match == want, (r.src_a, r.src_b)
         assert r.est_jaccard == r.n_match / N_HASHES
+
+
+def test_plan_buffer_survives_repeat_invocations(spark):
+    """stage.py's LAST_PLANS buffer is bounded (_PLAN_BUF); the sweep
+    must diff PLAN_PUSH_COUNTS (monotonic, never truncated) instead of
+    pre-call list lengths, else a second same-process invocation that
+    pushes past the cap silently drops captures (r10 ADVICE / r11
+    verdict #6). Invoke the landing operator twice and assert the
+    count-based diff sees every capture both times, even after the
+    buffer wraps."""
+    from flume_hive_batched_sink_spark.streaming import stage
+
+    key = "land_batch:events_landed_stream"
+
+    def run_once():
+        before = stage.PLAN_PUSH_COUNTS.get(key, 0)
+        QUERIES["stream_foreach_batch_land"](spark, SF_SMALL).collect()
+        after = stage.PLAN_PUSH_COUNTS.get(key, 0)
+        pushed = after - before
+        assert pushed > 0
+        # the sweep's recovery: last min(pushed, buf-cap) entries
+        got = stage.LAST_PLANS[key][-min(pushed, stage._PLAN_BUF):]
+        assert len(got) == min(pushed, stage._PLAN_BUF)
+        return pushed, after
+
+    p1, c1 = run_once()
+    p2, c2 = run_once()
+    assert p1 == p2  # same replay → same capture count
+    assert c2 == c1 + p2  # counter is monotonic across invocations
+    # the scenario must actually wrap the buffer (9+9 > 16 today) —
+    # a pre-call-length diff would have dropped the earliest captures
+    assert c2 > stage._PLAN_BUF
+    # the buffer itself is bounded — the counter is what preserved
+    # the diff when total pushes exceed the cap
+    assert len(stage.LAST_PLANS[key]) == min(c2, stage._PLAN_BUF)
