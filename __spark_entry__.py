@@ -23,12 +23,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 223 queries are registered (SURVEY §2 Part B, which matches the
+# 225 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 223
+# tests/test_properties.py::test_survey_registry_lockstep); all 225
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
+# Round 12 rotation (scripts/staleness.py is the mechanical input).
+# After the clean 50/50 r11 run the stale pool is the 26-row r06
+# alphabetical tail the r11 window displaced (the r11 rotation note
+# scheduled exactly these first) plus the 47-row r07 cohort. The r12
+# window, in priority order:
+# (a) 2 operators NEW in r12 (never driver-checked):
+#     ns_similarity_ivfpq — the composed FAISS-IVFADC index (IVF
+#     cells prune, PQ tables score); ns_bm25_topk — BM25 lexical
+#     retrieval with det_ln_int-gated idf;
+# (b) ALL 26 displaced r06 rows (join_broadcast .. win_first_last
+#     below) — clearing the r06 tail entirely, so after a clean r12
+#     run no operator's latest driver gate is older than r07;
+# (c) the first 22 of the 47 r07 rows (alphabetical: agg_collect ..
+#     ns_tfidf_topterms). 2 + 26 + 22 = 50. Displaced to r13: the
+#     remaining 25 r07 rows (ns_token_count, partition_route, … —
+#     outputs unchanged since r07 and value-equal-gated locally every
+#     round).
+#
+# Round 11 rotation (kept for the audit trail):
 # Round 11 rotation (scripts/staleness.py is the mechanical input).
 # After the clean 50/50 r10 driver run the stale pool is the 8-row
 # r05 alphabetical tail the r10 window displaced plus the 44-row r06
@@ -70,6 +89,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # win_first_last (these twenty-six lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
+_ROUND12_FRONT = [
+    # (a) new in r12 — first driver check
+    "ns_similarity_ivfpq",
+    "ns_bm25_topk",
+    # (b) the 26 displaced r06 rows — the oldest gates in the repo
+    "join_broadcast",
+    "join_bucketed",
+    "join_cross",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_skew_salted",
+    "lateral_explode",
+    "ns_dedup_exact",
+    "ns_multimodal_cols",
+    "ns_multimodal_decode",
+    "ns_multimodal_framesample",
+    "ns_multimodal_pool",
+    "ns_pii_scrub",
+    "pivot_counts",
+    "project_compute",
+    "sample_hash",
+    "scan_parquet",
+    "sink_jsonl_export",
+    "sort_limit_topk",
+    "sql_exists_subquery",
+    "stream_anomaly_alert",
+    "stream_windowed_topk_state",
+    "ts_anomaly_mad",
+    "upsert_last_write_wins",
+    "win_first_last",
+    # (c) r07-stale cohort (first 22 alphabetically)
+    "agg_collect",
+    "agg_percentile",
+    "f_array",
+    "f_conditional",
+    "f_date",
+    "f_json_map",
+    "f_math",
+    "f_struct",
+    "ingest_bad_records",
+    "ingest_parse_text",
+    "join_null_safe",
+    "ns_doc_fingerprint",
+    "ns_lang_id",
+    "ns_multimodal_headers",
+    "ns_pack_ffd",
+    "ns_pack_sequences",
+    "ns_quality_score",
+    "ns_sample_stratified",
+    "ns_similarity_topk",
+    "ns_text_scrub",
+    "ns_text_stats",
+    "ns_tfidf_topterms",
+]
+
 _ROUND11_FRONT = [
     # (a) new in r11 — first driver check
     "ns_semdedup_components",
@@ -128,21 +203,26 @@ _ROUND11_FRONT = [
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND11_FRONT
+FRONT = _ROUND12_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND11_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND12_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 223/223 as of r11
-    (the nine r11 additions were oracle-backed from birth:
+    """DuckDB twins for EVERY registered query — 225/225 as of r12
+    (the two r12 additions compose proven oracle fragments verbatim:
+    ns_similarity_ivfpq embeds _ivf_assign_sql_ctes + _pq_sql_prefix
+    + _adc_tables_sql_ctes with only a new exact-integer candidate
+    join; ns_bm25_topk rides det_ln_int on the integer-rewritten
+    Lucene idf plus the VARCHAR-routed decimal term-score sum. The
+    r11 additions were likewise oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;
     ns_sample_temperature rides sqrt — the one IEEE-correctly-rounded

@@ -1452,20 +1452,17 @@ _ADC_TOPK = 10
 _ADC_N_PROBES = 5  # the vec_id < 5 probe convention (similarity.py)
 
 
-def _adc_sql() -> str:
+def _adc_tables_sql_ctes() -> str:
+    """`probes(probe_id, q)` + `tt(probe_id, m, j, t)` — the per-probe
+    M×K asymmetric distance tables, shared VERBATIM by _adc_sql
+    (ns_similarity_pq_adc) and _ivfpq_sql (ns_similarity_ivfpq) so
+    both oracles score against identical tables. Requires
+    _pq_sql_prefix's `cb`/`i8` in scope."""
     sqq = (
         f"(CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE) - b.cc[i.i])"
         f" * (CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE) - b.cc[i.i])"
     )
-    tpiv = ", ".join(
-        f"MAX(CASE WHEN m = {m} THEN t END) AS t{m}" for m in range(_PQ_M)
-    )
-    adc = "t0"
-    for m in range(1, _PQ_M):
-        adc = f"({adc} + t{m})"
-    return f"""
-    WITH {_pq_sql_prefix()},
-    probes AS (
+    return f"""probes AS (
       SELECT vec_id AS probe_id, embedding AS q
       FROM embeddings WHERE vec_id < {_ADC_N_PROBES}
     ),
@@ -1474,7 +1471,27 @@ def _adc_sql() -> str:
              list_reduce(list({sqq} ORDER BY i.i), (a, b) -> a + b) AS t
       FROM probes p CROSS JOIN cb b CROSS JOIN i8 i
       GROUP BY 1, 2, 3
-    ),
+    )"""
+
+
+def _adc_pivot_sql() -> tuple[str, str]:
+    """(pivot column list, left-associated adc sum) over adcm(vec_id,
+    probe_id, m, t) — the per-(probe, vector) 8-lookup score shared by
+    _adc_sql and _ivfpq_sql."""
+    tpiv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN t END) AS t{m}" for m in range(_PQ_M)
+    )
+    adc = "t0"
+    for m in range(1, _PQ_M):
+        adc = f"({adc} + t{m})"
+    return tpiv, adc
+
+
+def _adc_sql() -> str:
+    tpiv, adc = _adc_pivot_sql()
+    return f"""
+    WITH {_pq_sql_prefix()},
+    {_adc_tables_sql_ctes()},
     adcm AS (
       SELECT a.vec_id, t.probe_id, a.m, t.t
       FROM a2 a JOIN tt t ON t.m = a.m AND t.j = a.cl
@@ -1496,6 +1513,29 @@ def _adc_sql() -> str:
       FROM scored
     ) WHERE rank <= {_ADC_TOPK}
     """
+
+
+def _adc_tables(probes: list, cb: dict) -> dict[tuple[int, int], list[float]]:
+    """Driver-computed per-(probe, subspace) distance tables
+    {(probe_id, m): [K squared distances]} — bounded (|probes|·M·K =
+    160 values at the registered geometry). Left-associated Python
+    float adds ≡ the oracle's list_reduce fold over identical doubles.
+    Shared by ns_similarity_pq_adc and ns_similarity_ivfpq."""
+    tables: dict[tuple[int, int], list[float]] = {}
+    for p in probes:
+        for m in range(_PQ_M):
+            qsub = [
+                float(v)
+                for v in p.embedding[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+            ]
+            row = []
+            for j in range(_PQ_K):
+                acc = 0.0
+                for a, b in zip(qsub, cb[(m, j)]):
+                    acc = acc + (a - b) * (a - b)
+                row.append(acc)
+            tables[(p.vec_id, m)] = row
+    return tables
 
 
 @query("ns_similarity_pq_adc", _adc_sql())
@@ -1533,20 +1573,7 @@ def ns_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    tables: dict[tuple[int, int], list[float]] = {}
-    for p in probes:
-        for m in range(_PQ_M):
-            qsub = [
-                float(v)
-                for v in p.embedding[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
-            ]
-            row = []
-            for j in range(_PQ_K):
-                acc = 0.0
-                for a, b in zip(qsub, cb1[(m, j)]):
-                    acc = acc + (a - b) * (a - b)
-                row.append(acc)
-            tables[(p.vec_id, m)] = row
+    tables = _adc_tables(probes, cb1)
     codes = [
         _pq_argmin(m, cb1).getField("j").alias(f"c{m}")
         for m in range(_PQ_M)
@@ -1586,3 +1613,207 @@ def ns_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------- IVF-PQ composed search (FAISS IVFADC) ----------
+
+_IVFPQ_NPROBE = 2  # the ns_similarity_ann_ivf probe-cell convention
+
+
+def _ivfpq_sql() -> str:
+    """Oracle for the composed index: the coarse-quantizer CTE chain
+    is ns_similarity_ann_ivf's VERBATIM (_ivf_assign_sql_ctes), the
+    codebook/codes/tables are ns_similarity_pq_adc's VERBATIM
+    (_pq_sql_prefix + _adc_tables_sql_ctes + _adc_pivot_sql) — the
+    only new text is the candidate join that restricts the ADC scan
+    to probed cells."""
+    from .similarity import _ivf_assign_sql_ctes
+
+    tpiv, adc = _adc_pivot_sql()
+    return f"""
+    WITH {_ivf_assign_sql_ctes()},
+    {_pq_sql_prefix()},
+    {_adc_tables_sql_ctes()},
+    cand AS (
+      SELECT pc.query_id AS probe_id, a.vec_id
+      FROM probe_cells pc JOIN assigned a ON a.cell_id = pc.cell_id
+      WHERE a.vec_id != pc.query_id
+    ),
+    adcm AS (
+      SELECT c.vec_id, c.probe_id, a.m, t.t
+      FROM cand c
+      JOIN a2 a ON a.vec_id = c.vec_id
+      JOIN tt t ON t.probe_id = c.probe_id
+              AND t.m = a.m AND t.j = a.cl
+    ),
+    piva AS (
+      SELECT vec_id, probe_id, {tpiv}
+      FROM adcm GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT probe_id, vec_id, {adc} AS adc_d2
+      FROM piva
+    )
+    SELECT probe_id, vec_id AS neighbor_id, adc_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_id ORDER BY adc_d2, vec_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_ADC_TOPK}
+    """
+
+
+def ivfpq_topk(
+    em: DataFrame,
+    cent: DataFrame,
+    probe_ids: list[int],
+    k: int = _ADC_TOPK,
+    nprobe: int = _IVFPQ_NPROBE,
+    cb: dict | None = None,
+) -> DataFrame:
+    """IVFADC core (Jégou et al. 2011 §IV; the FAISS IVFPQ index):
+    coarse-quantize the corpus to `cent` cells AND PQ-encode every
+    vector in the same projection, then for each probe score ONLY the
+    vectors in its top-`nprobe` cells via 8 table lookups on the
+    2-byte codes. Parameterized (like similarity.ivf_topk) so the
+    planted-twin recall test drives the end-to-end path on its own
+    corpus.
+
+    Scale shape: the corpus pass is one broadcast-join assignment +
+    row-local PQ encode (the ns_similarity_ann_ivf and
+    ns_embedding_pq passes FUSED into a single projection — one scan,
+    zero extra shuffle); probe→cell selection and distance tables are
+    bounded driver work (|probes|·C dots + |probes|·M·K literals);
+    the ADC scan is gated by a row-local array_contains(cell) filter
+    BEFORE the per-probe CASE dispatch computes any lookup, so
+    non-probed cells are never scored — at 100 TB with the corpus
+    bucketed/partitioned by cell_id the same filter prunes whole
+    files, which is exactly the inverted-list read a FAISS IVF index
+    does. Top-k is a probe_id window whose rank gate Spark pushes
+    into WindowGroupLimit (partial top-k per input partition before
+    the |probes|-key exchange)."""
+    from pyspark.sql.window import Window as W
+
+    if cb is None:
+        cb = _pq_train(em)
+    # one fused corpus pass: coarse cell + PQ codes per vector
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
+    enc = (
+        em.join(F.broadcast(cent))
+        .withColumn("cdot", _dot_dbl(F.col("embedding"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell_id"),
+            *[
+                _pq_argmin(m, cb).getField("j").alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+    # bounded driver work: probe rows, centroid rows, per-probe cells
+    probes = (
+        em.filter(F.col("vec_id").isin([int(i) for i in probe_ids]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = cent.orderBy("cent_id").collect()
+    tables = _adc_tables(probes, cb)
+
+    def _probe_cells(q) -> list[int]:
+        # left-fold double dot ≡ _dot_dbl / the oracle's list_reduce
+        scoredc = []
+        for c in cents:
+            acc = 0.0
+            for a, b in zip(q.embedding, c.cent_emb):
+                acc = acc + float(a) * float(b)
+            scoredc.append((-acc, int(c.cent_id)))
+        scoredc.sort()
+        return [cid for _neg, cid in scoredc[:nprobe]]
+
+    meta = F.array(
+        *[
+            F.struct(
+                F.lit(int(p.vec_id)).alias("probe_id"),
+                F.array(
+                    *[F.lit(c) for c in _probe_cells(p)]
+                ).alias("cells"),
+            )
+            for p in probes
+        ]
+    )
+    cand = enc.select("*", F.explode(meta).alias("s")).filter(
+        F.array_contains(F.col("s.cells"), F.col("cell_id"))
+        & (F.col("vec_id") != F.col("s.probe_id"))
+    )
+    # per-probe ADC as a lazy CASE chain: only the matched probe's
+    # lookup chain evaluates, and only on rows that survived the
+    # cell filter above (the full-scan ADC never happens)
+    adc = None
+    for p in probes:
+        pid = int(p.vec_id)
+        chain = None
+        for m in range(_PQ_M):
+            lut = F.array(*[F.lit(t) for t in tables[(pid, m)]])
+            term = F.element_at(lut, F.col(f"c{m}") + 1)
+            chain = term if chain is None else chain + term
+        cond = F.col("s.probe_id") == pid
+        adc = F.when(cond, chain) if adc is None else adc.when(cond, chain)
+    scored = cand.select(
+        F.col("s.probe_id").cast("bigint").alias("probe_id"),
+        "vec_id",
+        adc.alias("adc_d2"),
+    )
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@query("ns_similarity_ivfpq", _ivfpq_sql())
+def ns_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN index (FAISS IVFADC): IVF coarse
+    cells prune the corpus to nprobe=2 probed cells, then PQ
+    asymmetric-distance table lookups score ONLY those cells' codes —
+    `ns_similarity_ann_ivf`'s pruning driving
+    `ns_similarity_pq_adc`'s scan, the index a 100 TB embedding store
+    actually serves (a query touches |corpus|·nprobe/C code bytes,
+    never the vectors). Geometry is the shared conventions: centroids
+    vec_id % 50 (capped _IVF_MAX_CELLS), probes vec_id < 5, the ONE
+    _pq_train codebook, top-10 by (adc_d2, neighbor_id).
+
+    Determinism: coarse assignment is the proven left-fold ranking
+    (ns_similarity_ann_ivf's oracle CTEs verbatim); codes and tables
+    are the proven PQ state (_pq_sql_prefix / _adc_tables_sql_ctes
+    verbatim); only the probed-cell candidate join is new, and it is
+    exact integer equality. Non-residual IVFADC variant: codes
+    quantize the raw vectors, not x − centroid (Jégou §IV.B's IVFADC
+    encodes residuals for tighter error; the residual encode is this
+    same fused projection with one extra subtract and is deliberately
+    NOT done here so the codes stay bit-shared with ns_embedding_pq).
+
+    Scale: see ivfpq_topk — one fused corpus scan (assign + encode),
+    bounded driver state, cell-gated ADC, WindowGroupLimit top-k."""
+    from .similarity import _IVF_MAX_CELLS
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cent = (
+        em.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_MAX_CELLS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+    )
+    return ivfpq_topk(em, cent, probe_ids=list(range(_ADC_N_PROBES)))

@@ -863,8 +863,15 @@ def ivf_topk(
 # doubles, same (cdot DESC, cent_id) row_number choice. Norms and the
 # output cosine reuse the exact-decimal-via-VARCHAR patterns from the
 # ann_lsh oracle verbatim.
-_IVF_ORACLE = f"""
-    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+def _ivf_assign_sql_ctes() -> str:
+    """The coarse-quantizer CTE chain — centroid subset, left-fold
+    assignment dots, per-vector cell, per-probe top-nprobe cells —
+    ending in `assigned(vec_id, cell_id)` and `probe_cells(query_id,
+    cell_id)`. Shared VERBATIM by _IVF_ORACLE (ns_similarity_ann_ivf)
+    and ns_similarity_ivfpq's oracle (clustering.py), so the two
+    cannot drift: both operators must prune through the identical
+    coarse index."""
+    return f"""idx AS (SELECT unnest(range(1, 65)) AS i),
     cent AS (
       SELECT vec_id AS cent_id, embedding AS cent_emb
       FROM embeddings WHERE vec_id % 50 = 0
@@ -886,14 +893,18 @@ _IVF_ORACLE = f"""
                                   ORDER BY cdot DESC, cent_id) AS rn
         FROM adot) WHERE rn = 1
     ),
-    {_SQL_NORMS},
     probe_cells AS (
       SELECT vec_id AS query_id, cent_id AS cell_id FROM (
         SELECT vec_id, cent_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cdot DESC, cent_id) AS rn
         FROM adot WHERE vec_id < 5) WHERE rn <= 2
-    ),
+    )"""
+
+
+_IVF_ORACLE = f"""
+    WITH {_ivf_assign_sql_ctes()},
+    {_SQL_NORMS},
     cand AS (
       SELECT pc.query_id, a.vec_id AS neighbor_id
       FROM probe_cells pc JOIN assigned a ON a.cell_id = pc.cell_id

@@ -3084,3 +3084,177 @@ def ns_ocr_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit_ratio"),
         F.when(ratio > F.lit(_NOISE_TAU), 1).otherwise(0).alias("is_noisy"),
     )
+
+
+# ---------- BM25 lexical retrieval ----------
+
+# Okapi BM25 (Robertson et al., TREC-3) with the Lucene idf variant
+# ln(1 + (N - df + 0.5)/(df + 0.5)) = ln(2N + 2) - ln(2df + 1): both
+# arguments are INTEGERS, so the deterministic integer logarithm
+# (registry.det_ln_int) makes the idf hash-gateable exactly like the
+# tf-idf / perplexity operators — native ln() is not cross-engine
+# bit-stable. k1/b are the canonical defaults.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+# Fixed literal query set over the synthetic corpus vocabulary — the
+# retrieval twin of the vec_id < 5 probe convention the ANN operators
+# use (a production call parameterizes this frame).
+_BM25_QUERIES: dict[int, list[str]] = {
+    1: ["spark", "window", "join"],
+    2: ["hash", "merge", "sort"],
+    3: ["customer", "vector", "query"],
+}
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, ts in sorted(_BM25_QUERIES.items())
+        for t in ts
+    )
+    ts = (
+        "(ln_n - ln_df) * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+        " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+        " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        " * (CAST(dl * n_docs AS DOUBLE) / CAST(total AS DOUBLE)))))"
+    )
+    return f"""
+    WITH qmap(query_id, term) AS (VALUES {qvals}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dls AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total
+      FROM documents
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN (SELECT DISTINCT term FROM qmap) q USING (term)
+      GROUP BY 1, 2
+    ),
+    dfs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    base AS (
+      SELECT q.query_id, f.doc_id, f.tf, d.dl, s.n_docs, s.total,
+             2 * s.n_docs + 2 AS arg_n, 2 * df.df + 1 AS arg_df
+      FROM tf f
+      JOIN qmap q ON q.term = f.term
+      JOIN dfs df ON df.term = f.term
+      JOIN dls d ON d.doc_id = f.doc_id
+      CROSS JOIN stats s
+    ),
+    {sql_det_ln_ctes("lns", "base", {"arg_n": "ln_n", "arg_df": "ln_df"})},
+    term_scores AS (
+      SELECT query_id, doc_id, {ts} AS ts FROM lns
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(CAST(ts AS VARCHAR) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS score
+      FROM term_scores GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@query("ns_bm25_topk", _bm25_sql())
+def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents per query — the lexical-retrieval pair
+    to the ANN operators in every retrieval/dedup pipeline (hybrid
+    search = this ranking fused with ns_similarity_topk's). Okapi
+    BM25, k1={k1} b={b}, Lucene idf ln(1 + (N-df+0.5)/(df+0.5))
+    rewritten as det_ln_int(2N+2) - det_ln_int(2df+1) so both engines
+    evaluate the identical polynomial on integer inputs.
+
+    Determinism: tf/df/dl/N/total are exact integers; the tf
+    saturation term is a fixed-shape double expression (identical
+    operand trees → identical IEEE results); per-(query, doc) term
+    scores sum through the VARCHAR-routed exact decimal; the top-10
+    carries the doc_id tiebreak.
+
+    Scale shape: dl is a row-local size(split) in the SAME scan
+    projection that prefilters tokens to the query vocabulary (a
+    row-local array filter BEFORE the explode — only query-term
+    occurrences ever leave the scan, the classic impact-ordered
+    posting prune); tf is ONE (doc, term) aggregate with map-side
+    combine; df derives from tf (|vocab∩query| rows); qmap/df/stats
+    broadcast; the per-query top-10 rank gate pushes into
+    WindowGroupLimit. No corpus-sized shuffle except the (doc, term)
+    tf aggregate itself, whose key count is bounded by |query terms|
+    · N."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    toks = _TOKENS(F.col("text"))
+    qterms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    lit_terms = F.array(*[F.lit(t) for t in qterms])
+    base0 = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        F.filter(
+            toks, lambda x: F.array_contains(lit_terms, x)
+        ).alias("qt"),
+    )
+    stats = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total"),
+    )
+    tf = (
+        base0.select("doc_id", "dl", F.explode("qt").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    qmap = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, ts in sorted(_BM25_QUERIES.items())
+            for t in ts
+        ],
+        "query_id long, term string",
+    )
+    j = (
+        tf.join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    ln_n = det_ln_int(F.lit(2) * F.col("n_docs") + F.lit(2))
+    ln_df = det_ln_int(F.lit(2) * F.col("df") + F.lit(1))
+    norm = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total"
+    ).cast("double")
+    denom = F.col("tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * norm
+    )
+    ts = (ln_n - ln_df) * (
+        (F.col("tf").cast("double") * F.lit(2.2)) / denom
+    )
+    scored = j.groupBy("query_id", "doc_id").agg(
+        F.sum(ts.cast("decimal(28,12)")).cast("double").alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+ns_bm25_topk.__doc__ = ns_bm25_topk.__doc__.format(k1=_BM25_K1, b=_BM25_B)

@@ -3516,3 +3516,144 @@ def test_plan_buffer_survives_repeat_invocations(spark):
     # the buffer itself is bounded — the counter is what preserved
     # the diff when total pushes exceed the cap
     assert len(stage.LAST_PLANS[key]) == min(c2, stage._PLAN_BUF)
+
+
+def test_ivfpq_planted_twin_recall_at_10(spark):
+    """END-TO-END recall@10 of the composed IVFADC path vs the exact
+    cosine baseline (the ns_similarity_topk semantics): plant 10
+    near-twins per probe (cosine ≈ 0.9999 ≫ the corpus's natural
+    max), run the full ivfpq_topk chain (coarse quantize → PQ encode
+    → probed-cell ADC scan → top-10) and assert ≥90% of the
+    numpy-exact top-10 sets are retrieved. The twins share their
+    base's IVF cell and (at this perturbation scale) its PQ code, so
+    losses can only come from the composition itself."""
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        ivfpq_topk,
+    )
+
+    base = load_table(spark, SF_SMALL, "embeddings").limit(60).collect()
+    ids = [int(r.vec_id) for r in base]
+    E = {i: np.array([float(x) for x in r.embedding]) for i, r in zip(ids, base)}
+    rows = [(i, E[i].tolist()) for i in ids]
+    for j in range(1, 11):  # ten distinct small perturbation patterns
+        for i in ids:
+            pat = np.array(
+                [((d + j) % 3 == 0) * 2.0 - 1.0 for d in range(64)]
+            ) * (0.0005 * j)
+            twin = E[i] + pat
+            tid = i + j * 1_000_000
+            E[tid] = twin
+            rows.append((tid, twin.tolist()))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = em.filter(
+        (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 4 == 0)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    probe_ids = ids[:20]
+    ann = ivfpq_topk(em, cent, probe_ids, k=10, nprobe=2).collect()
+    got: dict[int, set] = {}
+    for r in ann:
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    all_ids = sorted(E)
+    M = np.array([E[i] / np.linalg.norm(E[i]) for i in all_ids])
+    hits, want = 0, 0
+    for q in probe_ids:
+        qi = all_ids.index(q)
+        cos = M @ M[qi]
+        cos[qi] = -2.0
+        top10 = {all_ids[t] for t in np.argsort(-cos)[:10]}
+        want += 10
+        hits += len(top10 & got.get(q, set()))
+    recall = hits / want
+    assert recall >= 0.9, f"ivfpq recall@10 {recall}"
+
+
+def test_similarity_ivfpq_invariants(spark):
+    """ns_similarity_ivfpq: per-probe ranks contiguous and ordered by
+    (adc_d2, neighbor_id), never the probe itself; and every (probe,
+    neighbor) pair ALSO present in the full-scan ns_similarity_pq_adc
+    top-10 carries the IDENTICAL adc_d2 — the composed index changes
+    which vectors are scanned, never how one is scored."""
+    from .conftest import SF_ORACLE
+
+    out = QUERIES["ns_similarity_ivfpq"](spark, SF_ORACLE).collect()
+    per_probe: dict[int, list] = {}
+    for r in out:
+        per_probe.setdefault(r.probe_id, []).append(r)
+    assert set(per_probe) == set(range(5))
+    for pid, rows in per_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r.adc_d2, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)
+        assert all(r.neighbor_id != pid for r in rows)
+    full = {
+        (r.probe_id, r.neighbor_id): r.adc_d2
+        for r in QUERIES["ns_similarity_pq_adc"](spark, SF_ORACLE).collect()
+    }
+    shared = 0
+    for r in out:
+        d = full.get((r.probe_id, r.neighbor_id))
+        if d is not None:
+            assert d == r.adc_d2, (r, d)
+            shared += 1
+    assert shared > 0  # the two top-10s overlap somewhere
+
+
+def test_bm25_matches_independent_python_reference(spark):
+    """ns_bm25_topk vs a from-scratch pure-Python BM25 (math.log idf,
+    naive float sums — NO shared code with the operator): per query
+    the ranked doc lists must agree exactly. det_ln_int tracks libm
+    ln to ~1e-12 relative, so a rank flip would mean a real scoring
+    bug, not float noise; ties (identical tf/dl) break by doc_id in
+    both implementations."""
+    import math
+
+    import duckdb
+
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _BM25_QUERIES,
+        _BM25_TOPK,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    toks = {d: t.split(" ") for d, t in docs}
+    n_docs = len(docs)
+    total = sum(len(t) for t in toks.values())
+    want: dict[int, list[int]] = {}
+    for qid, terms in _BM25_QUERIES.items():
+        scores = []
+        for d, tk in toks.items():
+            dl = len(tk)
+            s = 0.0
+            for t in set(terms):
+                tf = tk.count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks.values() if t in tt)
+                idf = math.log(
+                    1 + (n_docs - df + 0.5) / (df + 0.5)
+                )
+                s += idf * (tf * 2.2) / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / total)
+                )
+            if s > 0.0:
+                scores.append((-s, d))
+        scores.sort()
+        want[qid] = [d for _s, d in scores[:_BM25_TOPK]]
+    out = QUERIES["ns_bm25_topk"](spark, SF_SMALL).collect()
+    got: dict[int, list] = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    assert set(got) == set(want)
+    for qid in want:
+        ranked = [d for _rk, d, _s in sorted(got[qid])]
+        assert ranked == want[qid], (qid, ranked, want[qid])
+        assert all(s > 0 for _rk, _d, s in got[qid])
