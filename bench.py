@@ -115,6 +115,12 @@ HEADLINE = [
     # round 11 fourth wave: the PQ train → encode → ADC-search chain
     # end to end (the heaviest new plan of the wave).
     "ns_similarity_pq_adc",
+    # round 12 additions (the 55-query set above stays frozen): the
+    # composed IVFADC index (IVF pruning + ADC scoring — timed next
+    # to ns_similarity_pq_adc so the probed-cell win is visible in
+    # the same artifact) and BM25 lexical retrieval.
+    "ns_similarity_ivfpq",
+    "ns_bm25_topk",
 ]
 
 

@@ -1665,6 +1665,32 @@ def _ivfpq_sql() -> str:
     """
 
 
+def ivfpq_build_index(em: DataFrame, cent: DataFrame, cb: dict) -> DataFrame:
+    """The IVFADC index build — ONE fused corpus pass producing
+    `(vec_id, cell_id, c0..c{M-1})`: coarse cell via broadcast-join
+    argmax dot, PQ codes via row-local argmin in the same projection.
+    In production this frame is materialized ONCE partitioned/bucketed
+    by cell_id (scripts/ivfpq_decade.py measures that amortized query
+    path); ivfpq_topk builds it inline when no index is passed."""
+    from pyspark.sql.window import Window as W
+
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
+    return (
+        em.join(F.broadcast(cent))
+        .withColumn("cdot", _dot_dbl(F.col("embedding"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell_id"),
+            *[
+                _pq_argmin(m, cb).getField("j").alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+
+
 def ivfpq_topk(
     em: DataFrame,
     cent: DataFrame,
@@ -1672,6 +1698,7 @@ def ivfpq_topk(
     k: int = _ADC_TOPK,
     nprobe: int = _IVFPQ_NPROBE,
     cb: dict | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC core (Jégou et al. 2011 §IV; the FAISS IVFPQ index):
     coarse-quantize the corpus to `cent` cells AND PQ-encode every
@@ -1693,27 +1720,22 @@ def ivfpq_topk(
     files, which is exactly the inverted-list read a FAISS IVF index
     does. Top-k is a probe_id window whose rank gate Spark pushes
     into WindowGroupLimit (partial top-k per input partition before
-    the |probes|-key exchange)."""
+    the |probes|-key exchange).
+
+    Pass `enc` (a materialized ivfpq_build_index frame, ideally
+    partitioned by cell_id) to run the AMORTIZED query path — the
+    build happens once, queries pay only the pruned scan; the
+    cell_id isin-prefilter is a simple scan predicate there, so
+    partition pruning skips non-probed files entirely
+    (scripts/ivfpq_decade.py measures this against the full-scan
+    ADC)."""
     from pyspark.sql.window import Window as W
 
     if cb is None:
         cb = _pq_train(em)
-    # one fused corpus pass: coarse cell + PQ codes per vector
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
-    enc = (
-        em.join(F.broadcast(cent))
-        .withColumn("cdot", _dot_dbl(F.col("embedding"), F.col("cent_emb")))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("cent_id").alias("cell_id"),
-            *[
-                _pq_argmin(m, cb).getField("j").alias(f"c{m}")
-                for m in range(_PQ_M)
-            ],
-        )
-    )
+    if enc is None:
+        # one fused corpus pass: coarse cell + PQ codes per vector
+        enc = ivfpq_build_index(em, cent, cb)
     # bounded driver work: probe rows, centroid rows, per-probe cells
     probes = (
         em.filter(F.col("vec_id").isin([int(i) for i in probe_ids]))
@@ -1734,20 +1756,29 @@ def ivfpq_topk(
         scoredc.sort()
         return [cid for _neg, cid in scoredc[:nprobe]]
 
+    cells_by_probe = {int(p.vec_id): _probe_cells(p) for p in probes}
     meta = F.array(
         *[
             F.struct(
-                F.lit(int(p.vec_id)).alias("probe_id"),
-                F.array(
-                    *[F.lit(c) for c in _probe_cells(p)]
-                ).alias("cells"),
+                F.lit(pid).alias("probe_id"),
+                F.array(*[F.lit(c) for c in cells]).alias("cells"),
             )
-            for p in probes
+            for pid, cells in cells_by_probe.items()
         ]
     )
-    cand = enc.select("*", F.explode(meta).alias("s")).filter(
-        F.array_contains(F.col("s.cells"), F.col("cell_id"))
-        & (F.col("vec_id") != F.col("s.probe_id"))
+    # the union-of-probed-cells prefilter is a SIMPLE predicate on
+    # cell_id, so when `enc` is materialized partitioned/bucketed by
+    # cell it pushes to the scan and prunes whole files (the
+    # inverted-list read) — the per-probe array_contains below only
+    # resolves WHICH probe a surviving row belongs to
+    probed_union = sorted({c for cs in cells_by_probe.values() for c in cs})
+    cand = (
+        enc.filter(F.col("cell_id").isin(probed_union))
+        .select("*", F.explode(meta).alias("s"))
+        .filter(
+            F.array_contains(F.col("s.cells"), F.col("cell_id"))
+            & (F.col("vec_id") != F.col("s.probe_id"))
+        )
     )
     # per-probe ADC as a lazy CASE chain: only the matched probe's
     # lookup chain evaluates, and only on rows that survived the

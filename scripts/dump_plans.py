@@ -120,6 +120,10 @@ PLAN_QUERIES = [
     "ns_similarity_pq_adc",
     "ns_host_cap",
     "ns_ocr_noise",
+    # round 12: the composed IVFADC (cell-pruned ADC scan) and BM25
+    # lexical retrieval (scan-level query-vocabulary prefilter).
+    "ns_similarity_ivfpq",
+    "ns_bm25_topk",
 ]
 
 
@@ -820,6 +824,34 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "WindowGroupLimit-pushed cap; broadcast sizes join",
         has_wgl and has_bhj,
         f"wgl={has_wgl}, bhj={has_bhj}")
+
+    # ns_similarity_ivfpq (r12): the per-probe top-k must push into
+    # WindowGroupLimit, and the probed-cell union prefilter must be
+    # a SIMPLE IN-set predicate on cell_id (the scan-pushable shape
+    # that prunes cell-partitioned files on a materialized index) —
+    # present in the plan BEFORE the ADC projection.
+    p = _executed(ops.QUERIES["ns_similarity_ivfpq"](spark, sf_dir))
+    has_wgl = "WindowGroupLimit" in p
+    has_inset = ("cell_id" in p) and (" IN (" in p or "INSET" in p)
+    add("ns_similarity_ivfpq",
+        "WindowGroupLimit-pushed per-probe top-k; cell_id IN-set "
+        "prefilter gates the ADC scan",
+        has_wgl and has_inset,
+        f"wgl={has_wgl}, inset={has_inset}")
+
+    # ns_bm25_topk (r12): rank <= 10 pushed into WindowGroupLimit;
+    # qmap/df/stats joins broadcast (no corpus-sized shuffle joins);
+    # the tf aggregate split partial/final around one exchange.
+    p = _executed(ops.QUERIES["ns_bm25_topk"](spark, sf_dir))
+    has_wgl = "WindowGroupLimit" in p
+    n_bhj = p.count("BroadcastHashJoin")
+    n_smj = p.count("SortMergeJoin")
+    has_partial = "partial_count" in p
+    add("ns_bm25_topk",
+        "WindowGroupLimit-pushed top-10; broadcast qmap/df joins "
+        "(zero SortMergeJoin); two-phase tf aggregate",
+        has_wgl and n_bhj >= 2 and n_smj == 0 and has_partial,
+        f"wgl={has_wgl}, bhj={n_bhj}, smj={n_smj}, partial={has_partial}")
     return checks
 
 

@@ -53,6 +53,13 @@ ALLOWED = {
     "ns_similarity_ann_ivf": "keyless joins against the broadcast "
     "centroid frame, capped at _IVF_MAX_CELLS=64 rows — the linear "
     "N*C assignment the cap exists to bound",
+    "ns_similarity_ivfpq": "the same broadcast centroid assignment "
+    "as ns_similarity_ann_ivf (capped 64-row build side) fused with "
+    "the PQ encode; the ADC scan side is join-free (cell prefilter "
+    "+ literal table lookups)",
+    "ns_bm25_topk": "1-row broadcast corpus-stats scalar (N, total "
+    "tokens) crossed onto the query-term tf aggregate for the "
+    "idf/length normalizers — never the corpus",
     "ns_embedding_filter_join": "corpus x fixed 5-probe broadcast "
     "frame (the probe screen is the operator)",
     "ns_contamination_semantic": "corpus x ONE-ROW broadcast (the "
