@@ -1835,16 +1835,139 @@ def ns_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: see ivfpq_topk — one fused corpus scan (assign + encode),
     bounded driver state, cell-gated ADC, WindowGroupLimit top-k."""
-    from .similarity import _IVF_MAX_CELLS
+    from .similarity import ivf_centroids
 
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    cent = (
-        em.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_IVF_MAX_CELLS)
+    return ivfpq_topk(
+        em, ivf_centroids(em), probe_ids=list(range(_ADC_N_PROBES))
+    )
+
+
+# ---------- reciprocal-rank fusion ----------
+
+_RRF_K0 = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_TOPK = 10
+
+
+def _rrf_sql() -> str:
+    """Oracle: both input rankings replayed VERBATIM from their
+    proven fragments (_cosine_ranked_sql_ctes for the exact list,
+    _pq_sql_prefix + _adc_tables_sql_ctes + _adc_pivot_sql for the
+    ADC list); only the fusion arithmetic is new."""
+    from .similarity import _cosine_ranked_sql_ctes
+
+    tpiv, adc = _adc_pivot_sql()
+    rrf = (
+        f"(CASE WHEN rank_cos IS NULL THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(1.0 AS DOUBLE)"
+        f" / CAST({_RRF_K0} + rank_cos AS DOUBLE) END"
+        f" + CASE WHEN rank_adc IS NULL THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(1.0 AS DOUBLE)"
+        f" / CAST({_RRF_K0} + rank_adc AS DOUBLE) END)"
+    )
+    return f"""
+    WITH {_cosine_ranked_sql_ctes()},
+    {_pq_sql_prefix()},
+    {_adc_tables_sql_ctes()},
+    adcm AS (
+      SELECT a.vec_id, t.probe_id, a.m, t.t
+      FROM a2 a JOIN tt t ON t.m = a.m AND t.j = a.cl
+    ),
+    piva AS (
+      SELECT vec_id, probe_id, {tpiv}
+      FROM adcm GROUP BY 1, 2
+    ),
+    adc_scored AS (
+      SELECT probe_id, vec_id, {adc} AS adc_d2
+      FROM piva WHERE vec_id != probe_id
+    ),
+    adc_ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY adc_d2, vec_id
+             ) AS rank
+      FROM adc_scored
+    ),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.probe_id) AS probe_id,
+             COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+             a.rn AS rank_cos, b.rank AS rank_adc
+      FROM (SELECT * FROM cos_ranked WHERE rn <= {_RRF_TOPK}) a
+      FULL OUTER JOIN
+           (SELECT * FROM adc_ranked WHERE rank <= {_RRF_TOPK}) b
+        ON a.query_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+    ),
+    rrf AS (
+      SELECT probe_id, neighbor_id, {rrf} AS rrf,
+             rank_cos, rank_adc
+      FROM fused
+    )
+    SELECT probe_id, neighbor_id, rrf,
+           CAST(rank_cos AS BIGINT) AS rank_cos,
+           CAST(rank_adc AS BIGINT) AS rank_adc,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_id ORDER BY rrf DESC, neighbor_id
+             ) AS rank
+      FROM rrf
+    ) WHERE rank <= {_RRF_TOPK}
+    """
+
+
+@query("ns_rank_fusion_rrf", _rrf_sql())
+def ns_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k0=60) of two
+    retrieval lists for the shared vec_id<5 probes: the EXACT cosine
+    top-10 (`cosine_ranked`, ns_similarity_topk's chain) and the PQ
+    ADC top-10 (`ns_similarity_pq_adc`'s output) — the standard way
+    production search fuses heterogeneous rankings (lexical+vector,
+    exact+approximate) without calibrating their scores: rrf =
+    Σ 1/(k0 + rank), summed over the lists that retrieved the pair.
+
+    Determinism: ranks are the components' proven (score, id)-
+    tiebroken integers; each reciprocal is one int→double division;
+    the two-term sum is a fixed-shape expression (missing list → the
+    exact 0.0 literal, never NULL poisoning); final order (rrf DESC,
+    neighbor_id).
+
+    Scale: both inputs end k·|probes| rows (50 here) regardless of
+    corpus size, so the fusion join + re-rank is driver-trivial and
+    constant-cost — the corpus is touched only inside the component
+    rankings, each with its own audited scale shape."""
+    from .similarity import cosine_ranked
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cos = cosine_ranked(em, _RRF_TOPK).select(
+        F.col("query_id").alias("probe_id"),
+        "neighbor_id",
+        F.col("rn").alias("rank_cos"),
+    )
+    adc = ns_similarity_pq_adc(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("rank_adc")
+    )
+    fused = cos.join(adc, ["probe_id", "neighbor_id"], "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNull(), F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0) / (F.lit(_RRF_K0) + F.col(c)).cast("double")
+    )
+    scored = fused.select(
+        "probe_id",
+        "neighbor_id",
+        (term("rank_cos") + term("rank_adc")).alias("rrf"),
+        F.col("rank_cos").cast("bigint").alias("rank_cos"),
+        F.col("rank_adc").cast("bigint").alias("rank_adc"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("probe_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RRF_TOPK)
         .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
+            "probe_id", "neighbor_id", "rrf",
+            "rank_cos", "rank_adc",
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
-    return ivfpq_topk(em, cent, probe_ids=list(range(_ADC_N_PROBES)))

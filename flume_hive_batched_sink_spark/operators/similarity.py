@@ -156,10 +156,13 @@ _SQL_NORMS = """norms AS (
 
 
 
-@query(
-    "ns_similarity_topk",
-    f"""
-    WITH queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
+def _cosine_ranked_sql_ctes() -> str:
+    """The brute-force cosine scoring CTE chain — probe frame, exact
+    norms, decimal dots, cosine — ending in `cos_ranked(query_id,
+    neighbor_id, cosine, rn)` (rn unfiltered; consumers gate rn <= k).
+    Shared VERBATIM by ns_similarity_topk's oracle and the RRF-fusion
+    oracle (clustering.py) so the exact list both rank cannot drift."""
+    return f"""queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
     {_SQL_NORMS},
     dots AS ({_SQL_DOT.format(a='queries', aa='q', b='embeddings', ba='c',
                               where='WHERE q.vec_id <> c.vec_id')}),
@@ -169,21 +172,21 @@ _SQL_NORMS = """norms AS (
       FROM dots
       JOIN norms nq ON nq.vec_id = dots.ida
       JOIN norms nc ON nc.vec_id = dots.idb
-    )
-    SELECT query_id, neighbor_id, cosine FROM (
+    ),
+    cos_ranked AS (
       SELECT query_id, neighbor_id, cosine,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, neighbor_id) AS rn
       FROM scored
-    ) WHERE rn <= 3
-    """,
-)
-def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 neighbors for 5 probe vectors.
-    Probes are broadcast; each corpus partition scores locally; the
-    per-query top-k is a window over query_id (k·|queries| rows after
-    AQE, never the full n×m product materialized to the driver)."""
-    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    )"""
+
+
+def cosine_ranked(em: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine top-`k` per probe (query_id, neighbor_id, cosine,
+    rn) — the Spark twin of _cosine_ranked_sql_ctes, shared by
+    ns_similarity_topk (k=3) and ns_rank_fusion_rrf (k=10). Probes
+    are broadcast; each corpus partition scores locally; the rank
+    gate pushes into WindowGroupLimit."""
     norms = em.select(
         "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
     )
@@ -202,11 +205,25 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
     )
+
+
+@query(
+    "ns_similarity_topk",
+    f"""
+    WITH {_cosine_ranked_sql_ctes()}
+    SELECT query_id, neighbor_id, cosine FROM cos_ranked WHERE rn <= 3
+    """,
+)
+def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for 5 probe vectors.
+    Probes are broadcast; each corpus partition scores locally; the
+    per-query top-k is a window over query_id (k·|queries| rows after
+    AQE, never the full n×m product materialized to the driver)."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    return cosine_ranked(em, 3).select("query_id", "neighbor_id", "cosine")
 
 
 # Multi-band hyperplane LSH: _N_BANDS independent sign sketches of
@@ -789,6 +806,23 @@ def ns_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assigned(em: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-cell assignment (vec_id, embedding, cell_id) via the
+    broadcast-join argmax dot with (cdot DESC, cent_id) ties — the
+    Spark twin of _ivf_assign_sql_ctes' `assigned`, shared by
+    ivf_topk and ns_ivf_cell_stats."""
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
+    return (
+        em.join(F.broadcast(cent))
+        .withColumn(
+            "cdot", _dot_dbl(F.col("embedding"), F.col("cent_emb"))
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+    )
+
+
 def ivf_topk(
     em: DataFrame,
     probes: DataFrame,
@@ -810,15 +844,7 @@ def ivf_topk(
         # only, never output — see _dot_dbl)
         return _dot_dbl(a, b)
 
-    # nearest cell per corpus vector (ties → smallest cent_id)
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
-    assigned = (
-        em.join(F.broadcast(cent))
-        .withColumn("cdot", dot(F.col("embedding"), F.col("cent_emb")))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
-    )
+    assigned = _ivf_assigned(em, cent)
     norms = assigned.select(
         "vec_id", "cell_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
@@ -966,10 +992,20 @@ def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index build amortized across queries); this operator rebuilds
     per run, so it pins C and lets cells grow linearly instead."""
     em = tbl(spark, sf_dir, "embeddings")
-    cent = (
+    probes = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(em, probes, ivf_centroids(em), k=3, nprobe=2)
+
+
+def ivf_centroids(em: DataFrame) -> DataFrame:
+    """The shared coarse-quantizer geometry (cent_id, cent_emb):
+    deterministic smallest `vec_id % 50 == 0` ids, capped at
+    _IVF_MAX_CELLS (TakeOrderedAndProject over N/50 rows — no full
+    sort). One definition for ns_similarity_ann_ivf,
+    ns_ivf_cell_stats, and clustering's ns_similarity_ivfpq."""
+    return (
         em.filter(F.col("vec_id") % 50 == 0)
-        # deterministic fixed-size geometry: smallest qualifying ids
-        # (TakeOrderedAndProject over N/50 rows — no full sort)
         .orderBy("vec_id")
         .limit(_IVF_MAX_CELLS)
         .select(
@@ -977,10 +1013,64 @@ def ns_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("cent_emb"),
         )
     )
-    probes = em.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+
+
+@query(
+    "ns_ivf_cell_stats",
+    f"""
+    WITH {_ivf_assign_sql_ctes()},
+    counts AS (
+      SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assigned)
+    SELECT c.cent_id AS cell_id,
+           CAST(COALESCE(k.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(k.n_vecs, 0) AS DOUBLE)
+             / CAST(t.n_total AS DOUBLE) AS share
+    FROM cent c
+    LEFT JOIN counts k ON k.cell_id = c.cent_id
+    CROSS JOIN tot t
+    """,
+)
+def ns_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-cell occupancy of the shared
+    coarse quantizer (n_vecs + corpus share per inverted list,
+    INCLUDING empty cells) — the balance report a production ANN
+    deployment watches (FAISS's imbalance_factor): a hot cell makes
+    every probe that touches it scan-heavy, an empty one wastes
+    nlist; skew here is what motivates re-training centroids or
+    salting hot cells. Composes the proven assignment CTEs verbatim
+    (_ivf_assign_sql_ctes / _ivf_assigned).
+
+    Determinism: counts are exact integers over the proven argmax
+    assignment; share is one int/int double division.
+
+    Scale: ONE corpus assignment pass into a C-row aggregate
+    (map-side combined), then C-row joins against the centroid frame
+    and a 1-row total scalar — output is C rows at any corpus size."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(em)
+    assigned = _ivf_assigned(em, cent)
+    counts = assigned.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
     )
-    return ivf_topk(em, probes, cent, k=3, nprobe=2)
+    tot = assigned.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        cent.select(F.col("cent_id").alias("cell_id"))
+        .join(F.broadcast(counts), "cell_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell_id",
+            F.coalesce(F.col("n_vecs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_vecs"),
+            (
+                F.coalesce(F.col("n_vecs"), F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+    )
 
 
 @query(

@@ -60,6 +60,13 @@ ALLOWED = {
     "ns_bm25_topk": "1-row broadcast corpus-stats scalar (N, total "
     "tokens) crossed onto the query-term tf aggregate for the "
     "idf/length normalizers — never the corpus",
+    "ns_ivf_cell_stats": "the shared 64-row broadcast centroid "
+    "assignment (the ns_similarity_ann_ivf pattern) plus a 1-row "
+    "broadcast total scalar crossed onto the C-row counts frame",
+    "ns_rank_fusion_rrf": "inherits ns_similarity_topk's corpus x "
+    "5-probe broadcast (the exact-list component by design); the "
+    "fusion join itself is (probe, neighbor)-keyed over two "
+    "k*|probes|-row frames",
     "ns_embedding_filter_join": "corpus x fixed 5-probe broadcast "
     "frame (the probe screen is the operator)",
     "ns_contamination_semantic": "corpus x ONE-ROW broadcast (the "

@@ -3657,3 +3657,73 @@ def test_bm25_matches_independent_python_reference(spark):
         ranked = [d for _rk, d, _s in sorted(got[qid])]
         assert ranked == want[qid], (qid, ranked, want[qid])
         assert all(s > 0 for _rk, _d, s in got[qid])
+
+
+def test_ivf_cell_stats_partition_of_corpus(spark):
+    """ns_ivf_cell_stats: the cells partition the corpus exactly —
+    one row per centroid (including empties), n_vecs sums to the
+    corpus count, shares sum to 1 and are each n/total."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    rows = QUERIES["ns_ivf_cell_stats"](spark, SF_ORACLE).collect()
+    n_corpus = load_table(spark, SF_ORACLE, "embeddings").count()
+    n_cents = sum(
+        1
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id")
+        .collect()
+        if r.vec_id % 50 == 0
+    )
+    assert len(rows) == min(n_cents, 64)
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    assert all(r.n_vecs >= 0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.share == r.n_vecs / n_corpus
+
+
+def test_rank_fusion_rrf_consistent_with_components(spark):
+    """ns_rank_fusion_rrf: every fused pair appears in at least one
+    component list with the SAME rank; rrf equals the two-term
+    reciprocal replay exactly; per-probe output ordered by
+    (rrf desc, neighbor_id) with contiguous ranks; a pair ranked
+    first in BOTH lists fuses first."""
+    from .conftest import SF_ORACLE
+    from flume_hive_batched_sink_spark.operators.clustering import _RRF_K0
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        cosine_ranked,
+    )
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    em = tbl(spark, SF_ORACLE, "embeddings")
+    cos = {
+        (r.query_id, r.neighbor_id): r.rn
+        for r in cosine_ranked(em, 10).collect()
+    }
+    adc = {
+        (r.probe_id, r.neighbor_id): r.rank
+        for r in QUERIES["ns_similarity_pq_adc"](spark, SF_ORACLE).collect()
+    }
+    out = QUERIES["ns_rank_fusion_rrf"](spark, SF_ORACLE).collect()
+    per_probe: dict[int, list] = {}
+    for r in out:
+        per_probe.setdefault(r.probe_id, []).append(r)
+        key = (r.probe_id, r.neighbor_id)
+        assert r.rank_cos == cos.get(key) and r.rank_adc == adc.get(key), r
+        assert r.rank_cos is not None or r.rank_adc is not None, r
+        want = (0.0 if r.rank_cos is None else 1.0 / (_RRF_K0 + r.rank_cos)) + (
+            0.0 if r.rank_adc is None else 1.0 / (_RRF_K0 + r.rank_adc)
+        )
+        assert r.rrf == want, (r, want)
+    for pid, rows in per_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.rrf, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)
+        both_first = [
+            n for (p, n), rc in cos.items()
+            if p == pid and rc == 1 and adc.get((p, n)) == 1
+        ]
+        if both_first:
+            assert rows[0].neighbor_id == both_first[0]
