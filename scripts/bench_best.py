@@ -1,0 +1,96 @@
+"""Best-of-N solo bench harness (r11 verdict #8).
+
+Round-over-round frozen-prefix deltas kept getting adjudicated
+against box oscillation (r11 spent seven runs on a 28.6-37.2 s
+ambient spread on identical code). Fix: run `bench.py` N times in N
+FRESH JVMs, take the per-query MINIMUM across runs (each run is
+already best-of-2 inside its JVM), and stamp the artifact with
+n_runs + every run's subtotals so the committed number is the box's
+demonstrated-capable speed, not one draw from the ambient
+distribution.
+
+Usage: python scripts/bench_best.py [N] [out.json]   (default N=3)
+
+The merged artifact keeps bench.py's schema (queries / subtotals /
+ambient stamps from the FIRST run) and adds: n_runs,
+per_run_totals, per_run_r04_subtotals — so a reader can see both the
+best-of-N number and the spread it was drawn from.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def one_run(i: int) -> dict:
+    print(f"[bench_best] run {i} starting", file=sys.stderr, flush=True)
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+    )
+    if p.returncode != 0:
+        print(p.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"bench run {i} failed rc={p.returncode}")
+    # bench prints ONE JSON line (last non-empty stdout line)
+    line = [ln for ln in p.stdout.splitlines() if ln.strip()][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    runs = [one_run(i) for i in range(1, n + 1)]
+    names = list(runs[0]["queries"])
+    best = {
+        q: min(r["queries"][q] for r in runs) for q in names
+    }
+    merged = dict(runs[0])  # ambient stamps/notes from the first run
+    merged["queries"] = {q: best[q] for q in names}
+    merged["value"] = round(sum(best.values()), 3)
+    # recompute the frozen-prefix subtotals from the merged minima
+    # (same prefix lengths bench.py uses)
+    sys.path.insert(0, ROOT)
+    from bench import HEADLINE
+
+    for key, k in (
+        ("r01_comparable_subtotal", 15),
+        ("r02_comparable_subtotal", 20),
+        ("r04_comparable_subtotal", 24),
+        ("r06_comparable_subtotal", 36),
+    ):
+        merged[key] = round(sum(best[q] for q in HEADLINE[:k]), 3)
+    merged["n_runs"] = n
+    merged["method"] = (
+        "per-query min over n_runs fresh-JVM bench.py invocations "
+        "(each itself best-of-2 in-JVM); subtotals recomputed from "
+        "the merged minima; ambient stamps are the first run's"
+    )
+    merged["per_run_totals"] = [r["value"] for r in runs]
+    merged["per_run_r04_subtotals"] = [
+        r["r04_comparable_subtotal"] for r in runs
+    ]
+    merged["per_run_ambient"] = [
+        {
+            "other_jvms": r["ambient_other_jvms"],
+            "load1": r["ambient_load1"],
+            "warning": r["ambient_warning"],
+        }
+        for r in runs
+    ]
+    line = json.dumps(merged)
+    print(line)
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
+        print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
