@@ -34,20 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # alphabetical tail the r11 window displaced (the r11 rotation note
 # scheduled exactly these first) plus the 47-row r07 cohort. The r12
 # window, in priority order:
-# (a) 4 operators NEW in r12 (never driver-checked):
+# (a) 5 operators NEW in r12 (never driver-checked):
 #     ns_similarity_ivfpq — the composed FAISS-IVFADC index (IVF
 #     cells prune, PQ tables score); ns_bm25_topk — BM25 lexical
 #     retrieval with det_ln_int-gated idf; ns_ivf_cell_stats — the
 #     IVF occupancy/balance audit; ns_rank_fusion_rrf — RRF fusion
-#     of the exact-cosine and ADC rankings;
+#     of the exact-cosine and ADC rankings; ns_embedding_pca —
+#     power-iteration top principal component;
 # (b) ALL 26 displaced r06 rows (join_broadcast .. win_first_last
 #     below) — clearing the r06 tail entirely, so after a clean r12
 #     run no operator's latest driver gate is older than r07;
-# (c) the first 20 of the 47 r07 rows (alphabetical: agg_collect ..
-#     ns_text_scrub). 4 + 26 + 20 = 50. Displaced to r13: the
-#     remaining 27 r07 rows (ns_text_stats, ns_tfidf_topterms,
-#     ns_token_count, partition_route, … — outputs unchanged since
-#     r07 and value-equal-gated locally every round).
+# (c) the first 19 of the 47 r07 rows (alphabetical: agg_collect ..
+#     ns_similarity_topk). 5 + 26 + 19 = 50. Displaced to r13: the
+#     remaining 28 r07 rows (ns_text_scrub, ns_text_stats,
+#     ns_tfidf_topterms, ns_token_count, partition_route, … —
+#     outputs unchanged since r07 and value-equal-gated locally
+#     every round).
 #
 # Round 11 rotation (kept for the audit trail):
 # Round 11 rotation (scripts/staleness.py is the mechanical input).
@@ -97,6 +99,7 @@ _ROUND12_FRONT = [
     "ns_bm25_topk",
     "ns_ivf_cell_stats",
     "ns_rank_fusion_rrf",
+    "ns_embedding_pca",
     # (b) the 26 displaced r06 rows — the oldest gates in the repo
     "join_broadcast",
     "join_bucketed",
@@ -144,7 +147,6 @@ _ROUND12_FRONT = [
     "ns_quality_score",
     "ns_sample_stratified",
     "ns_similarity_topk",
-    "ns_text_scrub",
 ]
 
 _ROUND11_FRONT = [

@@ -1971,3 +1971,192 @@ def ns_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------- power-iteration PCA over the embedding corpus ----------
+
+# Fixed 2-iteration oracle geometry (the kmeans/BPE precedent:
+# production loops to convergence; the registered form pins the
+# round count so the DuckDB twin can replay it CTE by CTE).
+_PCA_ITERS = 2
+_PCA_DEC = "decimal(25,12)"  # row-local fold scale (similarity._DEC)
+
+
+def _pca_iter_sql(prev_v: str, it: int) -> str:
+    """CTEs for one power iteration against direction table
+    `{prev_v}(dim, v)`: per-vector centered projection s{it}, per-dim
+    exact corpus sum y{it} (→ q = y/n), left-fold norm, normalized
+    v{it}(dim, v)."""
+    return f"""
+    s{it} AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(CAST(
+                    (CAST(e.embedding[m.dim] AS DOUBLE) - m.mu) * v.v
+                    AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE) AS s
+      FROM embeddings e
+      CROSS JOIN mu m
+      JOIN {prev_v} v ON v.dim = m.dim
+      GROUP BY 1
+    ),
+    y{it} AS (
+      SELECT m.dim,
+             CAST(SUM(CAST(CAST(
+                    s{it}.s * (CAST(e.embedding[m.dim] AS DOUBLE) - m.mu)
+                    AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+               / (SELECT n FROM nn) AS q
+      FROM embeddings e
+      JOIN s{it} ON s{it}.vec_id = e.vec_id
+      CROSS JOIN mu m
+      GROUP BY 1
+    ),
+    y{it}n AS (
+      SELECT sqrt(list_reduce(list(q * q ORDER BY dim),
+                              (a, b) -> a + b)) AS nrm
+      FROM y{it}
+    ),
+    v{it} AS (
+      SELECT dim, q / (SELECT nrm FROM y{it}n) AS v FROM y{it}
+    )"""
+
+
+def _pca_sql() -> str:
+    return f"""
+    WITH i64 AS (SELECT unnest(range(1, 65)) AS i),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mu AS (
+      SELECT i.i AS dim,
+             CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                      AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE)
+               / (SELECT n FROM nn) AS mu
+      FROM embeddings e CROSS JOIN i64 i
+      GROUP BY 1
+    ),
+    x0 AS (SELECT embedding AS x FROM embeddings ORDER BY vec_id LIMIT 1),
+    v0r AS (
+      SELECT m.dim, CAST(x.x[m.dim] AS DOUBLE) - m.mu AS v
+      FROM x0 x CROSS JOIN mu m
+    ),
+    v0n AS (
+      SELECT sqrt(list_reduce(list(v * v ORDER BY dim),
+                              (a, b) -> a + b)) AS nrm
+      FROM v0r
+    ),
+    v0 AS (SELECT dim, v / (SELECT nrm FROM v0n) AS v FROM v0r),
+    {_pca_iter_sql("v0", 1)},
+    {_pca_iter_sql("v1", 2)}
+    SELECT e.vec_id,
+           CAST(SUM(CAST(CAST(
+                  (CAST(e.embedding[m.dim] AS DOUBLE) - m.mu) * v.v
+                  AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE) AS pc1
+    FROM embeddings e
+    CROSS JOIN mu m
+    JOIN v2 v ON v.dim = m.dim
+    GROUP BY 1
+    """
+
+
+def _pca_center_dot(mu: list[float], v: list[float]) -> Column:
+    """Exact-decimal fold Σ_d (x_d − μ_d)·v_d against literal μ/v —
+    row-local, the _dot_dec convention (per-element double arithmetic,
+    decimal-exact order-free sum, double out)."""
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(w) for w in v])
+    centered = F.zip_with(
+        F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
+    )
+    prods = F.zip_with(centered, v_arr, lambda c, w: (c * w).cast(_PCA_DEC))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_PCA_DEC),
+        lambda acc, p: (acc + p).cast(_PCA_DEC),
+    ).cast("double")
+
+
+def _pca_normalize(q: list[float]) -> list[float]:
+    """q / ||q|| with the norm as a DIM-ORDER left fold of doubles —
+    bit-identical to the oracle's list_reduce(list(q*q ORDER BY dim))
+    (left folds of identical doubles agree; the corpus-sized sums
+    that PRODUCE q are exact decimals, so order never enters there)."""
+    acc = 0.0
+    for x in q:
+        acc = acc + x * x
+    nrm = acc ** 0.5
+    return [x / nrm for x in q]
+
+
+@query("ns_embedding_pca", _pca_sql())
+def ns_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION (2 fixed rounds), emitting each vector's pc1 score —
+    the compression/whitening/drift-axis pass an embedding pipeline
+    runs beside k-means and PQ (pc1 is the axis PQ/IVF cells stretch
+    along; SemDeDup's paper prunes along exactly this direction).
+    v_{k+1} = C·v_k / ‖C·v_k‖ without ever materializing the 64×64
+    covariance: C·v = Σ_i (x_i−μ)·((x_i−μ)ᵀv)/n, one corpus pass per
+    iteration. Init v0 = x_min_id − μ normalized (deterministic, no
+    RNG — the kmeans c0 convention).
+
+    Determinism: μ and every corpus-sized sum ride the VARCHAR-routed
+    exact decimal (order-free); per-row projections are the _dot_dec
+    decimal fold; the ONLY ordered float sums are the 64-element
+    norm folds, replayed as dim-order left folds on both engines
+    (list_reduce ≡ the Python loop over identical doubles);
+    normalization/division are single IEEE ops. Degenerate corpora
+    (zero variance) would 0-divide — outside the contract, like
+    bpe's _require_rounds.
+
+    Scale: 1 + _PCA_ITERS corpus passes (means, then one per
+    iteration), each a row-local projection into a 64-key map-side-
+    combined aggregate (the ns_embedding_profile shape — a 64-row
+    shuffle regardless of corpus size) plus one bounded 64-value
+    collect; the returned plan is ONE row-local fold against 128
+    literals, zero joins/shuffles. Production would lift the
+    iteration cap and checkpoint v between rounds exactly like
+    kmeans; per-iteration cost is a single scan."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    n = em.count()
+    ex = em.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    mu_rows = (
+        ex.groupBy("dim")
+        .agg(
+            F.sum(F.col("val").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sv")
+        )
+        .collect()
+    )
+    mu = [0.0] * 64
+    for r in mu_rows:
+        mu[r.dim - 1] = r.sv / n
+    x0 = em.orderBy("vec_id").limit(1).collect()[0].embedding
+    v = _pca_normalize([float(x0[d]) - mu[d] for d in range(64)])
+    for _it in range(_PCA_ITERS):
+        s = em.select(
+            "vec_id",
+            "embedding",
+            _pca_center_dot(mu, v).alias("s"),
+        )
+        mu_arr = F.array(*[F.lit(m) for m in mu])
+        centered = F.zip_with(
+            F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
+        )
+        y_rows = (
+            s.select("s", F.posexplode(centered).alias("pos", "c"))
+            .select(
+                (F.col("pos") + 1).alias("dim"),
+                (F.col("s") * F.col("c")).cast("decimal(28,12)").alias("p"),
+            )
+            .groupBy("dim")
+            .agg(F.sum("p").cast("double").alias("y"))
+            .collect()
+        )
+        q = [0.0] * 64
+        for r in y_rows:
+            q[r.dim - 1] = r.y / n
+        v = _pca_normalize(q)
+    return em.select(
+        "vec_id", _pca_center_dot(mu, v).alias("pc1")
+    )

@@ -3727,3 +3727,42 @@ def test_rank_fusion_rrf_consistent_with_components(spark):
         ]
         if both_first:
             assert rows[0].neighbor_id == both_first[0]
+
+
+def test_embedding_pca_matches_numpy_replay(spark):
+    """ns_embedding_pca vs an independent numpy replay of the same
+    2-round power iteration (vectorized matmuls, float64 — no shared
+    code or summation order): per-vector pc1 agrees to float noise,
+    and the centered projections sum to ~0 (Σ(x−μ)·v = 0 in exact
+    arithmetic)."""
+    import duckdb
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_ORACLE}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    )
+    ids = sorted(vecs)
+    X = np.array([vecs[v] for v in ids], dtype=np.float64)
+    mu = X.mean(axis=0)
+    C = X - mu
+    v = C[0] / np.linalg.norm(C[0])
+    for _ in range(2):
+        y = C.T @ (C @ v) / len(ids)
+        v = y / np.linalg.norm(y)
+    want = C @ v
+    out = {
+        r.vec_id: r.pc1
+        for r in QUERIES["ns_embedding_pca"](spark, SF_ORACLE).collect()
+    }
+    assert set(out) == set(ids)
+    scale = float(np.abs(want).max())
+    for i, vid in enumerate(ids):
+        assert abs(out[vid] - want[i]) < 1e-6 * max(scale, 1.0), (
+            vid, out[vid], want[i],
+        )
+    assert abs(sum(out.values())) < 1e-5 * max(scale, 1.0) * len(ids)
