@@ -34,22 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # alphabetical tail the r11 window displaced (the r11 rotation note
 # scheduled exactly these first) plus the 47-row r07 cohort. The r12
 # window, in priority order:
-# (a) 5 operators NEW in r12 (never driver-checked):
+# (a) 6 operators NEW in r12 (never driver-checked):
 #     ns_similarity_ivfpq — the composed FAISS-IVFADC index (IVF
 #     cells prune, PQ tables score); ns_bm25_topk — BM25 lexical
 #     retrieval with det_ln_int-gated idf; ns_ivf_cell_stats — the
 #     IVF occupancy/balance audit; ns_rank_fusion_rrf — RRF fusion
 #     of the exact-cosine and ADC rankings; ns_embedding_pca —
-#     power-iteration top principal component;
+#     power-iteration top principal component; stream_ann_serve —
+#     online ANN serving over the prebuilt IVFPQ index;
 # (b) ALL 26 displaced r06 rows (join_broadcast .. win_first_last
 #     below) — clearing the r06 tail entirely, so after a clean r12
 #     run no operator's latest driver gate is older than r07;
-# (c) the first 19 of the 47 r07 rows (alphabetical: agg_collect ..
-#     ns_similarity_topk). 5 + 26 + 19 = 50. Displaced to r13: the
-#     remaining 28 r07 rows (ns_text_scrub, ns_text_stats,
-#     ns_tfidf_topterms, ns_token_count, partition_route, … —
-#     outputs unchanged since r07 and value-equal-gated locally
-#     every round).
+# (c) the first 18 of the 47 r07 rows (alphabetical: agg_collect ..
+#     ns_sample_stratified). 6 + 26 + 18 = 50. Displaced to r13: the
+#     remaining 29 r07 rows (ns_similarity_topk, ns_text_scrub,
+#     ns_text_stats, ns_tfidf_topterms, ns_token_count,
+#     partition_route, … — outputs unchanged since r07 and
+#     value-equal-gated locally every round).
 #
 # Round 11 rotation (kept for the audit trail):
 # Round 11 rotation (scripts/staleness.py is the mechanical input).
@@ -100,6 +101,7 @@ _ROUND12_FRONT = [
     "ns_ivf_cell_stats",
     "ns_rank_fusion_rrf",
     "ns_embedding_pca",
+    "stream_ann_serve",
     # (b) the 26 displaced r06 rows — the oldest gates in the repo
     "join_broadcast",
     "join_bucketed",
@@ -146,7 +148,6 @@ _ROUND12_FRONT = [
     "ns_pack_sequences",
     "ns_quality_score",
     "ns_sample_stratified",
-    "ns_similarity_topk",
 ]
 
 _ROUND11_FRONT = [

@@ -1452,19 +1452,22 @@ _ADC_TOPK = 10
 _ADC_N_PROBES = 5  # the vec_id < 5 probe convention (similarity.py)
 
 
-def _adc_tables_sql_ctes() -> str:
+def _adc_tables_sql_ctes(probe_pred: str | None = None) -> str:
     """`probes(probe_id, q)` + `tt(probe_id, m, j, t)` — the per-probe
     M×K asymmetric distance tables, shared VERBATIM by _adc_sql
-    (ns_similarity_pq_adc) and _ivfpq_sql (ns_similarity_ivfpq) so
-    both oracles score against identical tables. Requires
+    (ns_similarity_pq_adc), _ivfpq_sql (ns_similarity_ivfpq), and
+    stream_ann_serve's oracle (probe_pred widens the probe set) so
+    every oracle scores against identical tables. Requires
     _pq_sql_prefix's `cb`/`i8` in scope."""
+    if probe_pred is None:
+        probe_pred = f"vec_id < {_ADC_N_PROBES}"
     sqq = (
         f"(CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE) - b.cc[i.i])"
         f" * (CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE) - b.cc[i.i])"
     )
     return f"""probes AS (
       SELECT vec_id AS probe_id, embedding AS q
-      FROM embeddings WHERE vec_id < {_ADC_N_PROBES}
+      FROM embeddings WHERE {probe_pred}
     ),
     tt AS (
       SELECT p.probe_id, b.m, b.j,
@@ -1620,20 +1623,22 @@ def ns_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_NPROBE = 2  # the ns_similarity_ann_ivf probe-cell convention
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(probe_pred: str | None = None) -> str:
     """Oracle for the composed index: the coarse-quantizer CTE chain
     is ns_similarity_ann_ivf's VERBATIM (_ivf_assign_sql_ctes), the
     codebook/codes/tables are ns_similarity_pq_adc's VERBATIM
     (_pq_sql_prefix + _adc_tables_sql_ctes + _adc_pivot_sql) — the
     only new text is the candidate join that restricts the ADC scan
-    to probed cells."""
+    to probed cells. `probe_pred` widens the probe set for
+    stream_ann_serve's oracle (default = the vec_id<5 convention)."""
     from .similarity import _ivf_assign_sql_ctes
 
     tpiv, adc = _adc_pivot_sql()
+    kw = {} if probe_pred is None else {"probe_pred": probe_pred}
     return f"""
-    WITH {_ivf_assign_sql_ctes()},
+    WITH {_ivf_assign_sql_ctes(**kw)},
     {_pq_sql_prefix()},
-    {_adc_tables_sql_ctes()},
+    {_adc_tables_sql_ctes(probe_pred)},
     cand AS (
       SELECT pc.query_id AS probe_id, a.vec_id
       FROM probe_cells pc JOIN assigned a ON a.cell_id = pc.cell_id

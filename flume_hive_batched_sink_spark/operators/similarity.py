@@ -889,13 +889,14 @@ def ivf_topk(
 # doubles, same (cdot DESC, cent_id) row_number choice. Norms and the
 # output cosine reuse the exact-decimal-via-VARCHAR patterns from the
 # ann_lsh oracle verbatim.
-def _ivf_assign_sql_ctes() -> str:
+def _ivf_assign_sql_ctes(probe_pred: str = "vec_id < 5") -> str:
     """The coarse-quantizer CTE chain — centroid subset, left-fold
     assignment dots, per-vector cell, per-probe top-nprobe cells —
     ending in `assigned(vec_id, cell_id)` and `probe_cells(query_id,
-    cell_id)`. Shared VERBATIM by _IVF_ORACLE (ns_similarity_ann_ivf)
-    and ns_similarity_ivfpq's oracle (clustering.py), so the two
-    cannot drift: both operators must prune through the identical
+    cell_id)`. Shared VERBATIM by _IVF_ORACLE (ns_similarity_ann_ivf),
+    ns_similarity_ivfpq's oracle (clustering.py), and
+    stream_ann_serve's oracle (probe_pred widens the probe set), so
+    they cannot drift: every consumer prunes through the identical
     coarse index."""
     return f"""idx AS (SELECT unnest(range(1, 65)) AS i),
     cent AS (
@@ -924,7 +925,7 @@ def _ivf_assign_sql_ctes() -> str:
         SELECT vec_id, cent_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cdot DESC, cent_id) AS rn
-        FROM adot WHERE vec_id < 5) WHERE rn <= 2
+        FROM adot WHERE {probe_pred}) WHERE rn <= 2
     )"""
 
 

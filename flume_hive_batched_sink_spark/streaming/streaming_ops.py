@@ -1201,3 +1201,95 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_stream(spark, staged, schema, xform, "stream_quality_gate")
+
+
+# ---- streaming ANN serving over the prebuilt IVFPQ index ----
+
+_ANN_SERVE_PROBES = 15  # 3 micro-batches x 5 probes
+_ANN_SERVE_PRED = f"vec_id < {_ANN_SERVE_PROBES}"
+
+
+def _ann_serve_sql() -> str:
+    from ..operators.clustering import _ivfpq_sql
+
+    return _ivfpq_sql(probe_pred=_ANN_SERVE_PRED)
+
+
+@query("stream_ann_serve", _ann_serve_sql())
+def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving: probe vectors arrive as micro-batches and
+    are answered against the PREBUILT IVFPQ index — the production
+    read path scripts/ivfpq_decade.py measures, driven from a stream.
+    The index (codebook + cell-partitioned codes) is built ONCE
+    before the stream starts and materialized as parquet partitioned
+    by cell_id (the on-disk inverted lists); each micro-batch
+    collects its bounded probe set (≤5/batch — trigger-bounded in
+    production), derives probe cells + ADC tables driver-side, and
+    scores ONLY the probed partitions through the SAME ivfpq_topk
+    code the batch operator runs.
+
+    Oracle: the batch IVFPQ query over the union probe set —
+    stateless per-batch scoring against a static index commutes with
+    micro-batching, so the streamed union equals the batch result
+    exactly (the stream_quality_gate argument, applied to a serving
+    join instead of a filter).
+
+    Scale: per-batch work is |probed cells|-bounded (partition-pruned
+    index read + bounded driver state); the index build amortizes
+    across every batch served — the stream NEVER re-touches the
+    corpus vectors. State-free (no watermark, no store): the index
+    is static within a serving generation; an index refresh is a new
+    directory + query restart (blue/green), not stream state."""
+    import shutil
+
+    from ..operators.clustering import (
+        _pq_train,
+        ivfpq_build_index,
+        ivfpq_topk,
+    )
+    from ..operators.registry import tbl
+    from ..operators.similarity import ivf_centroids
+    from .stage import capture_batch_plan
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(em)
+    cb = _pq_train(em)
+    idx_path = os.path.join(SCRATCH, "ann_serve_idx")
+    ivfpq_build_index(em, cent, cb).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(idx_path)
+    enc = spark.read.parquet(idx_path)
+
+    probes = em.filter(F.expr(_ANN_SERVE_PRED)).select("vec_id", "embedding")
+    chunks = [probes.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    staged, schema = stage_chunks(
+        "annserve", chunks, cache_key=f"annserve|{sf_dir}"
+    )
+    out_path = os.path.join(SCRATCH, "ann_serve_out")
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def serve(batch_df: DataFrame, _bid: int) -> None:
+        ids = [int(r.vec_id) for r in batch_df.select("vec_id").collect()]
+        if not ids:
+            return
+        res = ivfpq_topk(em, cent, probe_ids=ids, cb=cb, enc=enc)
+        capture_batch_plan(res, "stream_ann_serve")
+        res.write.mode("append").parquet(out_path)
+
+    ckpt = os.path.join(SCRATCH, "checkpoints", "ann_serve")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        src.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "probe_id", "neighbor_id", "adc_d2", "rank"
+    )

@@ -3766,3 +3766,27 @@ def test_embedding_pca_matches_numpy_replay(spark):
             vid, out[vid], want[i],
         )
     assert abs(sum(out.values())) < 1e-5 * max(scale, 1.0) * len(ids)
+
+
+def test_stream_ann_serve_agrees_with_batch_ivfpq(spark):
+    """stream_ann_serve vs the batch composed index: for the probes
+    the batch operator covers (vec_id < 5) the streamed answers must
+    be IDENTICAL rows — same neighbors, same adc_d2, same ranks (the
+    static index + stateless per-batch scoring commute with
+    micro-batching). The streamed run must also answer every probe
+    in its wider vec_id < 15 set."""
+    from .conftest import SF_ORACLE
+
+    served = QUERIES["stream_ann_serve"](spark, SF_ORACLE).collect()
+    probes_served = {r.probe_id for r in served}
+    assert probes_served == set(range(15))
+    batch = {
+        (r.probe_id, r.neighbor_id): (r.adc_d2, r.rank)
+        for r in QUERIES["ns_similarity_ivfpq"](spark, SF_ORACLE).collect()
+    }
+    got = {
+        (r.probe_id, r.neighbor_id): (r.adc_d2, r.rank)
+        for r in served
+        if r.probe_id < 5
+    }
+    assert got == batch
