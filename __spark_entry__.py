@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # alphabetical tail the r11 window displaced (the r11 rotation note
 # scheduled exactly these first) plus the 47-row r07 cohort. The r12
 # window, in priority order:
-# (a) 6 operators NEW in r12 (never driver-checked):
+# (a) 7 operators NEW in r12 (never driver-checked):
 #     ns_similarity_ivfpq — the composed FAISS-IVFADC index (IVF
 #     cells prune, PQ tables score); ns_bm25_topk — BM25 lexical
 #     retrieval with det_ln_int-gated idf; ns_ivf_cell_stats — the
@@ -42,15 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     of the exact-cosine and ADC rankings; ns_embedding_pca —
 #     power-iteration top principal component; stream_ann_serve —
 #     online ANN serving over the prebuilt IVFPQ index;
+#     ns_hybrid_prf — pseudo-relevance-feedback hybrid retrieval
+#     (BM25 centroid → cosine re-rank → RRF fuse);
 # (b) ALL 26 displaced r06 rows (join_broadcast .. win_first_last
 #     below) — clearing the r06 tail entirely, so after a clean r12
 #     run no operator's latest driver gate is older than r07;
-# (c) the first 18 of the 47 r07 rows (alphabetical: agg_collect ..
-#     ns_sample_stratified). 6 + 26 + 18 = 50. Displaced to r13: the
-#     remaining 29 r07 rows (ns_similarity_topk, ns_text_scrub,
-#     ns_text_stats, ns_tfidf_topterms, ns_token_count,
-#     partition_route, … — outputs unchanged since r07 and
-#     value-equal-gated locally every round).
+# (c) the first 17 of the 47 r07 rows (alphabetical: agg_collect ..
+#     ns_quality_score). 7 + 26 + 17 = 50. Displaced to r13: the
+#     remaining 30 r07 rows (ns_sample_stratified,
+#     ns_similarity_topk, ns_text_scrub, ns_text_stats,
+#     ns_tfidf_topterms, ns_token_count, partition_route, … —
+#     outputs unchanged since r07 and value-equal-gated locally
+#     every round).
 #
 # Round 11 rotation (kept for the audit trail):
 # Round 11 rotation (scripts/staleness.py is the mechanical input).
@@ -102,6 +105,7 @@ _ROUND12_FRONT = [
     "ns_rank_fusion_rrf",
     "ns_embedding_pca",
     "stream_ann_serve",
+    "ns_hybrid_prf",
     # (b) the 26 displaced r06 rows — the oldest gates in the repo
     "join_broadcast",
     "join_bucketed",
@@ -147,7 +151,6 @@ _ROUND12_FRONT = [
     "ns_pack_ffd",
     "ns_pack_sequences",
     "ns_quality_score",
-    "ns_sample_stratified",
 ]
 
 _ROUND11_FRONT = [

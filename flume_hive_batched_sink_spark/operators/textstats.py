@@ -3107,7 +3107,11 @@ _BM25_QUERIES: dict[int, list[str]] = {
 }
 
 
-def _bm25_sql() -> str:
+def _bm25_sql_ctes() -> str:
+    """The BM25 scoring chain as CTEs ending in `bm25_ranked(query_id,
+    doc_id, score, rank)` (rank unfiltered; consumers gate) — shared
+    VERBATIM by ns_bm25_topk's oracle and ns_hybrid_prf's, so the
+    lexical list both rank cannot drift."""
     qvals = ", ".join(
         f"(CAST({qid} AS BIGINT), '{t}')"
         for qid, ts in sorted(_BM25_QUERIES.items())
@@ -3119,8 +3123,7 @@ def _bm25_sql() -> str:
         " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
         " * (CAST(dl * n_docs AS DOUBLE) / CAST(total AS DOUBLE)))))"
     )
-    return f"""
-    WITH qmap(query_id, term) AS (VALUES {qvals}),
+    return f"""qmap(query_id, term) AS (VALUES {qvals}),
     tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term
       FROM documents
@@ -3160,14 +3163,21 @@ def _bm25_sql() -> str:
              CAST(SUM(CAST(CAST(ts AS VARCHAR) AS DECIMAL(28,12)))
                   AS DOUBLE) AS score
       FROM term_scores GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
-    FROM (
-      SELECT *, row_number() OVER (
+    ),
+    bm25_ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
                PARTITION BY query_id ORDER BY score DESC, doc_id
              ) AS rank
       FROM scored
-    ) WHERE rank <= {_BM25_TOPK}
+    )"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+    WITH {_bm25_sql_ctes()}
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM bm25_ranked WHERE rank <= {_BM25_TOPK}
     """
 
 
@@ -3196,6 +3206,21 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit. No corpus-sized shuffle except the (doc, term)
     tf aggregate itself, whose key count is bounded by |query terms|
     · N."""
+    return bm25_ranked(spark, sf_dir, _BM25_TOPK).select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+ns_bm25_topk.__doc__ = ns_bm25_topk.__doc__.format(k1=_BM25_K1, b=_BM25_B)
+
+
+def bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """BM25 scoring chain → (query_id, doc_id, score, rank ≤ k) — the
+    Spark twin of _bm25_sql_ctes, shared by ns_bm25_topk (k=10) and
+    ns_hybrid_prf (top-3 feedback docs + the k=10 lexical list)."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
     toks = _TOKENS(F.col("text"))
     qterms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
@@ -3247,14 +3272,209 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_TOPK)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+# ---------- pseudo-relevance-feedback hybrid retrieval ----------
+
+_PRF_FEEDBACK_K = 3  # feedback depth (Rocchio's top-k relevant set)
+_PRF_RRF_K0 = 60     # the shared RRF constant (clustering._RRF_K0)
+
+
+def _prf_sql() -> str:
+    from .similarity import _SQL_NORMS
+
+    rrf = (
+        f"(CASE WHEN rank_lex IS NULL THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(1.0 AS DOUBLE)"
+        f" / CAST({_PRF_RRF_K0} + rank_lex AS DOUBLE) END"
+        f" + CASE WHEN rank_vec IS NULL THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(1.0 AS DOUBLE)"
+        f" / CAST({_PRF_RRF_K0} + rank_vec AS DOUBLE) END)"
+    )
+    return f"""
+    WITH {_bm25_sql_ctes()},
+    i64v AS (SELECT unnest(range(1, 65)) AS i),
+    {_SQL_NORMS},
+    fb AS (
+      SELECT query_id, doc_id FROM bm25_ranked
+      WHERE rank <= {_PRF_FEEDBACK_K}
+    ),
+    qv AS (
+      SELECT t.query_id, i.i AS dim,
+             CAST(SUM(CAST(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                      AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM fb t
+      JOIN embeddings e ON e.vec_id = t.doc_id
+      CROSS JOIN i64v i
+      GROUP BY 1, 2
+    ),
+    qn AS (
+      SELECT query_id,
+             sqrt(list_reduce(list(v * v ORDER BY dim),
+                              (a, b) -> a + b)) AS qnrm
+      FROM qv GROUP BY 1
+    ),
+    vdots AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             CAST(SUM(CAST(CAST(CAST(e.embedding[qv.dim] AS DOUBLE)
+                      * qv.v AS VARCHAR) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS dot
+      FROM embeddings e CROSS JOIN qv
+      GROUP BY 1, 2
+    ),
+    vecr AS (
+      SELECT d.query_id, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (n.nrm * q.qnrm) DESC, d.doc_id
+             ) AS rank
+      FROM vdots d
+      JOIN norms n ON n.vec_id = d.doc_id
+      JOIN qn q ON q.query_id = d.query_id
+    ),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.rank AS rank_lex, b.rank AS rank_vec
+      FROM (SELECT * FROM bm25_ranked WHERE rank <= {_BM25_TOPK}) a
+      FULL OUTER JOIN
+           (SELECT * FROM vecr WHERE rank <= {_BM25_TOPK}) b
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+    ),
+    rrfs AS (
+      SELECT query_id, doc_id, {rrf} AS rrf, rank_lex, rank_vec
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_vec AS BIGINT) AS rank_vec,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+             ) AS rank
+      FROM rrfs
+    ) WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@query("ns_hybrid_prf", _prf_sql())
+def ns_hybrid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via PSEUDO-RELEVANCE FEEDBACK
+    (Rocchio): text queries have no embedding, so the vector side's
+    query is SYNTHESIZED — the exact-decimal centroid of the BM25
+    top-{fk} docs' embeddings (vec_id == doc_id, FIXTURES.md's
+    doc-aligned convention) — then the full corpus is cosine-ranked
+    against that centroid and the lexical and vector top-10 lists are
+    RRF-fused (k0=60, the ns_rank_fusion_rrf convention). This is the
+    standard hybrid-search shape when only one modality has a native
+    query representation (query expansion in dense space).
+
+    Determinism: the lexical list is bm25_ranked verbatim (one
+    implementation, one oracle fragment); centroid components are
+    VARCHAR-routed decimal means; the centroid norm is the 64-element
+    dim-order left fold (the PCA convention); corpus cosines ride the
+    _dot_dec/_SQL_NORMS proven pairing; fusion is the fixed two-term
+    reciprocal sum with exact-0.0 missing-list semantics.
+
+    Scale: one BM25 pass (its audited shape) + one bounded
+    |queries|·64 centroid collect + ONE corpus cosine pass against
+    |queries| literal centroids (row-local folds, rank pushed into
+    WindowGroupLimit) + a k·|queries|-row fusion join. The vector
+    pass is the brute-force baseline by design at test SF; at 100 TB
+    the centroid query feeds ns_similarity_ivfpq's probed-cell read
+    instead (same literals, same scoring)."""
+    from .similarity import _dot_dec, _norm
+
+    lex = bm25_ranked(spark, sf_dir, _BM25_TOPK).persist()
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    fb = lex.filter(F.col("rank") <= _PRF_FEEDBACK_K).select(
+        "query_id", "doc_id"
+    )
+    qv_rows = (
+        fb.join(em, fb.doc_id == em.vec_id)
+        .select("query_id", F.posexplode("embedding").alias("pos", "val"))
         .select(
             "query_id",
-            "doc_id",
-            "score",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("query_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .collect()
+    )
+    qv: dict[int, list[float]] = {}
+    for r in qv_rows:
+        qv.setdefault(r.query_id, [0.0] * 64)[r.dim - 1] = r.v
+
+    def _left_norm(vs: list[float]) -> float:
+        acc = 0.0
+        for x in vs:
+            acc = acc + x * x
+        return acc ** 0.5
+
+    meta = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.array(*[F.lit(x) for x in vs]).alias("qv"),
+                F.lit(_left_norm(vs)).alias("qn"),
+            )
+            for qid, vs in sorted(qv.items())
+        ]
+    )
+    norms = em.select(
+        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    cos = _dot_dec(F.col("embedding"), F.col("s.qv")) / (
+        F.col("nrm") * F.col("s.qn")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    vecr = (
+        norms.select("vec_id", "nrm", "embedding", F.explode(meta).alias("s"))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rank_vec", F.row_number().over(w))
+        .filter(F.col("rank_vec") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank_vec")
+    )
+    fused = lex.select(
+        "query_id", "doc_id", F.col("rank").alias("rank_lex")
+    ).join(vecr, ["query_id", "doc_id"], "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNull(), F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0) / (F.lit(_PRF_RRF_K0) + F.col(c)).cast("double")
+    )
+    scored = fused.select(
+        "query_id",
+        "doc_id",
+        (term("rank_lex") + term("rank_vec")).alias("rrf"),
+        F.col("rank_lex").cast("bigint").alias("rank_lex"),
+        F.col("rank_vec").cast("bigint").alias("rank_vec"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id", "doc_id", "rrf",
+            "rank_lex", "rank_vec",
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
 
 
-ns_bm25_topk.__doc__ = ns_bm25_topk.__doc__.format(k1=_BM25_K1, b=_BM25_B)
+ns_hybrid_prf.__doc__ = ns_hybrid_prf.__doc__.format(fk=_PRF_FEEDBACK_K)

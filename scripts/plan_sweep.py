@@ -63,6 +63,10 @@ ALLOWED = {
     "ns_ivf_cell_stats": "the shared 64-row broadcast centroid "
     "assignment (the ns_similarity_ann_ivf pattern) plus a 1-row "
     "broadcast total scalar crossed onto the C-row counts frame",
+    "ns_hybrid_prf": "inherits ns_bm25_topk's 1-row broadcast "
+    "corpus-stats scalar on the lexical side; the vector side is a "
+    "row-local fold against literal centroids and the fusion join "
+    "is (query, doc)-keyed over two k*|queries|-row frames",
     "ns_rank_fusion_rrf": "inherits ns_similarity_topk's corpus x "
     "5-probe broadcast (the exact-list component by design); the "
     "fusion join itself is (probe, neighbor)-keyed over two "

@@ -3790,3 +3790,37 @@ def test_stream_ann_serve_agrees_with_batch_ivfpq(spark):
         if r.probe_id < 5
     }
     assert got == batch
+
+
+def test_hybrid_prf_consistent_with_components(spark):
+    """ns_hybrid_prf: every fused pair appears in >=1 component list
+    with the SAME rank (lexical = ns_bm25_topk verbatim); rrf equals
+    the two-term reciprocal replay; per-query ordering/contiguity;
+    and the feedback loop closes — each query's top-3 BM25 docs
+    (whose centroid IS the vector query) dominate the vector side, so
+    at least one of them must appear in the fused top-10."""
+    from .conftest import SF_ORACLE
+
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in QUERIES["ns_bm25_topk"](spark, SF_ORACLE).collect()
+    }
+    out = QUERIES["ns_hybrid_prf"](spark, SF_ORACLE).collect()
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+        if r.rank_lex is not None:
+            assert lex[(r.query_id, r.doc_id)] == r.rank_lex, r
+        assert r.rank_lex is not None or r.rank_vec is not None, r
+        want = (
+            0.0 if r.rank_lex is None else 1.0 / (60 + r.rank_lex)
+        ) + (0.0 if r.rank_vec is None else 1.0 / (60 + r.rank_vec))
+        assert r.rrf == want, (r, want)
+    assert set(per_q) == {1, 2, 3}
+    for qid, rows in per_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.rrf, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+        fb = {d for (q, d), rk in lex.items() if q == qid and rk <= 3}
+        assert fb & {r.doc_id for r in rows}, (qid, fb)
