@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # alphabetical tail the r11 window displaced (the r11 rotation note
 # scheduled exactly these first) plus the 47-row r07 cohort. The r12
 # window, in priority order:
-# (a) 7 operators NEW in r12 (never driver-checked):
+# (a) 8 operators NEW in r12 (never driver-checked):
 #     ns_similarity_ivfpq — the composed FAISS-IVFADC index (IVF
 #     cells prune, PQ tables score); ns_bm25_topk — BM25 lexical
 #     retrieval with det_ln_int-gated idf; ns_ivf_cell_stats — the
@@ -43,13 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     power-iteration top principal component; stream_ann_serve —
 #     online ANN serving over the prebuilt IVFPQ index;
 #     ns_hybrid_prf — pseudo-relevance-feedback hybrid retrieval
-#     (BM25 centroid → cosine re-rank → RRF fuse);
+#     (BM25 centroid → cosine re-rank → RRF fuse); ts_ewma —
+#     per-series exponential smoothing via applyInPandas;
 # (b) ALL 26 displaced r06 rows (join_broadcast .. win_first_last
 #     below) — clearing the r06 tail entirely, so after a clean r12
 #     run no operator's latest driver gate is older than r07;
-# (c) the first 17 of the 47 r07 rows (alphabetical: agg_collect ..
-#     ns_quality_score). 7 + 26 + 17 = 50. Displaced to r13: the
-#     remaining 30 r07 rows (ns_sample_stratified,
+# (c) the first 16 of the 47 r07 rows (alphabetical: agg_collect ..
+#     ns_pack_sequences). 8 + 26 + 16 = 50. Displaced to r13: the
+#     remaining 31 r07 rows (ns_quality_score, ns_sample_stratified,
 #     ns_similarity_topk, ns_text_scrub, ns_text_stats,
 #     ns_tfidf_topterms, ns_token_count, partition_route, … —
 #     outputs unchanged since r07 and value-equal-gated locally
@@ -106,6 +107,7 @@ _ROUND12_FRONT = [
     "ns_embedding_pca",
     "stream_ann_serve",
     "ns_hybrid_prf",
+    "ts_ewma",
     # (b) the 26 displaced r06 rows — the oldest gates in the repo
     "join_broadcast",
     "join_bucketed",
@@ -150,7 +152,6 @@ _ROUND12_FRONT = [
     "ns_multimodal_headers",
     "ns_pack_ffd",
     "ns_pack_sequences",
-    "ns_quality_score",
 ]
 
 _ROUND11_FRONT = [

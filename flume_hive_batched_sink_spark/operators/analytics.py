@@ -931,3 +931,82 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+# ---------- exponential smoothing (EWMA) ----------
+
+# α = 0.25: exactly representable in binary (so is 1-α = 0.75) — the
+# recursion's multiplies are correctly rounded on identical operands
+# in the pandas loop and the oracle's list_reduce alike.
+_EWMA_ALPHA = 0.25
+
+
+@query(
+    "ts_ewma",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day_num, a.n,
+           (SELECT list_reduce(
+                     list(CAST(b.n AS DOUBLE) ORDER BY b.day_num),
+                     (y, x) -> {_EWMA_ALPHA} * x
+                               + {1.0 - _EWMA_ALPHA} * y)
+            FROM c b
+            WHERE b.event_type = a.event_type
+              AND b.day_num <= a.day_num) AS ewma
+    FROM c a
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event volume
+    per event_type (α={a}) — the smoothing pass behind every
+    monitoring/forecast baseline (the counters the reference's A16
+    metrics feed downstream). EWMA is an inherently SEQUENTIAL
+    recursion (y_t = α·x_t + (1−α)·y_{{t-1}}, y_1 = x_1), so the
+    Spark form is `applyInPandas`: sequential WITHIN each series,
+    parallel ACROSS series — the canonical shape for per-key
+    order-dependent state that built-in expressions can't fold
+    (SURVEY §2's custom-operator rule (b)).
+
+    Determinism: daily counts are exact integers; the pandas loop and
+    the oracle's per-row prefix list_reduce execute the IDENTICAL
+    left recursion over identical doubles (α and 1−α are exact binary
+    literals), so every running value is bit-equal — the oracle's
+    O(len²) prefix refold is replay cost only, the engine is O(len).
+
+    Scale: one (type, day)-keyed aggregate with map-side combine
+    (|types|·|days| rows at any corpus size), then Arrow-batched
+    per-series smoothing — each series is one group, state never
+    crosses groups, and group count bounds parallelism exactly like
+    production per-entity smoothing jobs."""
+    ev = tbl(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def smooth(pdf):
+        pdf = pdf.sort_values("day_num").reset_index(drop=True)
+        y = None
+        out = []
+        for x in pdf["n"]:
+            x = float(x)
+            y = x if y is None else _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * y
+            out.append(y)
+        pdf["ewma"] = out
+        return pdf
+
+    return counts.groupBy("event_type").applyInPandas(
+        smooth,
+        "event_type string, day_num bigint, n bigint, ewma double",
+    )
+
+
+ts_ewma.__doc__ = ts_ewma.__doc__.format(a=_EWMA_ALPHA)

@@ -3824,3 +3824,29 @@ def test_hybrid_prf_consistent_with_components(spark):
         assert keys == sorted(keys)
         fb = {d for (q, d), rk in lex.items() if q == qid and rk <= 3}
         assert fb & {r.doc_id for r in rows}, (qid, fb)
+
+
+def test_ts_ewma_recursion_invariants(spark):
+    """ts_ewma: per-series values replay the exact recursion from the
+    raw daily counts (independent Python fold), every ewma lies
+    within the running [min, max] envelope of its series' counts, and
+    day-1 equals the count itself (y_1 = x_1)."""
+    from .conftest import SF_ORACLE
+
+    rows = QUERIES["ts_ewma"](spark, SF_ORACLE).collect()
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r.event_type, []).append(r)
+    assert per
+    for et, rs in per.items():
+        rs.sort(key=lambda r: r.day_num)
+        y = None
+        lo = hi = None
+        for r in rs:
+            x = float(r.n)
+            y = x if y is None else 0.25 * x + 0.75 * y
+            assert r.ewma == y, (et, r.day_num, r.ewma, y)
+            lo = x if lo is None else min(lo, x)
+            hi = x if hi is None else max(hi, x)
+            assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+        assert rs[0].ewma == float(rs[0].n)
