@@ -118,9 +118,14 @@ HEADLINE = [
     # round 12 additions (the 55-query set above stays frozen): the
     # composed IVFADC index (IVF pruning + ADC scoring — timed next
     # to ns_similarity_pq_adc so the probed-cell win is visible in
-    # the same artifact) and BM25 lexical retrieval.
+    # the same artifact), BM25 lexical retrieval, the PRF hybrid
+    # (BM25 + centroid cosine + RRF end to end), power-iteration
+    # PCA, and streamed ANN serving over the prebuilt index.
     "ns_similarity_ivfpq",
     "ns_bm25_topk",
+    "ns_hybrid_prf",
+    "ns_embedding_pca",
+    "stream_ann_serve",
 ]
 
 
