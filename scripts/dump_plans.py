@@ -120,10 +120,14 @@ PLAN_QUERIES = [
     "ns_similarity_pq_adc",
     "ns_host_cap",
     "ns_ocr_noise",
-    # round 12: the composed IVFADC (cell-pruned ADC scan) and BM25
-    # lexical retrieval (scan-level query-vocabulary prefilter).
+    # round 12: the composed IVFADC (cell-pruned ADC scan), BM25
+    # lexical retrieval (scan-level query-vocabulary prefilter), the
+    # PRF hybrid, power-iteration PCA, and grouped-map EWMA.
     "ns_similarity_ivfpq",
     "ns_bm25_topk",
+    "ns_hybrid_prf",
+    "ns_embedding_pca",
+    "ts_ewma",
 ]
 
 
@@ -852,6 +856,48 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "(zero SortMergeJoin); two-phase tf aggregate",
         has_wgl and n_bhj >= 2 and n_smj == 0 and has_partial,
         f"wgl={has_wgl}, bhj={n_bhj}, smj={n_smj}, partial={has_partial}")
+
+    # ns_hybrid_prf (r12): BOTH component rankings' rank gates must
+    # push into WindowGroupLimit (the lexical top-10 and the vector
+    # top-10 against the literal centroids), plus the fused re-rank's
+    # own gate — ≥2 WindowGroupLimit spans in the one plan.
+    p = _executed(ops.QUERIES["ns_hybrid_prf"](spark, sf_dir))
+    n_wgl = p.count("WindowGroupLimit")
+    add("ns_hybrid_prf",
+        "WindowGroupLimit pushed for component AND fused rankings",
+        n_wgl >= 2,
+        f"wgl_spans={n_wgl}")
+
+    # ns_embedding_pca (r12): the RETURNED plan is one row-local fold
+    # against literal mu/v — zero Window/Join/hash-Exchange (the
+    # iteration passes collect before the plan is built, exactly like
+    # ns_embedding_pq's training).
+    p = _executed(ops.QUERIES["ns_embedding_pca"](spark, sf_dir))
+    n_windows = sum(_node(ln) == "Window" for ln in p.splitlines())
+    n_joins = sum("Join" in _node(ln) for ln in p.splitlines())
+    n_hash_ex = sum(
+        "Exchange hashpartitioning" in ln for ln in p.splitlines()
+    )
+    add("ns_embedding_pca",
+        "row-local pc1 projection: zero Window/Join/hash-Exchange",
+        n_windows == 0 and n_joins == 0 and n_hash_ex == 0,
+        f"windows={n_windows}, joins={n_joins}, hash_ex={n_hash_ex}")
+
+    # ts_ewma (r12): the sequential recursion must run as Arrow-
+    # batched grouped-map (FlatMapGroupsInPandas) over the (type,day)
+    # aggregate, and every hash exchange must be keyed on event_type
+    # / day aggregation keys — never a corpus-row shuffle key.
+    p = _executed(ops.QUERIES["ts_ewma"](spark, sf_dir))
+    has_fmg = "FlatMapGroupsInPandas" in p
+    hashparts = [
+        ln.strip() for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    bad_keys = [ln for ln in hashparts if "event_type" not in ln]
+    add("ts_ewma",
+        "Arrow grouped-map smoothing; exchanges keyed on event_type",
+        has_fmg and hashparts and not bad_keys,
+        f"fmg={has_fmg}, exchanges={len(hashparts)}, bad={bad_keys[:1]}")
     return checks
 
 
