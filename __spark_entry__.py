@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 225 queries are registered (SURVEY §2 Part B, which matches the
+# 231 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 225
+# tests/test_properties.py::test_survey_registry_lockstep); all 231
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -135,7 +135,7 @@ _ROUND12_FRONT = [
     "ts_anomaly_mad",
     "upsert_last_write_wins",
     "win_first_last",
-    # (c) r07-stale cohort (first 22 alphabetically)
+    # (c) r07-stale cohort (first 16 alphabetically)
     "agg_collect",
     "agg_percentile",
     "f_array",
@@ -225,13 +225,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 225/225 as of r12
-    (the two r12 additions compose proven oracle fragments verbatim:
-    ns_similarity_ivfpq embeds _ivf_assign_sql_ctes + _pq_sql_prefix
-    + _adc_tables_sql_ctes with only a new exact-integer candidate
-    join; ns_bm25_topk rides det_ln_int on the integer-rewritten
-    Lucene idf plus the VARCHAR-routed decimal term-score sum. The
-    r11 additions were likewise oracle-backed from birth:
+    """DuckDB twins for EVERY registered query — 231/231 as of r12
+    (the eight r12 additions compose proven oracle fragments
+    verbatim: ns_similarity_ivfpq and stream_ann_serve embed
+    _ivf_assign_sql_ctes + _pq_sql_prefix + _adc_tables_sql_ctes with
+    only a new exact-integer candidate join (the serving oracle
+    widens probe_pred); ns_bm25_topk rides det_ln_int on the
+    integer-rewritten Lucene idf plus the VARCHAR-routed decimal
+    term-score sum; ns_ivf_cell_stats / ns_rank_fusion_rrf /
+    ns_hybrid_prf reuse the assignment, cosine-ranked, ADC, and BM25
+    fragments with exact-integer joins and fixed two-term reciprocal
+    sums on top; ns_embedding_pca replays both power iterations CTE
+    by CTE with dim-order left-fold norms; ts_ewma replays the
+    sequential recursion via per-row prefix list_reduce. The r11
+    additions were likewise oracle-backed from birth:
     ns_semdedup_components replays the shared near-pair CTE plus the
     recursive-CTE component labeling proven on ns_dedup_clusters;
     ns_sample_temperature rides sqrt — the one IEEE-correctly-rounded

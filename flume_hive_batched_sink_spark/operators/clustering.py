@@ -1676,23 +1676,19 @@ def ivfpq_build_index(em: DataFrame, cent: DataFrame, cb: dict) -> DataFrame:
     argmax dot, PQ codes via row-local argmin in the same projection.
     In production this frame is materialized ONCE partitioned/bucketed
     by cell_id (scripts/ivfpq_decade.py measures that amortized query
-    path); ivfpq_topk builds it inline when no index is passed."""
-    from pyspark.sql.window import Window as W
+    path); ivfpq_topk builds it inline when no index is passed. The
+    coarse assignment is similarity._ivf_assigned — the ONE shared
+    implementation every IVF consumer prunes through — with the PQ
+    encode fused into the same projection."""
+    from .similarity import _ivf_assigned
 
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
-    return (
-        em.join(F.broadcast(cent))
-        .withColumn("cdot", _dot_dbl(F.col("embedding"), F.col("cent_emb")))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("cent_id").alias("cell_id"),
-            *[
-                _pq_argmin(m, cb).getField("j").alias(f"c{m}")
-                for m in range(_PQ_M)
-            ],
-        )
+    return _ivf_assigned(em, cent).select(
+        "vec_id",
+        "cell_id",
+        *[
+            _pq_argmin(m, cb).getField("j").alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
     )
 
 
@@ -1704,6 +1700,8 @@ def ivfpq_topk(
     nprobe: int = _IVFPQ_NPROBE,
     cb: dict | None = None,
     enc: DataFrame | None = None,
+    probe_rows: list | None = None,
+    cents: list | None = None,
 ) -> DataFrame:
     """IVFADC core (Jégou et al. 2011 §IV; the FAISS IVFPQ index):
     coarse-quantize the corpus to `cent` cells AND PQ-encode every
@@ -1741,13 +1739,17 @@ def ivfpq_topk(
     if enc is None:
         # one fused corpus pass: coarse cell + PQ codes per vector
         enc = ivfpq_build_index(em, cent, cb)
-    # bounded driver work: probe rows, centroid rows, per-probe cells
-    probes = (
-        em.filter(F.col("vec_id").isin([int(i) for i in probe_ids]))
-        .orderBy("vec_id")
-        .collect()
-    )
-    cents = cent.orderBy("cent_id").collect()
+    # bounded driver work: probe rows, centroid rows, per-probe cells.
+    # A caller that already HOLDS the probe vectors (stream_ann_serve:
+    # they arrive in the micro-batch) or the centroid rows passes them
+    # in so serving never re-scans the corpus per batch.
+    if probe_rows is None:
+        probe_rows = em.filter(
+            F.col("vec_id").isin([int(i) for i in probe_ids])
+        ).collect()
+    probes = sorted(probe_rows, key=lambda r: int(r.vec_id))
+    if cents is None:
+        cents = cent.orderBy("cent_id").collect()
     tables = _adc_tables(probes, cb)
 
     def _probe_cells(q) -> list[int]:
@@ -2082,10 +2084,15 @@ def _pca_normalize(q: list[float]) -> list[float]:
     bit-identical to the oracle's list_reduce(list(q*q ORDER BY dim))
     (left folds of identical doubles agree; the corpus-sized sums
     that PRODUCE q are exact decimals, so order never enters there)."""
+    import math
+
     acc = 0.0
     for x in q:
         acc = acc + x * x
-    nrm = acc ** 0.5
+    # math.sqrt is the IEEE-correctly-rounded sqrt the oracle's
+    # sqrt() uses; `** 0.5` routes through libm pow, which is not
+    # guaranteed correctly rounded for exponent 0.5 on every platform
+    nrm = math.sqrt(acc)
     return [x / nrm for x in q]
 
 

@@ -3416,11 +3416,15 @@ def ns_hybrid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in qv_rows:
         qv.setdefault(r.query_id, [0.0] * 64)[r.dim - 1] = r.v
 
+    import math
+
     def _left_norm(vs: list[float]) -> float:
         acc = 0.0
         for x in vs:
             acc = acc + x * x
-        return acc ** 0.5
+        # IEEE sqrt, matching the oracle's sqrt() (never `** 0.5`:
+        # libm pow is not guaranteed correctly rounded at 0.5)
+        return math.sqrt(acc)
 
     meta = F.array(
         *[

@@ -1267,12 +1267,24 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_path = os.path.join(SCRATCH, "ann_serve_out")
     shutil.rmtree(out_path, ignore_errors=True)
+    # centroid rows collected ONCE per serving generation; the probe
+    # vectors arrive IN the micro-batch — so serving never re-scans
+    # the corpus (ivfpq_topk's probe_rows/cents fast path)
+    cents = cent.orderBy("cent_id").collect()
 
     def serve(batch_df: DataFrame, _bid: int) -> None:
-        ids = [int(r.vec_id) for r in batch_df.select("vec_id").collect()]
-        if not ids:
+        rows = batch_df.select("vec_id", "embedding").collect()
+        if not rows:
             return
-        res = ivfpq_topk(em, cent, probe_ids=ids, cb=cb, enc=enc)
+        res = ivfpq_topk(
+            em,
+            cent,
+            probe_ids=[int(r.vec_id) for r in rows],
+            cb=cb,
+            enc=enc,
+            probe_rows=rows,
+            cents=cents,
+        )
         capture_batch_plan(res, "stream_ann_serve")
         res.write.mode("append").parquet(out_path)
 

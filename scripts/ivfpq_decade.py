@@ -35,8 +35,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from flume_hive_batched_sink_spark.operators.clustering import (  # noqa: E402
     _ADC_N_PROBES,
     _pq_train,
@@ -45,23 +43,11 @@ from flume_hive_batched_sink_spark.operators.clustering import (  # noqa: E402
 )
 from flume_hive_batched_sink_spark.operators.registry import tbl  # noqa: E402
 from flume_hive_batched_sink_spark.operators.similarity import (  # noqa: E402
-    _IVF_MAX_CELLS,
+    ivf_centroids,
 )
 from flume_hive_batched_sink_spark.scratch import SCRATCH  # noqa: E402
 from flume_hive_batched_sink_spark.session import get_spark  # noqa: E402
 from scale_check import BASE_SF, build_scaled  # noqa: E402
-
-
-def _cent(em):
-    return (
-        em.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_IVF_MAX_CELLS)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
-    )
 
 
 def _timed(df) -> float:
@@ -72,7 +58,7 @@ def _timed(df) -> float:
 
 def measure(spark, sf_dir: str, tag: str) -> tuple[float, float, float]:
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    cent = _cent(em)
+    cent = ivf_centroids(em)
     cb = _pq_train(em)
     idx_path = os.path.join(SCRATCH, "ivfpq_idx", tag)
     t0 = time.perf_counter()
