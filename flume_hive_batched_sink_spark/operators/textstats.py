@@ -3117,10 +3117,16 @@ def _bm25_sql_ctes() -> str:
         for qid, ts in sorted(_BM25_QUERIES.items())
         for t in ts
     )
+    # k1/b literals interpolated from the ONE named constant pair so
+    # the oracle and the Spark expression (bm25_ranked) cannot drift;
+    # 1.2+1 and 1-0.75 are exactly-rounded doubles (repr '2.2'/'0.25')
+    # so the rendered SQL text is unchanged.
     ts = (
-        "(ln_n - ln_df) * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
-        " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
-        " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        f"(ln_n - ln_df) * ((CAST(tf AS DOUBLE)"
+        f" * CAST({_BM25_K1 + 1!r} AS DOUBLE))"
+        f" / (CAST(tf AS DOUBLE) + CAST({_BM25_K1!r} AS DOUBLE)"
+        f" * (CAST({1 - _BM25_B!r} AS DOUBLE)"
+        f" + CAST({_BM25_B!r} AS DOUBLE)"
         " * (CAST(dl * n_docs AS DOUBLE) / CAST(total AS DOUBLE)))))"
     )
     return f"""qmap(query_id, term) AS (VALUES {qvals}),
@@ -3260,11 +3266,11 @@ def bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     norm = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
         "total"
     ).cast("double")
-    denom = F.col("tf").cast("double") + F.lit(1.2) * (
-        F.lit(0.25) + F.lit(0.75) * norm
+    denom = F.col("tf").cast("double") + F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * norm
     )
     ts = (ln_n - ln_df) * (
-        (F.col("tf").cast("double") * F.lit(2.2)) / denom
+        (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1)) / denom
     )
     scored = j.groupBy("query_id", "doc_id").agg(
         F.sum(ts.cast("decimal(28,12)")).cast("double").alias("score")
@@ -3390,7 +3396,16 @@ def ns_hybrid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (same literals, same scoring)."""
     from .similarity import _dot_dec, _norm
 
-    lex = bm25_ranked(spark, sf_dir, _BM25_TOPK).persist()
+    # The lexical list is bounded (k·|queries| = 30 rows), so collect
+    # it ONCE and rebuild a driver-local frame for both consumers (the
+    # feedback join and the fusion join) — a persist() here would
+    # accumulate cached partitions across repeated invocations in a
+    # long-running sweep/bench process (r12 advice).
+    lex_rows = bm25_ranked(spark, sf_dir, _BM25_TOPK).collect()
+    lex = spark.createDataFrame(
+        [(int(r.query_id), int(r.doc_id), int(r.rank)) for r in lex_rows],
+        "query_id long, doc_id long, rank int",
+    )
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     fb = lex.filter(F.col("rank") <= _PRF_FEEDBACK_K).select(
         "query_id", "doc_id"

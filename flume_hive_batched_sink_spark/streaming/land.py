@@ -148,69 +148,126 @@ def land_batch(
         # 29-32 semantics), so an unreachable endpoint still advances
         # to NOTIFIED — the durable state tracks crashes, not HTTP.
         if on_complete is not None:
-            # ONE raw bookkeeping read serves both epilogue inputs
-            # (review pass 2: the lww view re-read the same parquet):
-            # the high-water event time comes from the RAW appends —
-            # monotone by construction; the last-write-wins view would
-            # NOT be safe for it (a late row for the logdate holding
-            # the global max replaces that logdate's updatetime with a
-            # smaller value — with bucket-aligned logdates the
-            # regression happens to stay above every earlier window
-            # end, but the raw max removes the subtlety instead of
-            # relying on it).
-            raw_book = spark.read.parquet(book_path)
-            book = lww_bookkeeping(raw_book, cfg)
-            wm = raw_book.agg(F.max("updatetime")).collect()[0][0]
-            finished = (
-                book.filter(F.col("state") != "NOTIFIED")
-                .withColumn(
-                    # logdate is a LOCAL wall time (cfg.timezone);
-                    # shift back to the true instant before comparing
-                    # against the high-water event time.
-                    "window_end",
-                    F.to_utc_timestamp(
-                        F.to_timestamp(
-                            F.col(cfg.partition_col), cfg.partition_format
-                        ),
-                        cfg.timezone,
-                    )
-                    + F.expr(f"INTERVAL {cfg.round_seconds} SECOND"),
-                )
-                .filter(F.col("window_end") <= F.lit(wm))
-            ) if wm is not None else None
-            if finished is not None:
-                capture_batch_plan(finished, f"land_batch:{cfg.table}")
-            rows = finished.collect() if finished is not None else []
-            if rows:
-                def _mark(state: str, marked) -> None:
-                    spark.createDataFrame(
-                        [
-                            (
-                                r[cfg.partition_col],
-                                r["sinkcount"],
-                                r["updatetime"],
-                                batch_id,
-                                state,
-                            )
-                            for r in marked
-                        ],
-                        batch_counts.schema,
-                    ).write.mode("append").parquet(book_path)
-
-                # A18: mark CHECKED before notifying (the reference's
-                # order); same batch_id — lww_bookkeeping breaks the
-                # tie by state rank within a batch. Rows already
-                # CHECKED here are the restart-reconcile path (a prior
-                # run crashed between its CHECKED append and POST).
-                to_check = [r for r in rows if r["state"] != "CHECKED"]
-                if to_check:
-                    _mark("CHECKED", to_check)
-                on_complete(sorted(r[cfg.partition_col] for r in rows))
-                # NOTIFIED only after on_complete returned: a crash
-                # anywhere above re-notifies on restart (at-least-once)
-                _mark("NOTIFIED", rows)
+            _completeness_epilogue(
+                spark, cfg, on_complete, batch_id, book_path
+            )
     finally:
         routed.unpersist()
+
+
+def _completeness_epilogue(
+    spark: SparkSession,
+    cfg: SinkConfig,
+    on_complete: Callable[[list[str]], None],
+    batch_id: int,
+    book_path: str,
+) -> list[str]:
+    """One completeness tick over the durable bookkeeping: find every
+    not-yet-NOTIFIED logdate whose window end has passed the raw
+    high-water event time, mark CHECKED, notify, mark NOTIFIED.
+    Shared by the per-batch epilogue (land_batch) and the startup
+    reconcile (reconcile_notifications) so the two paths cannot
+    drift. Returns the notified logdates.
+
+    ONE raw bookkeeping read serves both inputs (review pass 2: the
+    lww view re-read the same parquet): the high-water event time
+    comes from the RAW appends — monotone by construction; the
+    last-write-wins view would NOT be safe for it (a late row for the
+    logdate holding the global max replaces that logdate's updatetime
+    with a smaller value — with bucket-aligned logdates the
+    regression happens to stay above every earlier window end, but
+    the raw max removes the subtlety instead of relying on it)."""
+    raw_book = spark.read.parquet(book_path)
+    book = lww_bookkeeping(raw_book, cfg)
+    wm = raw_book.agg(F.max("updatetime")).collect()[0][0]
+    finished = (
+        book.filter(F.col("state") != "NOTIFIED")
+        .withColumn(
+            # logdate is a LOCAL wall time (cfg.timezone);
+            # shift back to the true instant before comparing
+            # against the high-water event time.
+            "window_end",
+            F.to_utc_timestamp(
+                F.to_timestamp(
+                    F.col(cfg.partition_col), cfg.partition_format
+                ),
+                cfg.timezone,
+            )
+            + F.expr(f"INTERVAL {cfg.round_seconds} SECOND"),
+        )
+        .filter(F.col("window_end") <= F.lit(wm))
+    ) if wm is not None else None
+    if finished is not None:
+        capture_batch_plan(finished, f"land_batch:{cfg.table}")
+    rows = finished.collect() if finished is not None else []
+    if not rows:
+        return []
+
+    def _mark(state: str, marked) -> None:
+        spark.createDataFrame(
+            [
+                (
+                    r[cfg.partition_col],
+                    r["sinkcount"],
+                    r["updatetime"],
+                    batch_id,
+                    state,
+                )
+                for r in marked
+            ],
+            raw_book.select(
+                cfg.partition_col,
+                "sinkcount",
+                "updatetime",
+                "batch_id",
+                "state",
+            ).schema,
+        ).write.mode("append").parquet(book_path)
+
+    # A18: mark CHECKED before notifying (the reference's
+    # order); same batch_id — lww_bookkeeping breaks the
+    # tie by state rank within a batch. Rows already
+    # CHECKED here are the restart-reconcile path (a prior
+    # run crashed between its CHECKED append and POST).
+    to_check = [r for r in rows if r["state"] != "CHECKED"]
+    if to_check:
+        _mark("CHECKED", to_check)
+    notified = sorted(r[cfg.partition_col] for r in rows)
+    on_complete(notified)
+    # NOTIFIED only after on_complete returned: a crash
+    # anywhere above re-notifies on restart (at-least-once)
+    _mark("NOTIFIED", rows)
+    return notified
+
+
+def reconcile_notifications(
+    spark: SparkSession,
+    cfg: SinkConfig,
+    on_complete: Callable[[list[str]], None],
+) -> list[str]:
+    """Startup reconcile (r12 advice): a crash between the durable
+    CHECKED append and the POST leaves a logdate CHECKED-but-
+    unnotified, and the per-batch epilogue only re-delivers it when a
+    subsequent micro-batch carries NEW DATA — a restarted-but-idle
+    stream would hold the lost notification forever. Run this ONCE at
+    stream startup (run_landing_stream does, on its restart path)
+    to deliver it immediately, independent of new data.
+
+    The marks append under the current max batch_id so the lww view's
+    same-batch state ranking (NOTIFIED > CHECKED > NEW) advances the
+    logdate without outranking genuinely-later batches. No
+    bookkeeping on disk → nothing to reconcile → []."""
+    book_path = os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping")
+    try:
+        raw_book = spark.read.parquet(book_path)
+        max_bid = raw_book.agg(F.max("batch_id")).collect()[0][0]
+    except Exception:
+        return []
+    if max_bid is None:
+        return []
+    return _completeness_epilogue(
+        spark, cfg, on_complete, int(max_bid), book_path
+    )
 
 
 def lww_bookkeeping(raw: DataFrame, cfg: SinkConfig) -> DataFrame:
@@ -248,23 +305,38 @@ def run_landing_stream(
     schema,
     cfg: SinkConfig,
     on_complete: Callable[[list[str]], None] | None = None,
+    fresh: bool = True,
 ) -> None:
     """The full streaming job: file source (stand-in for the Flume
     channel) → foreachBatch(land_batch), AvailableNow one-shot. With
     no explicit `on_complete` and cfg.notify_url set, finalized
     logdates are POSTed to the configured REST endpoint (A23 — the
-    reference's DTE notification, HiveBatchedSink.scala:205-227)."""
+    reference's DTE notification, HiveBatchedSink.scala:205-227).
+
+    `fresh=True` (the harness default) wipes table + bookkeeping +
+    checkpoint and starts a new generation. `fresh=False` is the
+    RESTART path: prior state is kept, and one reconcile pass runs
+    BEFORE the stream starts so a notification lost to a crash
+    between the CHECKED append and the POST is re-delivered even if
+    no new data ever arrives (the per-batch epilogue alone only
+    reconciles on data-bearing batches — r12 advice)."""
     if on_complete is None and cfg.notify_url:
         from .notify import rest_notifier
 
         on_complete = rest_notifier(cfg.notify_url, cfg.notify_logid)
-    shutil.rmtree(os.path.join(cfg.output_path, cfg.table), ignore_errors=True)
-    shutil.rmtree(
-        os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping"),
-        ignore_errors=True,
-    )
+    if fresh:
+        shutil.rmtree(
+            os.path.join(cfg.output_path, cfg.table), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping"),
+            ignore_errors=True,
+        )
+    elif on_complete is not None:
+        reconcile_notifications(spark, cfg, on_complete)
     ckpt = os.path.join(SCRATCH, "checkpoints", f"land_{cfg.table}")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if fresh:
+        shutil.rmtree(ckpt, ignore_errors=True)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -252,3 +252,65 @@ def test_notification_crash_window_reconciled_on_restart(spark, tmp_path):
     got2: list[str] = []
     land_batch(batch("2024-01-03 02:00:00"), 2, cfg, on_complete=got2.extend)
     assert got2 == []
+
+
+def test_idle_restart_reconciles_without_new_data(spark, tmp_path):
+    """r12 advice: the crash-window reconcile must NOT require a
+    subsequent data-bearing batch. After a crash between the CHECKED
+    append and the POST, a restarted-but-IDLE stream (no new
+    micro-batches at all) must still deliver the lost notification —
+    reconcile_notifications runs at startup (run_landing_stream's
+    fresh=False path) and advances the logdate to NOTIFIED."""
+    import datetime
+
+    from flume_hive_batched_sink_spark.config import SinkConfig
+    from flume_hive_batched_sink_spark.streaming.land import (
+        land_batch,
+        read_bookkeeping,
+        reconcile_notifications,
+    )
+
+    cfg = SinkConfig(
+        table="events_idlerestart",
+        output_path=str(tmp_path),
+        round_unit="day",
+        round_value=1,
+    )
+    day1 = "202401010000"
+
+    def crash(logdates):
+        raise RuntimeError("simulated crash before POST")
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime.fromisoformat(t), 1)
+            for t in ("2024-01-01 10:00:00", "2024-01-02 12:00:00")
+        ],
+        "ts timestamp, v int",
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        land_batch(df, 0, cfg, on_complete=crash)
+    states = {
+        r[cfg.partition_col]: r["state"]
+        for r in read_bookkeeping(spark, cfg).collect()
+    }
+    assert states[day1] == "CHECKED"  # durably checked, never notified
+
+    # the restart: NO new data — just the startup reconcile pass
+    got: list[str] = []
+    assert reconcile_notifications(spark, cfg, got.extend) == [day1]
+    assert got == [day1]
+    states = {
+        r[cfg.partition_col]: r["state"]
+        for r in read_bookkeeping(spark, cfg).collect()
+    }
+    assert states[day1] == "NOTIFIED"
+
+    # a second idle reconcile is a no-op (once per logdate)
+    got2: list[str] = []
+    assert reconcile_notifications(spark, cfg, got2.extend) == []
+    assert got2 == []
+
+    # an EMPTY output dir (nothing ever landed) reconciles to []
+    cfg2 = SinkConfig(table="never_ran", output_path=str(tmp_path))
+    assert reconcile_notifications(spark, cfg2, got2.extend) == []
