@@ -23,11 +23,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 231 queries are registered (SURVEY §2 Part B, which matches the
+# 233 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 231
+# tests/test_properties.py::test_survey_registry_lockstep); all 233
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
+#
+# Round 13 rotation (scripts/staleness.py is the mechanical input).
+# After the clean 50/50 r12 run the stale pool is exactly the 31-row
+# r07 remainder the r12 rotation note scheduled first (the oldest
+# gates in the repo) plus the 50-row r09 cohort. The r13 window, in
+# priority order:
+# (a) 5 operators NEW in r13 (never driver-checked):
+#     ns_similarity_ivfpq_residual — the residual-encoded IVFADC
+#     (codes quantize x − centroid, per-(probe, cell) ADC tables);
+#     ns_ann_index_serve — the amortized serving read against the
+#     persisted cell-partitioned index (partition-pruned
+#     inverted-list scan, PLANCHECK-pinned);
+#     ns_mmr_diversify — MMR re-ranking of the cosine top-10 pool;
+#     ns_embedding_matryoshka — prefix-dimension retrieval audit;
+#     ts_holt_trend — Holt level+trend smoothing via applyInPandas;
+# (b) ALL 31 remaining r07 rows (ns_quality_score .. win_range_frame
+#     below) — clearing the r07 tail entirely, so after a clean r13
+#     run no operator's latest driver gate is older than r09 (the
+#     rotation-hygiene arc the r12 verdict scheduled: every gate ≤4
+#     rounds old);
+# (c) the first 14 of the 50 r09 rows (alphabetical:
+#     agg_approx_distinct .. ns_dedup_minhash).
+# 5 + 31 + 14 = 50. Displaced to r14: the remaining 36 r09 rows
+# (ns_dedup_simhash, ns_domain_mixture, ns_embedding_filter_join,
+# ns_embedding_profile, ns_html_extract, … — outputs unchanged since
+# r09 and value-equal-gated locally every round).
 #
 # Round 12 rotation (scripts/staleness.py is the mechanical input).
 # After the clean 50/50 r11 run the stale pool is the 26-row r06
@@ -98,6 +124,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # win_first_last (these twenty-six lead the r12 window together with
 # whatever r12 adds). After clean r11+r12 runs no operator's latest
 # driver gate is older than r06.
+_ROUND13_FRONT = [
+    # (a) new in r13 — first driver check
+    "ns_similarity_ivfpq_residual",
+    "ns_ann_index_serve",
+    "ns_mmr_diversify",
+    "ns_embedding_matryoshka",
+    "ts_holt_trend",
+    # (b) the 31 remaining r07 rows — the oldest gates in the repo
+    "ns_quality_score",
+    "ns_sample_stratified",
+    "ns_similarity_topk",
+    "ns_text_scrub",
+    "ns_text_stats",
+    "ns_tfidf_topterms",
+    "ns_token_count",
+    "partition_route",
+    "partition_spec_parse",
+    "scan_pruned",
+    "sessionize",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "sink_orc_write",
+    "sink_partitioned_write",
+    "sink_table_partitions",
+    "sql_interface",
+    "stream_dedup",
+    "stream_foreach_batch_land",
+    "stream_observe_counters",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling_5min",
+    "stream_watermark_late",
+    "udaf_grouped_agg",
+    "udf_scalar_pandas",
+    "udf_serde_plugin",
+    "udtf_apply_in_pandas",
+    "win_range_frame",
+    # (c) r09-stale cohort (first 14 alphabetically)
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_bitmap_distinct",
+    "agg_count_min",
+    "agg_hll_sketch_merge",
+    "agg_incremental_merge",
+    "join_range_bucketed",
+    "ns_bigram_stats",
+    "ns_cluster_kmeans",
+    "ns_contamination_ngram",
+    "ns_corpus_report",
+    "ns_dedup_bloom",
+    "ns_dedup_embedding",
+    "ns_dedup_minhash",
+]
+
 _ROUND12_FRONT = [
     # (a) new in r12 — first driver check
     "ns_similarity_ivfpq",
@@ -212,14 +294,14 @@ _ROUND11_FRONT = [
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND12_FRONT
+FRONT = _ROUND13_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND12_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND13_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 

@@ -126,7 +126,44 @@ HEADLINE = [
     "ns_hybrid_prf",
     "ns_embedding_pca",
     "stream_ann_serve",
+    # round 13 additions (the 60-query set above stays frozen): the
+    # residual IVFADC encode (per-(probe,cell) tables) and the
+    # persisted-index serving path — the amortized read whose FIRST
+    # (warmup) invocation builds the cell-partitioned index, so the
+    # timed passes measure STEADY-STATE serving (the number the r12
+    # stream_ann_serve row conflated with build).
+    "ns_similarity_ivfpq_residual",
+    "ns_ann_index_serve",
+    # round 13 second wave: MMR diversification (pairwise-sim pass +
+    # driver greedy over the bounded pool), the matryoshka
+    # prefix-dim audit (4 ranking passes — the heaviest new plan),
+    # and Holt level+trend grouped-map smoothing.
+    "ns_mmr_diversify",
+    "ns_embedding_matryoshka",
+    "ts_holt_trend",
 ]
+
+# Frozen-prefix boundaries (round → prefix length). bench_best.py
+# imports THIS map so the two artifacts can never disagree on where
+# the comparable subtotals are sliced (r12 advice).
+PREFIXES = {
+    "r01_comparable_subtotal": 15,
+    "r02_comparable_subtotal": 20,
+    "r04_comparable_subtotal": 24,
+    "r06_comparable_subtotal": 36,
+}
+
+# Operators whose end-to-end timing conflates index BUILD with
+# steady-state QUERY cost (r12 verdict #4): bench snapshots
+# perf.TIMERS around each timed pass and emits {build_s, query_s}
+# components. key → the perf counter holding that operator's
+# build-phase seconds for ONE invocation.
+_SPLIT_OPS = {
+    "stream_ann_serve": "stream_ann_serve.build",
+    "ns_similarity_ivfpq": "pq_train",
+    "ns_similarity_ivfpq_residual": "pq_train",
+    "ns_ann_index_serve": "ns_ann_index_serve.build",
+}
 
 
 def _ambient_stamp() -> tuple[int, float]:
@@ -207,110 +244,110 @@ def main() -> None:
     # Best-of-2: single-shot timings swing 2-4× with GC/scheduler
     # noise in a shared JVM; the min of two passes is the stable
     # steady-state number.
+    from flume_hive_batched_sink_spark import perf
+
     timings: dict[str, float] = {}
+    # {op: {build_s, query_s}} for the _SPLIT_OPS (r12 verdict #4):
+    # taken from the pass that produced the recorded minimum. For the
+    # persisted-index path the build happens ONCE in warmup (the
+    # amortized semantics), so its build_s comes from the warmup
+    # delta and the timed pass IS steady-state query cost.
+    components: dict[str, dict[str, float]] = {}
+    build_warm: dict[str, float] = {}
     for group in (frozen, additions):
         for name in group:
+            snap = perf.snapshot()
             ops.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"
             ).format("noop").save()
+            if name in _SPLIT_OPS:
+                build_warm[name] = perf.delta(snap, _SPLIT_OPS[name])
         for _pass in range(2):
             for name in group:
                 fn = ops.QUERIES[name]
+                snap = perf.snapshot()
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 t = round(time.perf_counter() - t0, 3)
+                if name in _SPLIT_OPS and t <= timings.get(name, t):
+                    b = perf.delta(snap, _SPLIT_OPS[name])
+                    if name == "stream_ann_serve":
+                        q = perf.delta(snap, "stream_ann_serve.serve")
+                    else:
+                        q = t - b
+                    if b == 0.0:  # built in warmup, cached since
+                        b, q = build_warm.get(name, 0.0), t
+                    components[name] = {
+                        "build_s": round(b, 3),
+                        "query_s": round(q, 3),
+                    }
                 timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    # `value` is the total over the CURRENT headline set (46 queries
-    # as of r9) and is NOT round-over-round comparable once the set
-    # grows. The comparable numbers are the frozen-prefix subtotals:
-    # first 15 = the r01 set, first 20 = frozen since r02, first 24 =
-    # frozen since r04.
-    r01_subtotal = round(sum(timings[n] for n in HEADLINE[:15]), 3)
-    r02_subtotal = round(sum(timings[n] for n in HEADLINE[:20]), 3)
-    r04_subtotal = round(sum(timings[n] for n in HEADLINE[:24]), 3)
-    r06_subtotal = round(sum(timings[n] for n in HEADLINE[:36]), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "r01_comparable_subtotal": r01_subtotal,
-                "r02_comparable_subtotal": r02_subtotal,
-                "r04_comparable_subtotal": r04_subtotal,
-                # first 36 = the r6-era HEADLINE, same names the
-                # sf1_anchor frozen-36 group pins; comparable to the
-                # frozen-36 sf0.1 runs from r9 on (caveat: timed in
-                # a shared JVM whose additions tail grew in r9).
-                "r06_comparable_subtotal": r06_subtotal,
-                # concurrent JVMs at launch (should be 0 for a clean
-                # run) and 1-min load average: the noise context for
-                # reading the subtotals above.
-                "ambient_other_jvms": other_jvms,
-                "ambient_load1": load1,
-                # Explicit flag (r7 verdict #8): 7 rounds of data show
-                # timings uniform-inflate 20-40% when other JVMs run
-                # or load1 > ~2 at launch (r4 +36%, r7 +21%, both
-                # adjudicated as ambient by solo re-runs). A flagged
-                # run needs a solo twin before reading regressions.
-                "ambient_warning": bool(other_jvms != 0 or load1 > 2.0),
-                # seconds spent in the pre-JVM quiet-box wait, and
-                # whether the wait gave up (only then can
-                # ambient_warning=true reach a committed artifact)
-                "ambient_waited_s": waited_s,
-                "ambient_wait_exhausted": wait_exhausted,
-                # r4's +36% (frozen-20 17.3 -> 23.6 s) did not
-                # reproduce: three round-5 re-runs measured 19.1 /
-                # 17.7 / 17.2 s, the first on code identical for the
-                # frozen 20 — uniform slowdown across unchanged plans
-                # was ambient sandbox noise, not a plan regression.
-                "note_r4_regression": (
-                    "r4's uniform +36% did not reproduce on re-run "
-                    "(19.1/17.7/17.2s across three round-5 runs, first "
-                    "on identical frozen-20 code): ambient environment "
-                    "noise, plans unchanged (PLANCHECK green)"
-                ),
-                # Growing the headline set to 34 inflated the
-                # frozen-20 subtotal ~15% via shared-JVM codegen/GC
-                # pressure alone, so the frozen 24 are now warmed and
-                # timed as their OWN group before the round-5
-                # additions run (same in-JVM working set as r2-r4).
-                # Residual day-to-day spread on identical frozen code
-                # this round: 17.2-19.5 s — read trends, not single
-                # runs.
-                "note_r5_grouped_timing": (
-                    "frozen-24 prefix warmed+timed as its own group "
-                    "before the 10 round-5 additions (shared-JVM "
-                    "working-set parity with r2-r4); observed ambient "
-                    "spread 17.2-19.5s on identical frozen code"
-                ),
-                # The r11 solo box ran UNIFORMLY ~1.4x slower than
-                # r10's on frozen, unchanged plans (median per-query
-                # ratio 1.41 across all 48 overlapping queries, no
-                # outlier family; PLANCHECK green; fresh-JVM probes on
-                # the oldest frozen queries reproduce the shift) — the
-                # r4 ambient episode's signature. Read r11-vs-r10
-                # comparisons through the frozen-subtotal ratios, not
-                # absolute seconds.
-                "note_r11_uniform_shift": (
-                    "r11 box throughput oscillated across the round "
-                    "on identical frozen plans (r06-prefix spread "
-                    "28.6-37.2 s over seven clean ambient_warning="
-                    "false runs; plans unchanged, PLANCHECK green; "
-                    "the r4 precedent); the fastest clean run "
-                    "matched r10's frozen subtotals exactly (28.6 "
-                    "vs 28.5 s), so frozen-prefix deltas are "
-                    "ambient spread, not code - every isolatable "
-                    "r11 code delta moved faster"
-                ),
-            }
-        )
-    )
+    # `value` is the total over the CURRENT headline set and is NOT
+    # round-over-round comparable once the set grows. The comparable
+    # numbers are the frozen-prefix subtotals (PREFIXES).
+    subtotals = {
+        key: round(sum(timings[n] for n in HEADLINE[:k]), 3)
+        for key, k in PREFIXES.items()
+    }
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # first 36 = the r6-era HEADLINE, same names the sf1_anchor
+        # frozen-36 group pins; comparable to the frozen-36 sf0.1
+        # runs from r9 on.
+        **subtotals,
+        # {build_s, query_s} for the per-run-rebuild / persisted-
+        # index operators (r12 verdict #4): the headline number for
+        # these rows includes index-build cost that amortizes in
+        # production — query_s is the steady-state serving cost.
+        "components": components,
+        # concurrent JVMs at launch (should be 0 for a clean run) and
+        # 1-min load average: the noise context for the subtotals.
+        # 7+ rounds of data show timings uniform-inflate 20-40% when
+        # other JVMs run or load1 > ~2 at launch; a flagged run needs
+        # a solo twin before reading regressions. Historical ambient
+        # episodes (r4 +36%, r11 1.4× oscillation) are documented in
+        # BASELINE.md.
+        "ambient_other_jvms": other_jvms,
+        "ambient_load1": load1,
+        "ambient_warning": bool(other_jvms != 0 or load1 > 2.0),
+        "ambient_waited_s": waited_s,
+        "ambient_wait_exhausted": wait_exhausted,
+    }
+    # The full artifact goes to a SIDECAR file; stdout gets ONE
+    # compact JSON line sized for the driver's 2000-char capture
+    # window (the r12 driver artifact recorded parsed=null because
+    # the line with 60 queries + notes outgrew it). If even the
+    # compact per-query map fits, keep it inline; otherwise the line
+    # carries the subtotals + components and points at the sidecar.
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_full.json")
+    with open(side, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    line_obj = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        **subtotals,
+        "components": components,
+        "ambient": [other_jvms, load1, full["ambient_warning"]],
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:
+        line_obj.pop("queries")
+        line_obj["queries_in"] = "BENCH_full.json"
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

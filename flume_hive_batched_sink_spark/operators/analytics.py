@@ -1010,3 +1010,122 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_ewma.__doc__ = ts_ewma.__doc__.format(a=_EWMA_ALPHA)
+
+
+# ---------- Holt linear-trend smoothing ----------
+
+# α = β = 0.5: exactly representable in binary, so every multiply in
+# the two-state recursion is correctly rounded on identical operands
+# in the pandas loop and the oracle's list_reduce alike (the
+# _EWMA_ALPHA convention).
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.5
+
+
+def _holt_lambda() -> str:
+    """The two-state Holt update as a DuckDB list_reduce lambda over
+    [level, trend] state (init [x_1, 0.0] — the first element IS the
+    accumulator): l' = α·x + (1−α)(l+b); b' = β(l'−l) + (1−β)b. The
+    l' expression is inlined twice (lambdas bind no intermediates);
+    both evaluations are the same IEEE expression."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    lnew = f"{a} * v[1] + {1.0 - a} * (acc[1] + acc[2])"
+    return (
+        f"(acc, v) -> [{lnew},"
+        f" {b} * (({lnew}) - acc[1]) + {1.0 - b} * acc[2]]"
+    )
+
+
+@query(
+    "ts_holt_trend",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT a.event_type, a.day_num, a.n,
+             (SELECT list_reduce(
+                       list_transform(
+                         list(CAST(b.n AS DOUBLE) ORDER BY b.day_num),
+                         x -> [x, CAST(0.0 AS DOUBLE)]),
+                       {_holt_lambda()})
+              FROM c b
+              WHERE b.event_type = a.event_type
+                AND b.day_num <= a.day_num) AS s
+      FROM c a
+    )
+    SELECT event_type, day_num, n,
+           s[1] AS level, s[2] AS trend,
+           s[1] + s[2] AS forecast_next
+    FROM st
+    """,
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of daily
+    event volume per event_type (α={a}, β={b}) — the level+trend
+    decomposition behind capacity forecasts, one step up from
+    `ts_ewma`'s level-only recursion: l_t = α·x_t + (1−α)(l_t−1 +
+    b_t−1), b_t = β(l_t − l_t−1) + (1−β)·b_t−1, init l_1 = x_1,
+    b_1 = 0; forecast_next = l_t + b_t is the one-step-ahead
+    prediction a monitoring baseline alarms against.
+
+    Spark form: `applyInPandas` — the recursion is sequential WITHIN
+    each series and parallel ACROSS series (the ts_ewma shape;
+    SURVEY §2's custom-operator rule (b)).
+
+    Determinism: daily counts are exact integers; α, β, 1−α, 1−β are
+    exact binary halves; the pandas loop and the oracle's per-row
+    prefix list_reduce over [level, trend] list-state execute the
+    IDENTICAL two-multiply/two-add update order, so every running
+    pair is bit-equal (the l' expression is evaluated twice in the
+    lambda — same expression, same IEEE result). The oracle's O(len²)
+    prefix refold is replay cost only; the engine is O(len).
+
+    Scale: one (type, day)-keyed aggregate with map-side combine
+    (|types|·|days| rows at any corpus size), then Arrow-batched
+    per-series smoothing — state never crosses groups; adding series
+    adds parallelism, never state."""
+    ev = tbl(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def smooth(pdf):
+        pdf = pdf.sort_values("day_num").reset_index(drop=True)
+        lvl = trend = None
+        levels, trends, fc = [], [], []
+        for x in pdf["n"]:
+            x = float(x)
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                lnew = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (lvl + trend)
+                trend = (
+                    _HOLT_BETA * (lnew - lvl) + (1.0 - _HOLT_BETA) * trend
+                )
+                lvl = lnew
+            levels.append(lvl)
+            trends.append(trend)
+            fc.append(lvl + trend)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast_next"] = fc
+        return pdf
+
+    return counts.groupBy("event_type").applyInPandas(
+        smooth,
+        "event_type string, day_num bigint, n bigint, "
+        "level double, trend double, forecast_next double",
+    )
+
+
+ts_holt_trend.__doc__ = ts_holt_trend.__doc__.format(
+    a=_HOLT_ALPHA, b=_HOLT_BETA
+)

@@ -1220,11 +1220,15 @@ _PQ_DSUB = _KM_DIM // _PQ_M
 _PQ_K = 4
 
 
-def _pq_sql_prefix() -> str:
+def _pq_sql_prefix(src: str = "embeddings") -> str:
     """PQ train-and-encode CTE chain ending in `a2(vec_id, m, cl,
     d2)` (per-subspace codes) and `cb(m, j, cc)` (the trained
     codebook) — shared by ns_embedding_pq and ns_similarity_pq_adc so
-    both oracles replay the IDENTICAL codebook."""
+    both oracles replay the IDENTICAL codebook. `src` swaps the
+    training/encode relation (default `embeddings`; the residual
+    IVFADC oracle passes its `resid(vec_id, embedding)` CTE — the
+    rendered text is byte-identical at the default, so the proven
+    oracles are untouched)."""
     sq = (
         "(CAST(e.embedding[{b}.m * {ds} + i.i] AS DOUBLE) - {c})"
         " * (CAST(e.embedding[{b}.m * {ds} + i.i] AS DOUBLE) - {c})"
@@ -1239,7 +1243,7 @@ def _pq_sql_prefix() -> str:
       SELECT j, c FROM (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
                embedding AS c
-        FROM embeddings
+        FROM {src}
       ) WHERE j < {_PQ_K}
     ),
     sub AS (SELECT unnest(range(0, {_PQ_M})) AS m),
@@ -1247,7 +1251,7 @@ def _pq_sql_prefix() -> str:
     d1 AS (
       SELECT e.vec_id, s.m, c.j,
              list_reduce(list({sq1} ORDER BY i.i), (a, b) -> a + b) AS d2
-      FROM embeddings e CROSS JOIN sub s CROSS JOIN e4 c CROSS JOIN i8 i
+      FROM {src} e CROSS JOIN sub s CROSS JOIN e4 c CROSS JOIN i8 i
       GROUP BY 1, 2, 3
     ),
     a1 AS (
@@ -1263,7 +1267,7 @@ def _pq_sql_prefix() -> str:
                     e.embedding[a.m * {_PQ_DSUB} + i.i] AS DOUBLE)
                     AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE)
                / COUNT(*) AS v
-      FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+      FROM a1 a JOIN {src} e ON a.vec_id = e.vec_id
       CROSS JOIN i8 i
       GROUP BY 1, 2, 3
     ),
@@ -1279,7 +1283,7 @@ def _pq_sql_prefix() -> str:
     d2f AS (
       SELECT e.vec_id, b.m, b.j,
              list_reduce(list({sq2} ORDER BY i.i), (a, b) -> a + b) AS d2
-      FROM embeddings e CROSS JOIN cb b CROSS JOIN i8 i
+      FROM {src} e CROSS JOIN cb b CROSS JOIN i8 i
       GROUP BY 1, 2, 3
     ),
     a2 AS (
@@ -1370,6 +1374,16 @@ def _pq_train(em: DataFrame) -> dict:
     for r in mu:
         cb1[(r.m, r.cl)][r.dim - 1] = float(r.v)
     return cb1
+
+
+def _pq_train_timed(em: DataFrame) -> dict:
+    """_pq_train under the 'pq_train' perf counter — bench.py deltas
+    it to split codebook-training (build) cost out of the per-run-
+    rebuild operators' end-to-end timings (r12 verdict #4)."""
+    from .. import perf
+
+    with perf.timed("pq_train"):
+        return _pq_train(em)
 
 
 def _pq_sql() -> str:
@@ -1692,6 +1706,77 @@ def ivfpq_build_index(em: DataFrame, cent: DataFrame, cb: dict) -> DataFrame:
     )
 
 
+def _probe_top_cells(q_emb, cents: list, nprobe: int) -> list[int]:
+    """Top-`nprobe` cells for one probe vector by (-dot, cent_id) —
+    left-fold double dot ≡ _dot_dbl / the oracle's list_reduce.
+    Bounded driver work (|cents| ≤ _IVF_MAX_CELLS dots). Shared by
+    ivfpq_topk and ivfpq_topk_residual."""
+    scoredc = []
+    for c in cents:
+        acc = 0.0
+        for a, b in zip(q_emb, c.cent_emb):
+            acc = acc + float(a) * float(b)
+        scoredc.append((-acc, int(c.cent_id)))
+    scoredc.sort()
+    return [cid for _neg, cid in scoredc[:nprobe]]
+
+
+# Above this many probes per batch, the per-probe CASE-chain dispatch
+# (|probes| arms × M·K literals) is swapped for a broadcast
+# probe-table join — the analyzed plan stops growing with the batch.
+# 64 keeps the CASE plan ≤ ~64·8·4 = 2048 literals (well under any
+# codegen limit) while every registered geometry (≤15 probes) stays
+# on the zero-join fast path.
+_IVFPQ_CASE_MAX_PROBES = 64
+
+
+def _ivfpq_score_join(
+    enc: DataFrame,
+    probes: list,
+    cells_by_probe: dict[int, list[int]],
+    tables: dict[tuple[int, int], list[float]],
+    probed_union: list[int],
+) -> DataFrame:
+    """ADC scoring for LARGE probe batches: broadcast a driver-built
+    probe table — one row per (probe, probed cell) carrying that
+    probe's M×K distance tables — EQUI-JOINED on cell_id against the
+    cell-prefiltered codes, each lookup resolved with element_at.
+    Numerically identical to the CASE chain (same doubles, same
+    left-associated t0+…+t7 sum), but the plan is one broadcast HASH
+    join whose size does not grow with |probes| (and never a nested-
+    loop: the cell_id key makes it a plain BroadcastHashJoin)."""
+    spark = enc.sparkSession
+    prows = [
+        (
+            int(p.vec_id),
+            int(cell),
+            [tables[(int(p.vec_id), m)] for m in range(_PQ_M)],
+        )
+        for p in probes
+        for cell in cells_by_probe[int(p.vec_id)]
+    ]
+    ptab = spark.createDataFrame(
+        prows,
+        "probe_id long, cell_id long, tabs array<array<double>>",
+    )
+    cand = (
+        enc.filter(F.col("cell_id").isin(probed_union))
+        .join(F.broadcast(ptab), "cell_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(
+            F.element_at(F.col("tabs"), m + 1), F.col(f"c{m}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return cand.select(
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        "vec_id",
+        adc.alias("adc_d2"),
+    )
+
+
 def ivfpq_topk(
     em: DataFrame,
     cent: DataFrame,
@@ -1735,7 +1820,7 @@ def ivfpq_topk(
     from pyspark.sql.window import Window as W
 
     if cb is None:
-        cb = _pq_train(em)
+        cb = _pq_train_timed(em)
     if enc is None:
         # one fused corpus pass: coarse cell + PQ codes per vector
         enc = ivfpq_build_index(em, cent, cb)
@@ -1752,59 +1837,64 @@ def ivfpq_topk(
         cents = cent.orderBy("cent_id").collect()
     tables = _adc_tables(probes, cb)
 
-    def _probe_cells(q) -> list[int]:
-        # left-fold double dot ≡ _dot_dbl / the oracle's list_reduce
-        scoredc = []
-        for c in cents:
-            acc = 0.0
-            for a, b in zip(q.embedding, c.cent_emb):
-                acc = acc + float(a) * float(b)
-            scoredc.append((-acc, int(c.cent_id)))
-        scoredc.sort()
-        return [cid for _neg, cid in scoredc[:nprobe]]
-
-    cells_by_probe = {int(p.vec_id): _probe_cells(p) for p in probes}
-    meta = F.array(
-        *[
-            F.struct(
-                F.lit(pid).alias("probe_id"),
-                F.array(*[F.lit(c) for c in cells]).alias("cells"),
-            )
-            for pid, cells in cells_by_probe.items()
-        ]
-    )
+    cells_by_probe = {
+        int(p.vec_id): _probe_top_cells(p.embedding, cents, nprobe)
+        for p in probes
+    }
     # the union-of-probed-cells prefilter is a SIMPLE predicate on
     # cell_id, so when `enc` is materialized partitioned/bucketed by
     # cell it pushes to the scan and prunes whole files (the
     # inverted-list read) — the per-probe array_contains below only
     # resolves WHICH probe a surviving row belongs to
     probed_union = sorted({c for cs in cells_by_probe.values() for c in cs})
-    cand = (
-        enc.filter(F.col("cell_id").isin(probed_union))
-        .select("*", F.explode(meta).alias("s"))
-        .filter(
-            F.array_contains(F.col("s.cells"), F.col("cell_id"))
-            & (F.col("vec_id") != F.col("s.probe_id"))
+    if len(probes) > _IVFPQ_CASE_MAX_PROBES:
+        # Large probe batches: a |probes|-arm CASE chain of M·K
+        # literals grows the analyzed plan linearly with the batch
+        # (r12 verdict #6). Ship the probe metadata + distance tables
+        # as a BROADCAST probe table instead — same cell prefilter,
+        # same lookups via element_at, constant-size plan.
+        scored = _ivfpq_score_join(
+            enc, probes, cells_by_probe, tables, probed_union
         )
-    )
-    # per-probe ADC as a lazy CASE chain: only the matched probe's
-    # lookup chain evaluates, and only on rows that survived the
-    # cell filter above (the full-scan ADC never happens)
-    adc = None
-    for p in probes:
-        pid = int(p.vec_id)
-        chain = None
-        for m in range(_PQ_M):
-            lut = F.array(*[F.lit(t) for t in tables[(pid, m)]])
-            term = F.element_at(lut, F.col(f"c{m}") + 1)
-            chain = term if chain is None else chain + term
-        cond = F.col("s.probe_id") == pid
-        adc = F.when(cond, chain) if adc is None else adc.when(cond, chain)
-    scored = cand.select(
-        F.col("s.probe_id").cast("bigint").alias("probe_id"),
-        "vec_id",
-        adc.alias("adc_d2"),
-    )
+    else:
+        meta = F.array(
+            *[
+                F.struct(
+                    F.lit(pid).alias("probe_id"),
+                    F.array(*[F.lit(c) for c in cells]).alias("cells"),
+                )
+                for pid, cells in cells_by_probe.items()
+            ]
+        )
+        cand = (
+            enc.filter(F.col("cell_id").isin(probed_union))
+            .select("*", F.explode(meta).alias("s"))
+            .filter(
+                F.array_contains(F.col("s.cells"), F.col("cell_id"))
+                & (F.col("vec_id") != F.col("s.probe_id"))
+            )
+        )
+        # per-probe ADC as a lazy CASE chain: only the matched
+        # probe's lookup chain evaluates, and only on rows that
+        # survived the cell filter above (the full-scan ADC never
+        # happens)
+        adc = None
+        for p in probes:
+            pid = int(p.vec_id)
+            chain = None
+            for m in range(_PQ_M):
+                lut = F.array(*[F.lit(t) for t in tables[(pid, m)]])
+                term = F.element_at(lut, F.col(f"c{m}") + 1)
+                chain = term if chain is None else chain + term
+            cond = F.col("s.probe_id") == pid
+            adc = (
+                F.when(cond, chain) if adc is None else adc.when(cond, chain)
+            )
+        scored = cand.select(
+            F.col("s.probe_id").cast("bigint").alias("probe_id"),
+            "vec_id",
+            adc.alias("adc_d2"),
+        )
     w = W.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1847,6 +1937,350 @@ def ns_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     return ivfpq_topk(
         em, ivf_centroids(em), probe_ids=list(range(_ADC_N_PROBES))
+    )
+
+
+# ---------- residual IVFADC (Jégou et al. 2011 §IV.B) ----------
+
+
+def ivf_residuals(em: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell_id, embedding = x − centroid(cell(x))) — the
+    residual frame the FAISS-default IVFADC encodes. One broadcast
+    re-join of the coarse assignment against the (bounded) centroid
+    table + a row-local zip_with subtract: zero extra shuffle over
+    the assignment pass itself. Element-wise double subtraction is
+    exactly rounded, so DuckDB replays it bit-identically."""
+    from .similarity import _ivf_assigned
+
+    asg = _ivf_assigned(em, cent)  # vec_id, embedding, cell_id
+    cmap = cent.select(F.col("cent_id").alias("cell_id"), "cent_emb")
+    return asg.join(F.broadcast(cmap), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.zip_with(
+            "embedding",
+            "cent_emb",
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def _ivfpq_residual_sql(probe_pred: str | None = None) -> str:
+    """Oracle for the residual IVFADC: the coarse chain is
+    _ivf_assign_sql_ctes VERBATIM; the PQ train/encode chain is
+    _pq_sql_prefix VERBATIM over a new `resid` CTE (x − centroid,
+    exact double subtraction); the distance tables are the residual
+    twist — per (probe, probed cell), because the residual query
+    q − centroid(cell) differs per cell (Jégou §IV.B). Candidate
+    joins stay exact integer equality."""
+    from .similarity import _ivf_assign_sql_ctes
+
+    if probe_pred is None:
+        probe_pred = f"vec_id < {_ADC_N_PROBES}"
+    tpiv, adc = _adc_pivot_sql()
+    rq = (
+        f"(CAST(p.q[b.m * {_PQ_DSUB} + i.i] AS DOUBLE)"
+        f" - CAST(ct.cent_emb[b.m * {_PQ_DSUB} + i.i] AS DOUBLE))"
+    )
+    sqq = f"({rq} - b.cc[i.i]) * ({rq} - b.cc[i.i])"
+    return f"""
+    WITH {_ivf_assign_sql_ctes(probe_pred=probe_pred)},
+    resid AS (
+      SELECT a.vec_id, a.cell_id,
+             list(CAST(e.embedding[i.i] AS DOUBLE)
+                  - CAST(c.cent_emb[i.i] AS DOUBLE)
+                  ORDER BY i.i) AS embedding
+      FROM assigned a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN cent c ON c.cent_id = a.cell_id
+      CROSS JOIN idx i
+      GROUP BY 1, 2
+    ),
+    {_pq_sql_prefix("resid")},
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS q
+      FROM embeddings WHERE {probe_pred}
+    ),
+    rtt AS (
+      SELECT pc.query_id AS probe_id, pc.cell_id, b.m, b.j,
+             list_reduce(list({sqq} ORDER BY i.i), (a, b) -> a + b) AS t
+      FROM probe_cells pc
+      JOIN probes p ON p.probe_id = pc.query_id
+      JOIN cent ct ON ct.cent_id = pc.cell_id
+      CROSS JOIN cb b CROSS JOIN i8 i
+      GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (
+      SELECT pc.query_id AS probe_id, pc.cell_id, a.vec_id
+      FROM probe_cells pc JOIN assigned a ON a.cell_id = pc.cell_id
+      WHERE a.vec_id != pc.query_id
+    ),
+    adcm AS (
+      SELECT c.vec_id, c.probe_id, a.m, t.t
+      FROM cand c
+      JOIN a2 a ON a.vec_id = c.vec_id
+      JOIN rtt t ON t.probe_id = c.probe_id AND t.cell_id = c.cell_id
+                AND t.m = a.m AND t.j = a.cl
+    ),
+    piva AS (
+      SELECT vec_id, probe_id, {tpiv}
+      FROM adcm GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT probe_id, vec_id, {adc} AS adc_d2
+      FROM piva
+    )
+    SELECT probe_id, vec_id AS neighbor_id, adc_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_id ORDER BY adc_d2, vec_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_ADC_TOPK}
+    """
+
+
+def residual_tables(
+    probes: list,
+    cells_by_probe: dict[int, list[int]],
+    cent_by_id: dict[int, list[float]],
+    cb: dict,
+) -> dict[tuple[int, int, int], list[float]]:
+    """Per-(probe, probed cell, subspace) residual distance tables
+    {(probe_id, cell_id, m): [K squared distances]} — the residual
+    query q − centroid(cell) differs per probed cell, so the table
+    count is |probes|·nprobe·M (still bounded driver work: 320 values
+    at the registered geometry). Same left-associated double folds as
+    _adc_tables."""
+    tables: dict[tuple[int, int, int], list[float]] = {}
+    for p in probes:
+        pid = int(p.vec_id)
+        for cell in cells_by_probe[pid]:
+            cent = cent_by_id[cell]
+            rq = [float(a) - b for a, b in zip(p.embedding, cent)]
+            for m in range(_PQ_M):
+                sub = rq[m * _PQ_DSUB:(m + 1) * _PQ_DSUB]
+                row = []
+                for j in range(_PQ_K):
+                    acc = 0.0
+                    for a, b in zip(sub, cb[(m, j)]):
+                        acc = acc + (a - b) * (a - b)
+                    row.append(acc)
+                tables[(pid, cell, m)] = row
+    return tables
+
+
+def ivfpq_topk_residual(
+    em: DataFrame,
+    cent: DataFrame,
+    probe_ids: list[int],
+    k: int = _ADC_TOPK,
+    nprobe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """Residual IVFADC (Jégou et al. 2011 §IV.B — the FAISS default):
+    like ivfpq_topk, but the PQ codebook is trained on and encodes
+    the RESIDUALS x − centroid(cell(x)) instead of the raw vectors.
+    Residuals are centered near zero with far smaller spread than the
+    raw corpus, so the same M·K codebook budget quantizes them with
+    strictly lower error — the property test pins qerr(residual) <
+    qerr(raw) and recall@10 ≥ the non-residual path on the planted
+    fixture. The price: distance tables become per-(probe, cell)
+    because the residual query differs per probed cell — table count
+    |probes|·nprobe·M, still bounded driver work.
+
+    Scale shape: identical to ivfpq_topk (one fused corpus pass —
+    the residual subtract is row-local on the assignment projection —
+    bounded driver state, cell-gated ADC scan, WindowGroupLimit
+    top-k); only the constant driver table work grows by ×nprobe."""
+    from pyspark.sql.window import Window as W
+
+    resid = ivf_residuals(em, cent)
+    cb = _pq_train_timed(resid.select("vec_id", "embedding"))
+    # fused encode: the codes ride the SAME residual projection —
+    # cell + codes in one pass, the ivfpq_build_index shape
+    enc = resid.select(
+        "vec_id",
+        "cell_id",
+        *[
+            _pq_argmin(m, cb).getField("j").alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    probe_rows = em.filter(
+        F.col("vec_id").isin([int(i) for i in probe_ids])
+    ).collect()
+    probes = sorted(probe_rows, key=lambda r: int(r.vec_id))
+    cents = cent.orderBy("cent_id").collect()
+    cent_by_id = {
+        int(c.cent_id): [float(v) for v in c.cent_emb] for c in cents
+    }
+    cells_by_probe = {
+        int(p.vec_id): _probe_top_cells(p.embedding, cents, nprobe)
+        for p in probes
+    }
+    tables = residual_tables(probes, cells_by_probe, cent_by_id, cb)
+    probed_union = sorted({c for cs in cells_by_probe.values() for c in cs})
+    meta = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("probe_id"),
+                F.array(*[F.lit(c) for c in cells]).alias("cells"),
+            )
+            for pid, cells in cells_by_probe.items()
+        ]
+    )
+    cand = (
+        enc.filter(F.col("cell_id").isin(probed_union))
+        .select("*", F.explode(meta).alias("s"))
+        .filter(
+            F.array_contains(F.col("s.cells"), F.col("cell_id"))
+            & (F.col("vec_id") != F.col("s.probe_id"))
+        )
+    )
+    # per-(probe, cell) ADC dispatch — |probes|·nprobe arms (10 at
+    # the registered geometry; a large-batch serve path would explode
+    # a broadcast (probe_id, cell_id, tabs) table exactly like
+    # _ivfpq_score_join)
+    adc = None
+    for p in probes:
+        pid = int(p.vec_id)
+        for cell in cells_by_probe[pid]:
+            chain = None
+            for m in range(_PQ_M):
+                lut = F.array(
+                    *[F.lit(t) for t in tables[(pid, cell, m)]]
+                )
+                term = F.element_at(lut, F.col(f"c{m}") + 1)
+                chain = term if chain is None else chain + term
+            cond = (F.col("s.probe_id") == pid) & (
+                F.col("cell_id") == cell
+            )
+            adc = (
+                F.when(cond, chain) if adc is None else adc.when(cond, chain)
+            )
+    scored = cand.select(
+        F.col("s.probe_id").cast("bigint").alias("probe_id"),
+        "vec_id",
+        adc.alias("adc_d2"),
+    )
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@query("ns_similarity_ivfpq_residual", _ivfpq_residual_sql())
+def ns_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC (Jégou et al. 2011 §IV.B, the FAISS
+    IVFPQ default): identical coarse index and probe geometry to
+    `ns_similarity_ivfpq`, but the PQ codes quantize x − centroid
+    instead of x — tighter codes for the same byte budget, at the
+    cost of per-(probe, cell) distance tables. Kept as a SEPARATE
+    registered operator (rather than a flag flip) so both encodes
+    stay driver-gated: the non-residual form shares its codes
+    bit-exactly with ns_embedding_pq; this one is the
+    production-accuracy variant.
+
+    Determinism: residuals are exact double subtractions on both
+    engines; everything else is the proven IVF + PQ fragment pairing
+    (left-fold assignment dots, VARCHAR-routed decimal codebook
+    means, (d2, j) argmin ties, exact-integer candidate joins).
+
+    Scale: see ivfpq_topk_residual."""
+    from .similarity import ivf_centroids
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    return ivfpq_topk_residual(
+        em, ivf_centroids(em), probe_ids=list(range(_ADC_N_PROBES))
+    )
+
+
+# ---------- persisted-index ANN serving (the amortized read path) ----
+
+
+# Build-once cache per (process, sf_dir): {abspath: (index_path, cb)}.
+# The serving operator's STEADY STATE is answering probes against an
+# index that already exists — scripts/ivfpq_decade.py measured this
+# path for two rounds; registering it makes the partition-pruned
+# inverted-list read a driver-gated, plan-asserted operator (r12
+# verdict #3). An index refresh in production is a new directory +
+# cache drop (blue/green), not a rebuild per query.
+_IVFPQ_IDX_CACHE: dict[str, tuple[str, dict]] = {}
+
+
+def ivfpq_persisted_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict, DataFrame, DataFrame]:
+    """(enc, cb, cent, em) with `enc` read back from a parquet index
+    MATERIALIZED PARTITIONED BY cell_id — the on-disk inverted lists.
+    Built once per process per sf_dir; subsequent calls only pay the
+    (pruned) scan. The build phase is recorded under
+    perf.TIMERS['ns_ann_index_serve.build'] so the bench artifact can
+    separate it from steady-state serving."""
+    import os
+
+    from .. import perf
+    from ..scratch import SCRATCH
+    from .similarity import ivf_centroids
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(em)
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_IDX_CACHE:
+        with perf.timed("ns_ann_index_serve.build"):
+            cb = _pq_train(em)
+            path = os.path.join(
+                SCRATCH, "ivfpq_idx", key.strip("/").replace("/", "_")
+            )
+            ivfpq_build_index(em, cent, cb).write.mode(
+                "overwrite"
+            ).partitionBy("cell_id").parquet(path)
+            _IVFPQ_IDX_CACHE[key] = (path, cb)
+    path, cb = _IVFPQ_IDX_CACHE[key]
+    return spark.read.parquet(path), cb, cent, em
+
+
+@query("ns_ann_index_serve", _ivfpq_sql())
+def ns_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized IVFADC read path: answer the standard vec_id<5
+    probes against the PERSISTED cell-partitioned index instead of
+    re-encoding the corpus per query. cell_id is the index's
+    PARTITION column, so ivfpq_topk's probed-cell isin prefilter
+    becomes a partition filter on the scan — whole non-probed
+    directories are skipped (the FAISS inverted-list read), which
+    PLANCHECK pins as a plan property. This is the operator a serving
+    tier actually runs per query; `ns_similarity_ivfpq` (build +
+    query fused) remains the one-shot/batch form.
+
+    Oracle: identical to ns_similarity_ivfpq — the parquet roundtrip
+    of integer codes and cell ids is exact, and the ADC tables are
+    the same driver doubles, so serving from the index returns
+    bit-identical rows to the inline build.
+
+    Scale: the per-query cost is |probed cells|/C of the index scan
+    (code bytes only, never the vectors) + bounded driver state; the
+    build amortizes across every query served from the same
+    generation."""
+    enc, cb, cent, em = ivfpq_persisted_index(spark, sf_dir)
+    probe_ids = list(range(_ADC_N_PROBES))
+    probe_rows = em.filter(
+        F.col("vec_id").isin([int(i) for i in probe_ids])
+    ).collect()
+    return ivfpq_topk(
+        em,
+        cent,
+        probe_ids=probe_ids,
+        cb=cb,
+        enc=enc,
+        probe_rows=probe_rows,
     )
 
 

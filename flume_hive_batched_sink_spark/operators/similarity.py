@@ -1733,3 +1733,330 @@ def ns_srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("match_frac"),
         )
     )
+
+
+# ---------- matryoshka prefix-dimension retrieval audit ----------
+
+# Prefix dims audited against the full 64-dim ranking (Kusupati et
+# al. 2022, "Matryoshka Representation Learning": embeddings whose
+# PREFIXES are themselves usable representations — serving tiers
+# retrieve with a cheap prefix and re-rank with the full vector).
+_MATRY_DIMS = [16, 32, 64]
+_MATRY_K = 10
+
+
+def _matry_prefix_ctes(d: int) -> str:
+    """Per-dim prefix ranking CTE chain ending in r{d}(query_id,
+    neighbor_id, rn) — textually the _cosine_ranked_sql_ctes /
+    _SQL_NORMS / _SQL_DOT proven pairing with `embeddings` swapped
+    for the emb{d} prefix-slice CTE and the unnest range capped at
+    d (the fold has no terms past the slice on either engine)."""
+    return f"""emb{d} AS (
+      SELECT vec_id, embedding[1:{d}] AS embedding FROM embeddings
+    ),
+    q{d} AS (SELECT * FROM emb{d} WHERE vec_id < 5),
+    n{d} AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                AS VARCHAR)
+                           AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM emb{d})
+      GROUP BY vec_id
+    ),
+    d{d} AS (
+      SELECT q.vec_id AS ida, c.vec_id AS idb,
+             CAST(SUM(CAST(CAST(CAST(q.embedding[i.i] AS DOUBLE)
+                                * CAST(c.embedding[i.i] AS DOUBLE)
+                                AS VARCHAR)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM q{d} q, emb{d} c, (SELECT unnest(range(1, {d + 1})) AS i) i
+      WHERE q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    r{d} AS (
+      SELECT ida AS query_id, idb AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY ida
+               ORDER BY dd.dot / (nq.nrm * nc.nrm) DESC, idb) AS rn
+      FROM d{d} dd
+      JOIN n{d} nq ON nq.vec_id = dd.ida
+      JOIN n{d} nc ON nc.vec_id = dd.idb
+    )"""
+
+
+def _matry_sql() -> str:
+    ctes = ",\n    ".join(_matry_prefix_ctes(d) for d in _MATRY_DIMS)
+    # LEFT join + summed hit flag, never an inner-join COUNT: a probe
+    # whose prefix top-k misses the full top-k entirely must emit an
+    # explicit 0-overlap row, not vanish from the audit.
+    unions = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({d} AS BIGINT) AS dim, a.query_id,
+             CAST(SUM(CASE WHEN b.neighbor_id IS NULL
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
+      FROM (SELECT * FROM r{d} WHERE rn <= {_MATRY_K}) a
+      LEFT JOIN (SELECT * FROM r64 WHERE rn <= {_MATRY_K}) b
+        USING (query_id, neighbor_id)
+      GROUP BY 2"""
+        for d in _MATRY_DIMS
+    )
+    return f"""
+    WITH {ctes},
+    ov AS (
+{unions}
+    )
+    SELECT dim, query_id, n_overlap,
+           CAST(n_overlap AS DOUBLE) / {float(_MATRY_K)!r} AS recall_at_k
+    FROM ov
+    """
+
+
+@query("ns_embedding_matryoshka", _matry_sql())
+def ns_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval audit (Kusupati et al.
+    2022): for each prefix width d ∈ {16, 32, 64}, rank the corpus by
+    cosine over the FIRST d dims only and report per-probe overlap
+    with the full-64-dim top-10 — the measurement that decides how
+    small a serving tier's cheap first-pass representation can be
+    before recall craters (prefix retrieval + full-vector re-rank is
+    the standard two-stage layout; d=64 is the self-check row,
+    overlap 10 by construction).
+
+    Determinism: every per-dim ranking is the PROVEN cosine pairing
+    (_dot_dec/_norm ↔ VARCHAR-routed decimal folds) applied to
+    slice(embedding, 1, d) — the fold simply has no terms past d on
+    either engine; overlap counts are exact integers; recall is one
+    int→double division by the exact literal k.
+
+    Scale: 3 prefix rankings + the shared full ranking, each the
+    audited brute-force shape (broadcast probes, WindowGroupLimit
+    top-k) with the prefix passes reading d/64 of the vector bytes —
+    at 100 TB with columnar prefix storage the d=16 pass reads 4×
+    less; the overlap join is k·|probes| rows per dim."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    full = cosine_ranked(em, _MATRY_K).select("query_id", "neighbor_id")
+    parts = []
+    for d in _MATRY_DIMS:
+        emd = em.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        pr = cosine_ranked(emd, _MATRY_K).select("query_id", "neighbor_id")
+        # left join + summed hit flag (not an inner-join count): a
+        # probe with zero overlap emits an explicit 0 row
+        parts.append(
+            pr.join(
+                full.withColumn("hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_overlap")
+            )
+            .select(
+                F.lit(d).cast("bigint").alias("dim"),
+                "query_id",
+                "n_overlap",
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.select(
+        "dim",
+        "query_id",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.lit(float(_MATRY_K))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# ---------- MMR result diversification ----------
+
+_MMR_LAMBDA = 0.5  # exact binary half: λ·rel and (1−λ)·sim both exact
+_MMR_K = 5
+_MMR_POOL = 10
+
+
+def _mmr_sql() -> str:
+    """Greedy MMR replayed as k−1 chained selection CTEs (the
+    kcenter_coreset precedent): candidates + their pairwise cosines
+    come from the proven fragments; each step picks argmax
+    λ·rel − (1−λ)·max_sim_to_selected with (score DESC, neighbor_id)
+    ties; MAX over doubles is order-free, the score is two exact-half
+    multiplies + one subtract — bit-stable on both engines."""
+    lam, ilam = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    steps = []
+    for t in range(2, _MMR_K + 1):
+        prev = f"selu{t - 1}"
+        steps.append(f"""sc{t} AS (
+      SELECT c.query_id, c.neighbor_id,
+             {lam} * c.cosine - {ilam} * MAX(p.sim) AS mmr_score
+      FROM cand c
+      JOIN psim p ON p.query_id = c.query_id
+                 AND p.na = c.neighbor_id
+      JOIN {prev} s ON s.query_id = p.query_id
+                   AND s.neighbor_id = p.nb
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} z
+        WHERE z.query_id = c.query_id
+          AND z.neighbor_id = c.neighbor_id)
+      GROUP BY 1, 2, c.cosine
+    ),
+    sel{t} AS (
+      SELECT query_id, neighbor_id, mmr_score,
+             CAST({t} AS BIGINT) AS mmr_rank
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY mmr_score DESC, neighbor_id) AS rr
+        FROM sc{t}) WHERE rr = 1
+    ),
+    selu{t} AS (
+      SELECT * FROM selu{t - 1} UNION ALL SELECT * FROM sel{t}
+    )""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_cosine_ranked_sql_ctes()},
+    cand AS (
+      SELECT query_id, neighbor_id, cosine
+      FROM cos_ranked WHERE rn <= {_MMR_POOL}
+    ),
+    pairlist AS (
+      SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    ),
+    pdots AS (
+      SELECT p.query_id, p.na, p.nb,
+             CAST(SUM(CAST(CAST(CAST(x.embedding[i.i] AS DOUBLE)
+                                * CAST(y.embedding[i.i] AS DOUBLE)
+                                AS VARCHAR)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM pairlist p
+      JOIN embeddings x ON x.vec_id = p.na
+      JOIN embeddings y ON y.vec_id = p.nb
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY 1, 2, 3
+    ),
+    psim AS (
+      SELECT pd.query_id, pd.na, pd.nb,
+             pd.dot / (nx.nrm * ny.nrm) AS sim
+      FROM pdots pd
+      JOIN norms nx ON nx.vec_id = pd.na
+      JOIN norms ny ON ny.vec_id = pd.nb
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, {lam} * cosine AS mmr_score,
+             CAST(1 AS BIGINT) AS mmr_rank
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rr
+        FROM cand) WHERE rr = 1
+    ),
+    selu1 AS (SELECT * FROM sel1),
+    {chain}
+    SELECT query_id, neighbor_id, mmr_score, mmr_rank
+    FROM selu{_MMR_K}
+    """
+
+
+@query("ns_mmr_diversify", _mmr_sql())
+def ns_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) of the cosine top-10 pool: greedily select k=5
+    results per probe maximizing λ·rel(q,n) − (1−λ)·max_{s∈selected}
+    sim(n,s), λ=0.5 — the standard re-rank that keeps a retrieval
+    page from filling with near-duplicates of one hit (directly load-
+    bearing in a dedup-heavy corpus: the top-10 of a near-dup cluster
+    is one document five times).
+
+    Determinism: candidate relevances and pairwise similarities are
+    the proven exact-cosine pairing; λ and 1−λ are exact binary
+    halves; MAX over a bounded double set is order-free; selection
+    ties break (score DESC, neighbor_id). The greedy loop itself runs
+    driver-side over the BOUNDED pool (k·|probes| rows + |probes|·
+    pool² sims — the _adc_tables bounded-state pattern); the oracle
+    replays it as k−1 chained argmax CTEs.
+
+    Scale: the corpus is touched only by the audited top-k ranking
+    pass; the pairwise-sim pass is |probes|·pool² rows (450 here)
+    regardless of corpus size, so diversification cost is constant —
+    at 100 TB the pool join rides the same broadcast the candidates
+    came from."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    cand = cosine_ranked(em, _MMR_POOL)
+    norms = em.select(
+        "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("na"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("nb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("na") != F.col("nb"))
+        .join(
+            norms.select(
+                F.col("vec_id").alias("na"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("nna"),
+            ),
+            "na",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("nb"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nnb"),
+            ),
+            "nb",
+        )
+        .select(
+            "query_id",
+            "na",
+            "nb",
+            (
+                _dot_dec(F.col("ea"), F.col("eb"))
+                / (F.col("nna") * F.col("nnb"))
+            ).alias("sim"),
+        )
+    )
+    crows = cand.collect()  # bounded: pool·|probes| = 50 rows
+    srows = pairs.collect()  # bounded: |probes|·pool² = 450 rows
+    rel: dict[int, dict[int, float]] = {}
+    for r in crows:
+        rel.setdefault(int(r.query_id), {})[int(r.neighbor_id)] = float(
+            r.cosine
+        )
+    sim: dict[tuple[int, int, int], float] = {}
+    for r in srows:
+        sim[(int(r.query_id), int(r.na), int(r.nb))] = float(r.sim)
+    out = []
+    for qid in sorted(rel):
+        pool = rel[qid]
+        selected: list[int] = []
+        for t in range(1, _MMR_K + 1):
+            best = None
+            for n, rv in pool.items():
+                if n in selected:
+                    continue
+                if selected:
+                    maxsim = max(sim[(qid, n, s)] for s in selected)
+                    score = (
+                        _MMR_LAMBDA * rv - (1.0 - _MMR_LAMBDA) * maxsim
+                    )
+                else:
+                    score = _MMR_LAMBDA * rv
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, score)
+            _key, n, score = best
+            selected.append(n)
+            out.append((qid, n, score, t))
+    return spark.createDataFrame(
+        out,
+        "query_id long, neighbor_id long, mmr_score double, "
+        "mmr_rank long",
+    )

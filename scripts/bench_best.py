@@ -11,10 +11,16 @@ distribution.
 
 Usage: python scripts/bench_best.py [N] [out.json]   (default N=3)
 
-The merged artifact keeps bench.py's schema (queries / subtotals /
-ambient stamps from the FIRST run) and adds: n_runs,
-per_run_totals, per_run_r04_subtotals — so a reader can see both the
-best-of-N number and the spread it was drawn from.
+Each run's FULL artifact is read from the BENCH_full.json sidecar
+bench.py writes (the stdout line is the driver-sized compact form and
+may omit the per-query map). The merged artifact keeps bench.py's
+full schema (queries / subtotals / components / ambient stamps from
+the FIRST run) and adds: n_runs, per_run_totals,
+per_run_r04_subtotals — so a reader can see both the best-of-N number
+and the spread it was drawn from. Frozen-prefix subtotals are
+recomputed from bench.PREFIXES — the ONE boundary map both artifacts
+share (r12 advice: the lengths were previously duplicated here as
+magic numbers).
 """
 
 from __future__ import annotations
@@ -25,6 +31,9 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from bench import HEADLINE, PREFIXES  # noqa: E402
 
 
 def one_run(i: int) -> dict:
@@ -38,9 +47,9 @@ def one_run(i: int) -> dict:
     if p.returncode != 0:
         print(p.stderr[-2000:], file=sys.stderr)
         raise SystemExit(f"bench run {i} failed rc={p.returncode}")
-    # bench prints ONE JSON line (last non-empty stdout line)
-    line = [ln for ln in p.stdout.splitlines() if ln.strip()][-1]
-    return json.loads(line)
+    # the sidecar carries the full-precision artifact for this run
+    with open(os.path.join(ROOT, "BENCH_full.json")) as f:
+        return json.load(f)
 
 
 def main() -> None:
@@ -51,26 +60,27 @@ def main() -> None:
     best = {
         q: min(r["queries"][q] for r in runs) for q in names
     }
-    merged = dict(runs[0])  # ambient stamps/notes from the first run
+    merged = dict(runs[0])  # ambient stamps from the first run
     merged["queries"] = {q: best[q] for q in names}
     merged["value"] = round(sum(best.values()), 3)
     # recompute the frozen-prefix subtotals from the merged minima
-    # (same prefix lengths bench.py uses)
-    sys.path.insert(0, ROOT)
-    from bench import HEADLINE
-
-    for key, k in (
-        ("r01_comparable_subtotal", 15),
-        ("r02_comparable_subtotal", 20),
-        ("r04_comparable_subtotal", 24),
-        ("r06_comparable_subtotal", 36),
-    ):
+    # (bench.PREFIXES is the single source of the slice boundaries)
+    for key, k in PREFIXES.items():
         merged[key] = round(sum(best[q] for q in HEADLINE[:k]), 3)
+    # components travel with the run that produced each op's minimum
+    comp: dict[str, dict] = {}
+    for q in names:
+        for r in runs:
+            if r["queries"][q] == best[q] and q in r.get("components", {}):
+                comp[q] = r["components"][q]
+                break
+    merged["components"] = comp
     merged["n_runs"] = n
     merged["method"] = (
         "per-query min over n_runs fresh-JVM bench.py invocations "
         "(each itself best-of-2 in-JVM); subtotals recomputed from "
-        "the merged minima; ambient stamps are the first run's"
+        "the merged minima via bench.PREFIXES; ambient stamps are "
+        "the first run's; components from each op's minimum run"
     )
     merged["per_run_totals"] = [r["value"] for r in runs]
     merged["per_run_r04_subtotals"] = [

@@ -128,6 +128,10 @@ PLAN_QUERIES = [
     "ns_hybrid_prf",
     "ns_embedding_pca",
     "ts_ewma",
+    # round 13: the residual IVFADC encode and the persisted-index
+    # (partition-pruned) serving path.
+    "ns_similarity_ivfpq_residual",
+    "ns_ann_index_serve",
 ]
 
 
@@ -898,6 +902,61 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "Arrow grouped-map smoothing; exchanges keyed on event_type",
         has_fmg and hashparts and not bad_keys,
         f"fmg={has_fmg}, exchanges={len(hashparts)}, bad={bad_keys[:1]}")
+
+    # ns_bm25_topk retrieval-chain scale property (r12 verdict #8):
+    # the query-vocabulary prefilter must be an ARRAY filter applied
+    # BEFORE the token explode — i.e. the array_contains lambda sits
+    # BELOW the Generate in the tree (later in the top-down plan
+    # text), so only query-term postings ever leave the scan stage.
+    p = _executed(ops.QUERIES["ns_bm25_topk"](spark, sf_dir))
+    i_gen, i_ac = p.find("Generate explode"), p.find("array_contains")
+    add("ns_bm25_topk",
+        "query-vocab array filter evaluated below the explode "
+        "(pre-explode scan-stage prefilter)",
+        i_gen >= 0 and i_ac > i_gen and "lambdafunction" in p,
+        f"generate@{i_gen}, array_contains@{i_ac}")
+
+    # ns_hybrid_prf (r12 verdict #8): the fusion must be ZERO-corpus-
+    # join — the lexical list is a bounded driver-local frame, so the
+    # RETURNED plan scans documents ZERO times and embeddings exactly
+    # once (the vector pass); both rankings' gates stay pushed.
+    p = _executed(ops.QUERIES["ns_hybrid_prf"](spark, sf_dir))
+    n_docs = p.count("documents.parquet")
+    n_emb = p.count("embeddings.parquet")
+    n_wgl = p.count("WindowGroupLimit")
+    add("ns_hybrid_prf",
+        "zero-corpus-join fusion: 0 documents scans, 1 embeddings "
+        "scan in the returned plan",
+        n_docs == 0 and n_emb == 1 and n_wgl >= 2,
+        f"docs_scans={n_docs}, emb_scans={n_emb}, wgl={n_wgl}")
+
+    # ns_ann_index_serve (r13): the probed-cell prefilter must reach
+    # the persisted index scan as a PARTITION filter on cell_id —
+    # whole non-probed directories skipped (the inverted-list read).
+    p = _executed(ops.QUERIES["ns_ann_index_serve"](spark, sf_dir))
+    seg = ""
+    if "PartitionFilters: [" in p:
+        seg = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    ok = "cell_id" in seg and " IN " in seg.upper()
+    add("ns_ann_index_serve",
+        "cell_id IN-set partition filter prunes the persisted index "
+        "scan (inverted-list read)",
+        ok,
+        f"PartitionFilters=[{seg[:120]}]")
+
+    # ns_similarity_ivfpq_residual (r13): same plan contract as the
+    # non-residual composed index — WindowGroupLimit-pushed top-k and
+    # the scan-pushable cell_id IN-set gate ahead of the ADC scoring.
+    p = _executed(
+        ops.QUERIES["ns_similarity_ivfpq_residual"](spark, sf_dir)
+    )
+    has_wgl = "WindowGroupLimit" in p
+    has_inset = ("cell_id" in p) and (" IN (" in p or "INSET" in p)
+    add("ns_similarity_ivfpq_residual",
+        "WindowGroupLimit-pushed per-probe top-k; cell_id IN-set "
+        "prefilter gates the residual ADC scan",
+        has_wgl and has_inset,
+        f"wgl={has_wgl}, inset={has_inset}")
     return checks
 
 

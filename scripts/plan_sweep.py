@@ -63,6 +63,12 @@ ALLOWED = {
     "ns_ivf_cell_stats": "the shared 64-row broadcast centroid "
     "assignment (the ns_similarity_ann_ivf pattern) plus a 1-row "
     "broadcast total scalar crossed onto the C-row counts frame",
+    "ns_similarity_ivfpq_residual": "two instances of the same "
+    "capped-64-row broadcast centroid assignment (one inside "
+    "ivf_residuals' fused resid projection, one in the _pq_train "
+    "first-assignment pass over it) — both the bounded N*C pattern; "
+    "the ADC scan side is join-free (cell prefilter + literal "
+    "table lookups) and the cell re-join is cell_id-KEYED",
     "ns_hybrid_prf": "inherits ns_bm25_topk's 1-row broadcast "
     "corpus-stats scalar on the lexical side; the vector side is a "
     "row-local fold against literal centroids and the fusion join "
@@ -73,6 +79,11 @@ ALLOWED = {
     "k*|probes|-row frames",
     "ns_embedding_filter_join": "corpus x fixed 5-probe broadcast "
     "frame (the probe screen is the operator)",
+    "ns_embedding_matryoshka": "the ns_similarity_topk corpus x "
+    "5-probe broadcast, instantiated once per audited prefix dim "
+    "plus the shared full ranking (every nested-loop side is the "
+    "bounded probe frame); the overlap joins themselves are "
+    "(query, neighbor)-keyed over k*|probes|-row frames",
     "ns_contamination_semantic": "corpus x ONE-ROW broadcast (the "
     "benchmark collapsed to a single array<struct> row; the argmax "
     "is a row-local HOF fold, so the corpus x |eval| frame never "

@@ -70,6 +70,14 @@ CURATION7 = [
     "ns_split_group_folds",
 ]
 
+# r13 (r12 verdict #7): ns_semdedup's pinned-oracle-geometry
+# quadratic-cells term is ~90% of the curation-7 subtotal at sf1-eq,
+# masking regressions in the other six (~10.5 s total). From r13 the
+# PRIMARY anchor is curation-6 (the suite without the pinned twin) +
+# ns_semdedup as its OWN row; curation7_sf1eq_subtotal_sec keeps
+# being emitted as the bridge to the r9-r12 band.
+CURATION6 = [n for n in CURATION7 if n != "ns_semdedup"]
+
 # r10: the production auto-k SemDeDup — reported as its own row (NOT
 # folded into curation7, whose subtotal must stay comparable to the
 # r9 band). The r9 verdict's expectation: ~32 s vs ns_semdedup's
@@ -115,6 +123,12 @@ def main() -> None:
                 "curation7_sf1eq_subtotal_sec": round(
                     sum(curation.values()), 3
                 ),
+                # primary from r13 on: the suite without the pinned
+                # quadratic-cells twin, + the twin as its own row
+                "curation6_sf1eq_subtotal_sec": round(
+                    sum(curation[n] for n in CURATION6), 3
+                ),
+                "ns_semdedup_pinned_sf1eq_sec": curation["ns_semdedup"],
                 "corpus": "scale_check K=10 blow-up of sf0.1 (~sf1)",
                 "method": "bench.py methodology: warmup + best-of-2, noop sink",
                 "queries": times,

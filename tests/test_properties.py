@@ -3850,3 +3850,390 @@ def test_ts_ewma_recursion_invariants(spark):
             hi = x if hi is None else max(hi, x)
             assert lo - 1e-9 <= r.ewma <= hi + 1e-9
         assert rs[0].ewma == float(rs[0].n)
+
+
+def test_ivfpq_residual_qerr_below_raw(spark):
+    """Jégou §IV.B's motivation, pinned as a property: when the
+    coarse quantizer captures real cluster structure, training and
+    encoding the PQ codebook on RESIDUALS x − centroid(cell(x))
+    yields strictly lower mean quantization error than the raw-vector
+    encode at the same M·K budget — residuals are centered near zero
+    with far smaller spread, so the same codewords cover them more
+    tightly. The fixture is a CLUSTERED corpus (16 centers + small
+    per-point noise — the regime IVF is deployed in; on iid-random
+    vectors residuals have LARGER variance, Var(x−c)=2·Var(x), which
+    is precisely why the raw-code twin ns_similarity_ivfpq exists).
+    Both codebooks come from the ONE _pq_train path."""
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _PQ_M,
+        _pq_argmin,
+        _pq_train,
+        ivf_residuals,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(0.0, 1.0, size=(16, 64))
+    rows, crows = [], []
+    for k in range(16):
+        crows.append((k, centers[k].tolist()))
+        for t in range(30):
+            x = centers[k] + rng.normal(0.0, 0.05, size=64)
+            rows.append((100 + k * 30 + t, x.tolist()))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        crows, "cent_id long, cent_emb array<double>"
+    )
+    resid = ivf_residuals(em, cent).select("vec_id", "embedding")
+
+    def mean_qerr(frame):
+        cb = _pq_train(frame)
+        qerr = None
+        for m in range(_PQ_M):
+            e = _pq_argmin(m, cb).getField("d")
+            qerr = e if qerr is None else qerr + e
+        return frame.agg(F.avg(qerr)).collect()[0][0]
+
+    raw, res = mean_qerr(em), mean_qerr(resid)
+    assert res < raw, f"residual qerr {res} !< raw qerr {raw}"
+
+    # and the tighter codes must translate into end-to-end retrieval:
+    # recall@10 (vs numpy-exact cosine) of the residual path ≥ the
+    # raw-encode path on the same clustered corpus, same probes
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        ivfpq_topk,
+        ivfpq_topk_residual,
+    )
+
+    probe_ids = [int(r[0]) for r in rows[:20]]
+    E = {int(i): np.array(v) for i, v in rows}
+    all_ids = sorted(E)
+    M = np.array([E[i] / np.linalg.norm(E[i]) for i in all_ids])
+
+    def recall(ann_rows) -> float:
+        got: dict[int, set] = {}
+        for r in ann_rows:
+            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        hits, want = 0, 0
+        for q in probe_ids:
+            qi = all_ids.index(q)
+            cos = M @ M[qi]
+            cos[qi] = -2.0
+            top10 = {all_ids[t] for t in np.argsort(-cos)[:10]}
+            want += 10
+            hits += len(top10 & got.get(q, set()))
+        return hits / want
+
+    r_raw = recall(ivfpq_topk(em, cent, probe_ids, k=10, nprobe=2).collect())
+    r_res = recall(
+        ivfpq_topk_residual(em, cent, probe_ids, k=10, nprobe=2).collect()
+    )
+    assert r_res >= r_raw, (
+        f"clustered-corpus residual recall {r_res} < raw {r_raw}"
+    )
+
+
+def test_ivfpq_residual_planted_twin_recall(spark):
+    """END-TO-END recall@10 of the RESIDUAL IVFADC path on the same
+    planted-twin corpus as test_ivfpq_planted_twin_recall_at_10:
+    ≥90%, the same bar the non-residual path carries. (The ≥-raw
+    comparison lives in test_ivfpq_residual_qerr_below_raw's
+    CLUSTERED fixture — on this twin corpus the cells are arbitrary
+    base vectors, the regime where raw codes are the right choice, so
+    raw is perfect by construction and residual merely clears the
+    absolute bar.)"""
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        ivfpq_topk_residual,
+    )
+
+    base = load_table(spark, SF_SMALL, "embeddings").limit(60).collect()
+    ids = [int(r.vec_id) for r in base]
+    E = {
+        i: np.array([float(x) for x in r.embedding])
+        for i, r in zip(ids, base)
+    }
+    rows = [(i, E[i].tolist()) for i in ids]
+    for j in range(1, 11):
+        for i in ids:
+            pat = np.array(
+                [((d + j) % 3 == 0) * 2.0 - 1.0 for d in range(64)]
+            ) * (0.0005 * j)
+            twin = E[i] + pat
+            tid = i + j * 1_000_000
+            E[tid] = twin
+            rows.append((tid, twin.tolist()))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = em.filter(
+        (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 4 == 0)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    probe_ids = ids[:20]
+
+    def recall(ann_rows) -> float:
+        got: dict[int, set] = {}
+        for r in ann_rows:
+            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        all_ids = sorted(E)
+        M = np.array([E[i] / np.linalg.norm(E[i]) for i in all_ids])
+        hits, want = 0, 0
+        for q in probe_ids:
+            qi = all_ids.index(q)
+            cos = M @ M[qi]
+            cos[qi] = -2.0
+            top10 = {all_ids[t] for t in np.argsort(-cos)[:10]}
+            want += 10
+            hits += len(top10 & got.get(q, set()))
+        return hits / want
+
+    r_res = recall(
+        ivfpq_topk_residual(em, cent, probe_ids, k=10, nprobe=2).collect()
+    )
+    assert r_res >= 0.9, f"residual ivfpq recall@10 {r_res}"
+
+
+def test_ivfpq_large_probe_batch_join_path(spark, monkeypatch):
+    """r12 verdict #6: above _IVFPQ_CASE_MAX_PROBES the per-probe
+    CASE-chain dispatch (plan size linear in |probes|) must switch to
+    the broadcast probe-table equi-join. Drive 100 probes through the
+    serve path and assert (a) the plan carries NO per-probe CASE
+    dispatch and stays bounded, (b) the join path's rows are
+    BIT-IDENTICAL to the CASE path's (same doubles, same fold), and
+    (c) the join is a BroadcastHashJoin, never a nested loop."""
+    from flume_hive_batched_sink_spark.operators import clustering as cl
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    em = tbl(spark, SF_SMALL, "embeddings")
+    cent = ivf_centroids(em)
+    probe_ids = list(range(100))
+    assert len(probe_ids) > cl._IVFPQ_CASE_MAX_PROBES
+
+    big = cl.ivfpq_topk(em, cent, probe_ids)
+    plan_join = big._jdf.queryExecution().executedPlan().toString()
+    # the probe-table lookup is a broadcast HASH join on cell_id
+    # (the assignment pass's bounded-broadcast BNLJ is allowlisted
+    # and present on BOTH paths — it is not what's under test here)
+    assert "BroadcastHashJoin" in plan_join
+    # no 100-arm dispatch: the CASE chain would carry one branch per
+    # probe; the join plan must not scale with |probes|
+    assert plan_join.count("CASE WHEN") < 10
+    rows_join = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_d2, r.rank)
+        for r in big.collect()
+    )
+
+    monkeypatch.setattr(cl, "_IVFPQ_CASE_MAX_PROBES", 10_000)
+    case = cl.ivfpq_topk(em, cent, probe_ids)
+    plan_case = case._jdf.queryExecution().executedPlan().toString()
+    # the CASE plan text grows ~linearly with |probes| (100 arms of
+    # M·K literals); the join plan stays a small constant multiple
+    assert len(plan_join) < len(plan_case) / 4, (
+        f"join plan {len(plan_join)} not ≪ case plan {len(plan_case)}"
+    )
+    rows_case = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_d2, r.rank)
+        for r in case.collect()
+    )
+    assert rows_join == rows_case  # exact, including the doubles
+
+
+def test_ann_index_serve_partition_pruned(spark):
+    """ns_ann_index_serve answers probes through a scan of the
+    cell-partitioned on-disk index: the probed-cell isin prefilter
+    must reach the scan as a PARTITION filter (the inverted-list
+    read), and serving from the index must return bit-identical rows
+    to the inline-build ns_similarity_ivfpq."""
+    from flume_hive_batched_sink_spark.operators import clustering as cl
+
+    served = QUERIES["ns_ann_index_serve"](spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell_id" in seg  # non-empty pruning predicate on cell_id
+    inline = QUERIES["ns_similarity_ivfpq"](spark, SF_SMALL)
+    canon = lambda df: sorted(  # noqa: E731
+        (r.probe_id, r.neighbor_id, r.adc_d2, r.rank) for r in df.collect()
+    )
+    assert canon(served) == canon(inline)
+
+
+def test_matryoshka_full_dim_self_check(spark):
+    """ns_embedding_matryoshka: the d=64 row ranks with the FULL
+    vector, so overlap with the full top-10 is exactly 10 for every
+    probe (recall 1.0); every other dim's overlap is in [0, 10] and
+    the output carries all 3 dims × 5 probes."""
+    out = QUERIES["ns_embedding_matryoshka"](spark, SF_SMALL).collect()
+    by_dim: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall_at_k == r.n_overlap / 10.0
+        by_dim.setdefault(int(r.dim), []).append(r)
+    assert sorted(by_dim) == [16, 32, 64]
+    assert all(len(v) == 5 for v in by_dim.values())
+    assert all(r.n_overlap == 10 for r in by_dim[64])
+
+
+def test_mmr_diversifies_planted_dup_cluster(spark):
+    """Carbonell & Goldstein's point, pinned end-to-end: plant a
+    6-member near-duplicate cluster as the probe's closest vectors
+    plus 5 distinct moderately-relevant vectors. Plain cosine top-5
+    is the dup cluster five times; MMR (λ=0.5) must keep the single
+    best cluster member and spend the remaining slots on the
+    distinct vectors — strictly more unique content in its top-5."""
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _dot_dec,
+        _norm,
+        cosine_ranked,
+    )
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(0.0, 1.0, 64)
+    rows = [(0, q.tolist())]
+    # dup cluster: tiny perturbations of q (cosine ≈ 1, pairwise ≈ 1)
+    for i in range(1, 7):
+        rows.append((i, (q + rng.normal(0.0, 0.01, 64)).tolist()))
+    # distinct relevants: q rotated toward independent directions
+    for i in range(7, 12):
+        d = rng.normal(0.0, 1.0, 64)
+        v = 0.6 * q / np.linalg.norm(q) + 0.8 * d / np.linalg.norm(d)
+        rows.append((i, v.tolist()))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # probe vec_id=0 (the cosine_ranked vec_id<5 convention includes
+    # ids 1-4 too; read only probe 0's rows)
+    mmr_rows = [
+        r
+        for r in _run_mmr(spark, em)
+        if r.query_id == 0
+    ]
+    assert len(mmr_rows) == _MMR_K
+    top_cos = [
+        r.neighbor_id
+        for r in cosine_ranked(em, _MMR_K).collect()
+        if r.query_id == 0
+    ]
+    dup = set(range(1, 7))
+    n_dup_cos = sum(1 for n in top_cos if n in dup)
+    n_dup_mmr = sum(1 for r in mmr_rows if r.neighbor_id in dup)
+    assert n_dup_cos == _MMR_K  # the cluster owns the plain top-5
+    assert n_dup_mmr < n_dup_cos  # MMR broke the monopoly
+    assert n_dup_mmr >= 1  # but kept the best cluster member
+    # ranks are 1..k, distinct neighbors
+    assert sorted(r.mmr_rank for r in mmr_rows) == list(range(1, _MMR_K + 1))
+    assert len({r.neighbor_id for r in mmr_rows}) == _MMR_K
+
+
+def _run_mmr(spark, em):
+    """Drive the ns_mmr_diversify pipeline on a caller-supplied
+    corpus (the registered operator binds the sf_dir table; the
+    planted test reuses its exact internals via the public
+    fragments)."""
+    from pyspark.sql import functions as F  # noqa: F401 (shadow-safe)
+    from flume_hive_batched_sink_spark.operators import similarity as S
+
+    cand = S.cosine_ranked(em, S._MMR_POOL)
+    norms = em.select(
+        "vec_id", S._norm(F.col("embedding")).alias("nrm"), "embedding"
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("na"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("nb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("na") != F.col("nb"))
+        .join(
+            norms.select(
+                F.col("vec_id").alias("na"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("nna"),
+            ),
+            "na",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("nb"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nnb"),
+            ),
+            "nb",
+        )
+        .select(
+            "query_id", "na", "nb",
+            (
+                S._dot_dec(F.col("ea"), F.col("eb"))
+                / (F.col("nna") * F.col("nnb"))
+            ).alias("sim"),
+        )
+    )
+    rel, sim = {}, {}
+    for r in cand.collect():
+        rel.setdefault(int(r.query_id), {})[int(r.neighbor_id)] = float(
+            r.cosine
+        )
+    for r in pairs.collect():
+        sim[(int(r.query_id), int(r.na), int(r.nb))] = float(r.sim)
+    out = []
+    for qid in sorted(rel):
+        pool, selected = rel[qid], []
+        for t in range(1, S._MMR_K + 1):
+            best = None
+            for n, rv in pool.items():
+                if n in selected:
+                    continue
+                score = (
+                    S._MMR_LAMBDA * rv
+                    - (1.0 - S._MMR_LAMBDA)
+                    * max(sim[(qid, n, s)] for s in selected)
+                    if selected
+                    else S._MMR_LAMBDA * rv
+                )
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, score)
+            _k, n, score = best
+            selected.append(n)
+            out.append(_Row(query_id=qid, neighbor_id=n,
+                            mmr_score=score, mmr_rank=t))
+    return out
+
+
+class _Row:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_holt_trend_invariants(spark):
+    """ts_holt_trend: forecast_next == level + trend EXACTLY on every
+    row (the output is the recursion's own state, not a re-derived
+    value); each series' first day carries trend 0 and level == n;
+    and a constant series keeps trend 0 forever — checked against an
+    independent python replay of the recursion."""
+    out = QUERIES["ts_holt_trend"](spark, SF_SMALL).collect()
+    assert out
+    by_type: dict[str, list] = {}
+    for r in out:
+        assert r.forecast_next == r.level + r.trend
+        by_type.setdefault(r.event_type, []).append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.day_num)
+        assert rows[0].trend == 0.0
+        assert rows[0].level == float(rows[0].n)
+        # independent replay
+        lvl, tr = float(rows[0].n), 0.0
+        for r in rows[1:]:
+            ln = 0.5 * float(r.n) + 0.5 * (lvl + tr)
+            tr = 0.5 * (ln - lvl) + 0.5 * tr
+            lvl = ln
+            assert (r.level, r.trend) == (lvl, tr)
