@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r07 remainder the r12 rotation note scheduled first (the oldest
 # gates in the repo) plus the 50-row r09 cohort. The r13 window, in
 # priority order:
-# (a) 5 operators NEW in r13 (never driver-checked):
+# (a) 8 operators NEW in r13 (never driver-checked):
 #     ns_similarity_ivfpq_residual — the residual-encoded IVFADC
 #     (codes quantize x − centroid, per-(probe, cell) ADC tables);
 #     ns_ann_index_serve — the amortized serving read against the
@@ -43,17 +43,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_mmr_diversify — MMR re-ranking of the cosine top-10 pool;
 #     ns_embedding_matryoshka — prefix-dimension retrieval audit;
 #     ts_holt_trend — Holt level+trend smoothing via applyInPandas;
+#     ns_dedup_fuzzy — LSH candidates + Levenshtein prefix verify;
+#     ts_changepoint_cusum — one-sided CUSUM drift alarm;
+#     stream_cdc_apply — micro-batch CDC merge with tombstones;
 # (b) ALL 31 remaining r07 rows (ns_quality_score .. win_range_frame
 #     below) — clearing the r07 tail entirely, so after a clean r13
 #     run no operator's latest driver gate is older than r09 (the
 #     rotation-hygiene arc the r12 verdict scheduled: every gate ≤4
 #     rounds old);
-# (c) the first 14 of the 50 r09 rows (alphabetical:
-#     agg_approx_distinct .. ns_dedup_minhash).
-# 5 + 31 + 14 = 50. Displaced to r14: the remaining 36 r09 rows
-# (ns_dedup_simhash, ns_domain_mixture, ns_embedding_filter_join,
-# ns_embedding_profile, ns_html_extract, … — outputs unchanged since
-# r09 and value-equal-gated locally every round).
+# (c) the first 11 of the 50 r09 rows (alphabetical:
+#     agg_approx_distinct .. ns_corpus_report).
+# 8 + 31 + 11 = 50. Displaced to r14: the remaining 39 r09 rows
+# (ns_dedup_bloom, ns_dedup_embedding, ns_dedup_minhash,
+# ns_dedup_simhash, ns_domain_mixture, ns_embedding_filter_join, … —
+# outputs unchanged since r09 and value-equal-gated locally every
+# round).
 #
 # Round 12 rotation (scripts/staleness.py is the mechanical input).
 # After the clean 50/50 r11 run the stale pool is the 26-row r06
@@ -131,6 +135,9 @@ _ROUND13_FRONT = [
     "ns_mmr_diversify",
     "ns_embedding_matryoshka",
     "ts_holt_trend",
+    "ns_dedup_fuzzy",
+    "ts_changepoint_cusum",
+    "stream_cdc_apply",
     # (b) the 31 remaining r07 rows — the oldest gates in the repo
     "ns_quality_score",
     "ns_sample_stratified",
@@ -163,7 +170,7 @@ _ROUND13_FRONT = [
     "udf_serde_plugin",
     "udtf_apply_in_pandas",
     "win_range_frame",
-    # (c) r09-stale cohort (first 14 alphabetically)
+    # (c) r09-stale cohort (first 11 alphabetically)
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_bitmap_distinct",
@@ -175,9 +182,6 @@ _ROUND13_FRONT = [
     "ns_cluster_kmeans",
     "ns_contamination_ngram",
     "ns_corpus_report",
-    "ns_dedup_bloom",
-    "ns_dedup_embedding",
-    "ns_dedup_minhash",
 ]
 
 _ROUND12_FRONT = [

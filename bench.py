@@ -141,6 +141,12 @@ HEADLINE = [
     "ns_mmr_diversify",
     "ns_embedding_matryoshka",
     "ts_holt_trend",
+    # round 13 third wave: two-stage fuzzy dedup (LSH candidates +
+    # prefix Levenshtein verify — the heaviest new plan), the CUSUM
+    # drift alarm, and the streaming CDC merge.
+    "ns_dedup_fuzzy",
+    "ts_changepoint_cusum",
+    "stream_cdc_apply",
 ]
 
 # Frozen-prefix boundaries (round → prefix length). bench_best.py

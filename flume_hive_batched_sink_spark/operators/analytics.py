@@ -1129,3 +1129,145 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_holt_trend.__doc__ = ts_holt_trend.__doc__.format(
     a=_HOLT_ALPHA, b=_HOLT_BETA
 )
+
+
+# ---------- CUSUM changepoint / drift alarm ----------
+
+# Alarm when the one-sided cumulative sum of (x − μ) exceeds h·σ
+# (Page 1954). h = 2 exactly representable; μ/σ ride the exact-
+# decimal aggregate conventions so both engines fold identical
+# doubles.
+_CUSUM_H = 2.0
+
+
+@query(
+    "ts_changepoint_cusum",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(n) AS mu
+      FROM c GROUP BY 1
+    ),
+    spread AS (
+      SELECT c.event_type,
+             sqrt(CAST(SUM(CAST(CAST(
+                    (CAST(c.n AS DOUBLE) - s.mu)
+                    * (CAST(c.n AS DOUBLE) - s.mu) AS VARCHAR)
+                  AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*)) AS sigma
+      FROM c JOIN stats s ON s.event_type = c.event_type
+      GROUP BY 1
+    ),
+    cus AS (
+      SELECT a.event_type, a.day_num, a.n, s.mu, sp.sigma,
+             (SELECT list_reduce(
+                       list_prepend(
+                         CAST(0.0 AS DOUBLE),
+                         list(CAST(b.n AS DOUBLE) - s.mu
+                              ORDER BY b.day_num)),
+                       (acc, v) -> greatest(acc + v, CAST(0.0 AS DOUBLE)))
+              FROM c b
+              WHERE b.event_type = a.event_type
+                AND b.day_num <= a.day_num) AS cusum
+      FROM c a
+      JOIN stats s ON s.event_type = a.event_type
+      JOIN spread sp ON sp.event_type = a.event_type
+    )
+    SELECT event_type, day_num, n, cusum,
+           {_CUSUM_H} * sigma AS threshold,
+           CAST(CASE WHEN cusum > {_CUSUM_H} * sigma
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+    FROM cus
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954) on daily
+    event volume per event_type: S_t = max(0, S_t−1 + (x_t − μ)),
+    S_0 = 0, alarm when S_t > h·σ (h={h}) — the classic drift
+    detector a landing pipeline runs on its own bookkeeping counts to
+    catch upstream volume shifts (a stuck producer, a new traffic
+    source) that per-day MAD outliers miss because the shift is
+    gradual.
+
+    Spark form: `applyInPandas` per series (the ts_ewma/ts_holt_trend
+    shape — the recursion is order-dependent), with μ and σ computed
+    ENGINE-side first (exact-decimal mean; VARCHAR-routed decimal
+    squared-deviation sum; IEEE sqrt) and joined onto the series so
+    the pandas loop only replays the max/add recursion.
+
+    Determinism: counts are exact integers; μ and σ divide/root the
+    same two numbers on both engines; the recursion is one add + one
+    max per step over identical doubles (the oracle replays it as a
+    per-row prefix list_reduce with a prepended 0.0 accumulator —
+    greatest ≡ python max on doubles); the alarm compare is against
+    the same h·σ product.
+
+    Scale: one (type, day)-keyed map-side-combined aggregate + two
+    |types|-row stat aggregates + Arrow-batched per-series replay —
+    |types|·|days| rows at any corpus size, series count =
+    parallelism."""
+    ev = tbl(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    stats = counts.groupBy("event_type").agg(
+        (
+            F.sum(F.col("n").cast("decimal(28,6)")).cast("double")
+            / F.count("n")
+        ).alias("mu")
+    )
+    dev = counts.join(stats, "event_type").withColumn(
+        "sq",
+        (F.col("n").cast("double") - F.col("mu"))
+        * (F.col("n").cast("double") - F.col("mu")),
+    )
+    spread = dev.groupBy("event_type").agg(
+        F.sqrt(
+            F.sum(F.col("sq").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("sigma")
+    )
+    joined = counts.join(stats, "event_type").join(spread, "event_type")
+
+    def cusum(pdf):
+        pdf = pdf.sort_values("day_num").reset_index(drop=True)
+        mu = float(pdf["mu"].iloc[0])
+        s = 0.0
+        out = []
+        for x in pdf["n"]:
+            s = max(s + (float(x) - mu), 0.0)
+            out.append(s)
+        pdf["cusum"] = out
+        return pdf
+
+    res = joined.groupBy("event_type").applyInPandas(
+        cusum,
+        "event_type string, day_num bigint, n bigint, mu double, "
+        "sigma double, cusum double",
+    )
+    thr = F.lit(_CUSUM_H) * F.col("sigma")
+    return res.select(
+        "event_type",
+        "day_num",
+        "n",
+        "cusum",
+        thr.alias("threshold"),
+        F.when(F.col("cusum") > thr, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_alarm"),
+    )
+
+
+ts_changepoint_cusum.__doc__ = ts_changepoint_cusum.__doc__.format(h=_CUSUM_H)

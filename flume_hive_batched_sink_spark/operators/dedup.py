@@ -231,20 +231,56 @@ def minhash_bands(
     return minhash_bands_from_sig(minhash_sig_wide(d), n_bands)
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB twin of ns_dedup_minhash, generated from the same
-    constants: base hash = _h32 (md5 nibbles, see _h32_sql), k affine
-    permutation MINs per doc, band keys = exact value concatenation,
-    self-join on band equality, exact 3-token-shingle Jaccard ≥ 0.5.
-    Candidate sets are identical by construction (no murmur3 anywhere
-    since r8), which is what moved this family off the rows-only list
-    (r7 verdict #4 asked for one more conversion; this is the second,
-    after ns_dedup_simhash)."""
-    sh_list = (
+def minhash_candidates(d: DataFrame) -> DataFrame:
+    """Distinct banded-LSH candidate pairs (doc_a < doc_b) — the ONE
+    Spark candidate chain ns_dedup_minhash (Jaccard verify) and
+    ns_dedup_fuzzy (edit-distance verify) both consume, so their
+    candidate sets cannot drift from each other or from the shared
+    oracle fragment (_minhash_cand_sql_ctes).
+
+    persist: the signature table feeds both self-join sides and the
+    band derivation, and the candidate list is consumed repeatedly
+    (verify join + both sides of the id union) — without persistence
+    Spark re-derives the whole upstream per consumer (measured: 12
+    scans / 30 aggregates in the unpersisted plan). At 100 TB this
+    is the in-memory analog of checkpointing signatures to storage
+    before the LSH join, which any production near-dup pass does."""
+    sig = minhash_sig_wide(d).persist()
+    bands = minhash_bands_from_sig(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .persist()
+    )
+
+
+def _sh_list_sql() -> str:
+    """The 3-token-shingle list comprehension over `documents` —
+    shared by the candidate CTEs and the Jaccard-verify CTE."""
+    return (
         f"[array_to_string(string_split({_NORM}, ' ')[i:i+{SHINGLE - 1}], ' ')"
         f" FOR i IN range(1, greatest(len(string_split({_NORM}, ' '))"
         f" - {SHINGLE - 1}, 1) + 1)]"
     )
+
+
+def _minhash_cand_sql_ctes() -> str:
+    """The banded-LSH candidate CTE chain (shingles → _h32 → affine
+    minhash signature → band keys → `cand(doc_a, doc_b)` distinct
+    pairs) — shared VERBATIM by _minhash_oracle_sql (Jaccard verify)
+    and ns_dedup_fuzzy's oracle (edit-distance verify), the SQL twin
+    of the one minhash_candidates Spark chain."""
+    sh_list = _sh_list_sql()
     mins = ",\n             ".join(
         f"MIN({_MH_A[i]} * h + {_MH_B[i]}) AS m{i}" for i in range(N_HASHES)
     )
@@ -255,8 +291,7 @@ def _minhash_oracle_sql() -> str:
         + ") AS bk FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, unnest(list_distinct({sh_list})) AS s
       FROM documents
     ), hashed AS (
@@ -271,8 +306,22 @@ def _minhash_oracle_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
-    ), shs AS (
-      SELECT doc_id, list_distinct({sh_list}) AS sh FROM documents
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of ns_dedup_minhash, generated from the same
+    constants: base hash = _h32 (md5 nibbles, see _h32_sql), k affine
+    permutation MINs per doc, band keys = exact value concatenation,
+    self-join on band equality, exact 3-token-shingle Jaccard ≥ 0.5.
+    Candidate sets are identical by construction (no murmur3 anywhere
+    since r8), which is what moved this family off the rows-only list
+    (r7 verdict #4 asked for one more conversion; this is the second,
+    after ns_dedup_simhash). Candidate CTEs = _minhash_cand_sql_ctes
+    VERBATIM (shared with ns_dedup_fuzzy)."""
+    return f"""
+    WITH {_minhash_cand_sql_ctes()}, shs AS (
+      SELECT doc_id, list_distinct({_sh_list_sql()}) AS sh FROM documents
     ), scored AS (
       SELECT doc_a, doc_b,
              CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -310,30 +359,7 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set through the main aggregate.
     """
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    # persist: the signature table feeds both self-join sides and the
-    # band derivation, and the candidate list is consumed three times
-    # (verify join + both sides of the id union) — without persistence
-    # Spark re-derives the whole upstream per consumer (measured: 12
-    # scans / 30 aggregates in the unpersisted plan). At 100 TB this
-    # is the in-memory analog of checkpointing signatures to storage
-    # before the LSH join, which any production near-dup pass does.
-    sig = minhash_sig_wide(d).persist()
-    bands = minhash_bands_from_sig(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-        .persist()
-    )
+    cand = minhash_candidates(d)
     # no .distinct(): left_semi ignores duplicate build-side keys,
     # and skipping it saves a shuffle
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
@@ -1305,3 +1331,105 @@ def ns_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches / F.lit(float(N_HASHES))).alias("est_jaccard"),
         )
     )
+
+
+# ---------- fuzzy dedup: LSH candidates + edit-distance verify ----------
+
+# Edit-distance verification runs on a bounded normalized PREFIX —
+# full-text Levenshtein is O(len²) per pair and a production fuzzy
+# pass always verifies on a capped field (title/head); 80 chars
+# covers the synthetic corpus's discriminative head.
+_FUZZY_PREFIX = 80
+# is_dup ⇔ edit_dist · 5 ≤ max(len_a, len_b): the ≤20% threshold as
+# PURE INTEGER arithmetic (no float ratio on the decision path).
+_FUZZY_DENOM = 5
+
+
+def _fuzzy_sql() -> str:
+    """Candidate CTEs = _minhash_cand_sql_ctes VERBATIM; only the
+    prefix/levenshtein verify is new."""
+    return f"""
+    WITH {_minhash_cand_sql_ctes()}, pref AS (
+      SELECT doc_id, substr({_NORM}, 1, {_FUZZY_PREFIX}) AS pref
+      FROM documents
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(x.pref, y.pref) AS BIGINT) AS edit_dist,
+             CAST(greatest(length(x.pref), length(y.pref)) AS BIGINT)
+               AS max_len
+      FROM cand c
+      JOIN pref x ON x.doc_id = c.doc_a
+      JOIN pref y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, edit_dist,
+           CAST(edit_dist AS DOUBLE) / max_len AS edit_ratio,
+           CAST(CASE WHEN edit_dist * {_FUZZY_DENOM} <= max_len
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM verified
+    """
+
+
+@query("ns_dedup_fuzzy", _fuzzy_sql())
+def ns_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup verification: the banded MinHash-LSH candidate
+    pairs (the SHARED minhash_candidates chain — identical candidate
+    sets to ns_dedup_minhash by construction) verified with exact
+    Levenshtein edit distance on the normalized {p}-char prefix —
+    the production two-stage fuzzy dedup (cheap sketch candidates →
+    exact edit-distance confirm) for near-dups that token-level
+    Jaccard misses (character-level noise: OCR errors, diffs inside
+    words). Emits EVERY candidate with its distance, ratio, and the
+    integer-arithmetic ≤20% verdict (edit_dist·{d} ≤ max_len), so a
+    pipeline can re-threshold without re-running the join.
+
+    Determinism: both engines implement standard Wagner-Fischer
+    Levenshtein (exact integers, spot-equal across engines on the
+    repo fixtures); the decision is pure integer arithmetic; the
+    reported ratio is one int/int double division.
+
+    Scale: candidate generation is the audited LSH shape (banded
+    self-join, never all-pairs); the verify joins touch only
+    candidate doc_ids; per-pair cost is capped at {p}² DP cells by
+    the prefix bound — at 100 TB the edit-distance stage is linear
+    in candidates, and the prefix cap is what keeps a pathological
+    long-doc pair from stalling an executor."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    cand = minhash_candidates(d)
+    pref = d.select(
+        "doc_id",
+        F.substring(_norm_col(), 1, _FUZZY_PREFIX).alias("pref"),
+    )
+    pa = pref.select(F.col("doc_id").alias("doc_a"), F.col("pref").alias("pa"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("pb"))
+    v = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("pa"), F.length("pb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return v.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        (F.col("edit_dist").cast("double") / F.col("max_len")).alias(
+            "edit_ratio"
+        ),
+        F.when(
+            F.col("edit_dist") * _FUZZY_DENOM <= F.col("max_len"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_dup"),
+    )
+
+
+ns_dedup_fuzzy.__doc__ = ns_dedup_fuzzy.__doc__.format(
+    p=_FUZZY_PREFIX, d=_FUZZY_DENOM
+)

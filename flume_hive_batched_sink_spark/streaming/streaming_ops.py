@@ -1313,3 +1313,124 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "probe_id", "neighbor_id", "adc_d2", "rank"
     )
+
+
+# ---- streaming CDC apply (upsert + delete tombstones) ----
+
+# Deterministic CDC derivation from `orders`: key = o_custkey (many
+# changes per key), seq = o_orderkey (globally unique, monotone),
+# op by seq mod 5 — 'D' tombstones every 5th change, 'I'/'U' split
+# for realism (apply-wise both upsert).
+_CDC_OP = (
+    "CASE WHEN o_orderkey % 5 = 0 THEN 'D' "
+    "WHEN o_orderkey % 5 IN (1, 2) THEN 'I' ELSE 'U' END"
+)
+
+
+@query(
+    "stream_cdc_apply",
+    f"""
+    WITH cdc AS (
+      SELECT o_custkey AS custkey, o_orderkey AS seq,
+             o_totalprice AS val, {_CDC_OP} AS op
+      FROM orders
+    ),
+    last AS (
+      SELECT custkey, seq, val, op,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY seq DESC) AS rn
+      FROM cdc
+    )
+    SELECT custkey, CAST(seq AS BIGINT) AS last_seq, val AS last_val
+    FROM last WHERE rn = 1 AND op != 'D'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: insert/update/delete change events arrive
+    in micro-batches and are MERGED into a keyed state table per
+    batch — the standard lakehouse change-data-capture sink (what a
+    MERGE INTO target does), with DELETE TOMBSTONES kept in state so
+    a late lower-seq change for a deleted key cannot resurrect it.
+    Per batch: reduce the batch to its per-key max-seq winner, then
+    last-write-wins-merge (by seq) against the previous state
+    GENERATION and write the next generation (blue/green state dirs —
+    the ann_serve index-refresh pattern applied to keyed state). The
+    final table filters tombstones.
+
+    Oracle: the batch equivalent — per key, the max-seq change wins
+    and 'D' winners are absent. Seq-based merge commutes with ANY
+    batch partitioning of the change stream (out-of-order tolerance
+    is the point of sequence numbers), so the streamed generations
+    converge to the batch answer exactly.
+
+    Scale: per-batch work is one batch-local winner reduction + one
+    seq-keyed merge join against state; state stays |live keys| +
+    |tombstones| rows regardless of stream length (a production
+    compaction ages tombstones out past the max reorder window);
+    generations are partition-friendly parquet, so the merge join
+    co-locates on custkey at any scale."""
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from .stage import capture_batch_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    cdc = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("val"),
+        F.expr(_CDC_OP).alias("op"),
+    )
+    chunks = [cdc.filter(F.col("seq") % 3 == i) for i in range(3)]
+    staged, schema = stage_chunks(
+        "cdcapply", chunks, cache_key=f"cdcapply|{sf_dir}"
+    )
+    gen_base = os.path.join(SCRATCH, "cdc_state")
+    shutil.rmtree(gen_base, ignore_errors=True)
+    os.makedirs(gen_base, exist_ok=True)
+    last_gen: list[str] = []
+
+    def apply_batch(batch_df: DataFrame, bid: int) -> None:
+        w = W.partitionBy("custkey").orderBy(F.desc("seq"))
+        winners = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if last_gen:
+            prev = spark.read.parquet(last_gen[-1])
+            merged = (
+                prev.unionByName(winners)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = winners
+        capture_batch_plan(merged, "stream_cdc_apply")
+        gen = os.path.join(gen_base, f"gen_{bid:03d}")
+        merged.write.mode("overwrite").parquet(gen)
+        last_gen.append(gen)
+
+    ckpt = os.path.join(SCRATCH, "checkpoints", "cdc_apply")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(last_gen[-1])
+    return final.filter(F.col("op") != "D").select(
+        "custkey",
+        F.col("seq").cast("bigint").alias("last_seq"),
+        F.col("val").alias("last_val"),
+    )

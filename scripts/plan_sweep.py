@@ -69,10 +69,11 @@ ALLOWED = {
     "first-assignment pass over it) — both the bounded N*C pattern; "
     "the ADC scan side is join-free (cell prefilter + literal "
     "table lookups) and the cell re-join is cell_id-KEYED",
-    "ns_hybrid_prf": "inherits ns_bm25_topk's 1-row broadcast "
-    "corpus-stats scalar on the lexical side; the vector side is a "
-    "row-local fold against literal centroids and the fusion join "
-    "is (query, doc)-keyed over two k*|queries|-row frames",
+    # ns_hybrid_prf needs NO entry since r13: the lexical BM25 pass
+    # (whose 1-row stats broadcast was the allowlisted BNLJ) now
+    # executes at plan-build time (bounded collect, r12 advice), so
+    # the RETURNED plan is the vector pass + a LocalTableScan fusion
+    # — the sweep verifies it clean.
     "ns_rank_fusion_rrf": "inherits ns_similarity_topk's corpus x "
     "5-probe broadcast (the exact-list component by design); the "
     "fusion join itself is (probe, neighbor)-keyed over two "

@@ -4237,3 +4237,89 @@ def test_holt_trend_invariants(spark):
             tr = 0.5 * (ln - lvl) + 0.5 * tr
             lvl = ln
             assert (r.level, r.trend) == (lvl, tr)
+
+
+def test_dedup_fuzzy_exact_dups_and_threshold(spark):
+    """ns_dedup_fuzzy: candidate pairs with IDENTICAL normalized
+    text must verify at edit_dist 0 / is_dup 1; the is_dup verdict
+    must equal the pure-integer ≤20% rule recomputed independently;
+    and the candidate set equals ns_dedup_minhash's (the one shared
+    chain) — every fuzzy pair appears in the minhash candidate set
+    and vice versa."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    out = QUERIES["ns_dedup_fuzzy"](spark, SF_SMALL).collect()
+    assert out
+    d = {
+        r.doc_id: r.text.strip().lower()
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    for r in out:
+        pa, pb = d[r.doc_a][:80], d[r.doc_b][:80]
+        if pa == pb:
+            assert r.edit_dist == 0 and r.is_dup == 1
+        want = 1 if r.edit_dist * 5 <= max(len(pa), len(pb)) else 0
+        assert r.is_dup == want
+        assert r.edit_ratio == r.edit_dist / max(len(pa), len(pb))
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidates(
+            load_table(spark, SF_SMALL, "documents")
+        ).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in out} == cand
+
+
+def test_cusum_invariants_and_replay(spark):
+    """ts_changepoint_cusum: S is non-negative everywhere; the alarm
+    flag equals cusum > threshold exactly; and the whole recursion
+    matches an independent python replay seeded from the emitted
+    (mu-free) counts — μ recovered from the first row's state is not
+    needed because the replay recomputes μ the same way."""
+    out = QUERIES["ts_changepoint_cusum"](spark, SF_SMALL).collect()
+    assert out
+    by_type: dict[str, list] = {}
+    for r in out:
+        assert r.cusum >= 0.0
+        assert r.is_alarm == (1 if r.cusum > r.threshold else 0)
+        by_type.setdefault(r.event_type, []).append(r)
+    from decimal import Decimal
+
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.day_num)
+        mu = float(sum(Decimal(int(r.n)) for r in rows)) / len(rows)
+        s = 0.0
+        for r in rows:
+            s = max(s + (float(r.n) - mu), 0.0)
+            assert r.cusum == s
+
+
+def test_cdc_apply_tombstones_and_lineage(spark):
+    """stream_cdc_apply: no deleted key (max-seq op 'D') survives to
+    the output; every emitted (custkey, last_seq, last_val) is that
+    key's max-seq NON-DELETED... no — max-seq change overall, which
+    must be a non-D op for the key to appear; recomputed directly
+    from orders."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    out = {
+        r.custkey: (r.last_seq, r.last_val)
+        for r in QUERIES["stream_cdc_apply"](spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    best: dict[int, tuple] = {}
+    for o in orders:
+        k, seq, val = int(o.o_custkey), int(o.o_orderkey), o.o_totalprice
+        if k not in best or seq > best[k][0]:
+            op = "D" if seq % 5 == 0 else ("I" if seq % 5 in (1, 2) else "U")
+            best[k] = (seq, val, op)
+    want = {
+        k: (seq, val) for k, (seq, val, op) in best.items() if op != "D"
+    }
+    assert out == want
+    # tombstoned keys really existed and really died
+    dead = {k for k, (s, v, op) in best.items() if op == "D"}
+    assert dead and not (dead & set(out))
