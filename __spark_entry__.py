@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 233 queries are registered (SURVEY §2 Part B, which matches the
+# 243 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 233
+# tests/test_properties.py::test_survey_registry_lockstep); all 243
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r07 remainder the r12 rotation note scheduled first (the oldest
 # gates in the repo) plus the 50-row r09 cohort. The r13 window, in
 # priority order:
-# (a) 8 operators NEW in r13 (never driver-checked):
+# (a) 12 operators NEW in r13 (never driver-checked):
 #     ns_similarity_ivfpq_residual — the residual-encoded IVFADC
 #     (codes quantize x − centroid, per-(probe, cell) ADC tables);
 #     ns_ann_index_serve — the amortized serving read against the
@@ -46,18 +46,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_dedup_fuzzy — LSH candidates + Levenshtein prefix verify;
 #     ts_changepoint_cusum — one-sided CUSUM drift alarm;
 #     stream_cdc_apply — micro-batch CDC merge with tombstones;
+#     join_asof_nearest — bidirectional nearest as-of (attribution);
+#     ns_span_corruption — hash-seeded T5 mask-span planning;
+#     ns_sentence_stats — sentence segmentation profile;
+#     ts_interval_coverage — interval-union busy-time coverage;
 # (b) ALL 31 remaining r07 rows (ns_quality_score .. win_range_frame
 #     below) — clearing the r07 tail entirely, so after a clean r13
 #     run no operator's latest driver gate is older than r09 (the
 #     rotation-hygiene arc the r12 verdict scheduled: every gate ≤4
 #     rounds old);
-# (c) the first 11 of the 50 r09 rows (alphabetical:
-#     agg_approx_distinct .. ns_corpus_report).
-# 8 + 31 + 11 = 50. Displaced to r14: the remaining 39 r09 rows
-# (ns_dedup_bloom, ns_dedup_embedding, ns_dedup_minhash,
-# ns_dedup_simhash, ns_domain_mixture, ns_embedding_filter_join, … —
-# outputs unchanged since r09 and value-equal-gated locally every
-# round).
+# (c) the first 7 of the 50 r09 rows (alphabetical:
+#     agg_approx_distinct .. join_range_bucketed).
+# 12 + 31 + 7 = 50. Displaced to r14: the remaining 43 r09 rows
+# (ns_bigram_stats, ns_cluster_kmeans, ns_contamination_ngram,
+# ns_corpus_report, ns_dedup_bloom, ns_dedup_embedding, … — outputs
+# unchanged since r09 and value-equal-gated locally every round).
 #
 # Round 12 rotation (scripts/staleness.py is the mechanical input).
 # After the clean 50/50 r11 run the stale pool is the 26-row r06
@@ -138,6 +141,10 @@ _ROUND13_FRONT = [
     "ns_dedup_fuzzy",
     "ts_changepoint_cusum",
     "stream_cdc_apply",
+    "join_asof_nearest",
+    "ns_span_corruption",
+    "ns_sentence_stats",
+    "ts_interval_coverage",
     # (b) the 31 remaining r07 rows — the oldest gates in the repo
     "ns_quality_score",
     "ns_sample_stratified",
@@ -170,7 +177,7 @@ _ROUND13_FRONT = [
     "udf_serde_plugin",
     "udtf_apply_in_pandas",
     "win_range_frame",
-    # (c) r09-stale cohort (first 11 alphabetically)
+    # (c) r09-stale cohort (first 7 alphabetically)
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_bitmap_distinct",
@@ -178,10 +185,6 @@ _ROUND13_FRONT = [
     "agg_hll_sketch_merge",
     "agg_incremental_merge",
     "join_range_bucketed",
-    "ns_bigram_stats",
-    "ns_cluster_kmeans",
-    "ns_contamination_ngram",
-    "ns_corpus_report",
 ]
 
 _ROUND12_FRONT = [
@@ -311,7 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 231/231 as of r12
+    """DuckDB twins for EVERY registered query — 243/243 as of r13
     (the eight r12 additions compose proven oracle fragments
     verbatim: ns_similarity_ivfpq and stream_ann_serve embed
     _ivf_assign_sql_ctes + _pq_sql_prefix + _adc_tables_sql_ctes with

@@ -147,6 +147,13 @@ HEADLINE = [
     "ns_dedup_fuzzy",
     "ts_changepoint_cusum",
     "stream_cdc_apply",
+    # round 13 fourth wave: bidirectional nearest as-of (the two-
+    # window timeline — the heaviest new plan), hash-seeded span-
+    # corruption planning, sentence stats, interval-union coverage.
+    "join_asof_nearest",
+    "ns_span_corruption",
+    "ns_sentence_stats",
+    "ts_interval_coverage",
 ]
 
 # Frozen-prefix boundaries (round → prefix length). bench_best.py

@@ -1271,3 +1271,121 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_changepoint_cusum.__doc__ = ts_changepoint_cusum.__doc__.format(h=_CUSUM_H)
+
+
+# ---------- interval-union activity coverage ----------
+
+# Each event opens a fixed 300 s activity window [ts, ts+300); the
+# per-user union of those intervals (gaps-and-islands with integer
+# epoch arithmetic) is the user's BUSY time — the utilization /
+# engagement measure a capacity planner derives from raw event logs.
+_COVER_WIN_S = 300
+
+
+@query(
+    "ts_interval_coverage",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS te
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, te,
+             CASE WHEN max(te) OVER (
+                    PARTITION BY user_id ORDER BY te
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR te > max(te) OVER (
+                    PARTITION BY user_id ORDER BY te
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + {_COVER_WIN_S}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, te,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY te
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    per_island AS (
+      SELECT user_id, island,
+             MIN(te) AS s, MAX(te) + {_COVER_WIN_S} AS f,
+             COUNT(*) AS n
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(f - s) AS BIGINT) AS busy_s,
+           CAST(SUM(f - s) AS DOUBLE)
+             / (MAX(f) - MIN(s)) AS coverage_ratio
+    FROM per_island GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union activity coverage per user: every event opens a
+    fixed {w} s window; overlapping/adjacent windows merge
+    (gaps-and-islands: a new island starts when an event's epoch
+    exceeds the running max epoch + {w}), and the user's busy time is
+    the summed island lengths — with coverage_ratio = busy / span
+    flagging always-on versus bursty users. The classic interval-
+    coalescing operator (uptime, billing, utilization) done with
+    window functions instead of a self-join.
+
+    Determinism: all interval arithmetic is exact integer epoch
+    seconds (the floor(epoch) convention); equal-timestamp events are
+    tie-order-independent (whichever sorts first among ties sees the
+    same preceding max, and islands/extents are tie-invariant); the
+    ratio is one int→double division of the same two integers.
+
+    Scale: ONE shuffle on user_id serves both window passes and the
+    island aggregate (same partitioning); per-key cost is the sort —
+    at 100 TB this is the sessionize plan with a max-carry instead of
+    a lag-gap, and island state never leaves the key."""
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    e = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long")).cast("bigint").alias("te"),
+    )
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("te")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    m = e.withColumn(
+        "brk",
+        F.when(
+            F.max("te").over(wprev).isNull()
+            | (F.col("te") > F.max("te").over(wprev) + _COVER_WIN_S),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("te")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    isl = m.withColumn("island", F.sum("brk").over(wrun))
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("te").alias("s"),
+        (F.max("te") + F.lit(_COVER_WIN_S)).alias("f"),
+        F.count("*").alias("n"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("f") - F.col("s")).cast("bigint").alias("busy_s"),
+        (
+            F.sum(F.col("f") - F.col("s")).cast("double")
+            / (F.max("f") - F.min("s"))
+        ).alias("coverage_ratio"),
+    )
+
+
+ts_interval_coverage.__doc__ = ts_interval_coverage.__doc__.format(
+    w=_COVER_WIN_S
+)

@@ -832,3 +832,138 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wait_days"),
         )
     )
+
+
+# ---------- nearest as-of join (either direction) ----------
+
+
+@query(
+    "join_asof_nearest",
+    """
+    SELECT event_id, user_id, ts, near_event_id, near_ts, dist_s,
+           direction
+    FROM (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.event_id AS near_event_id, p.ts AS near_ts,
+             CAST(abs(CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT)
+                      - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT))
+                  AS BIGINT) AS dist_s,
+             CASE WHEN p.ts <= c.ts THEN 'backward'
+                  ELSE 'forward' END AS direction,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT)
+                            - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT)),
+                        p.ts, p.event_id) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = c.user_id
+    ) t
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the bidirectional sibling of
+    `join_asof`/`join_asof_forward`: each 'click' event is matched to
+    the temporally CLOSEST 'purchase' of the same user, in either
+    direction (|Δt| minimized; ties → the earlier purchase, then min
+    event_id) — the attribution question ("which purchase does this
+    click belong to?") where pure backward/forward rules
+    mis-attribute events near a boundary.
+
+    Scale architecture: the oracle's clicks×purchases join is the
+    SEMANTICS, not the plan — the implementation unions both sides
+    into one user-keyed timeline and makes TWO window passes over the
+    same shuffle: a backward carry (last purchase at-or-before, the
+    join_asof pattern) and a forward carry (first purchase after),
+    then a ROW-LOCAL integer-seconds comparison picks the closer
+    (tie → backward, matching the oracle's (|Δt|, ts, id) order).
+    Cost is O(n log n) per user key with no clicks×purchases fan-out.
+
+    Determinism: distances are exact integer epoch seconds; equal-ts
+    and equal-distance ties are pinned above; the two carries break
+    equal-ts purchase ties to MIN event_id on both engines."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+
+    click_side = clicks.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.col("ts").alias("c_ts"),
+        F.lit(None)
+        .cast("struct<event_id:bigint,ts:timestamp>")
+        .alias("p"),
+    )
+    purch_side = purch.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.struct(
+            F.col("event_id").alias("event_id"), F.col("ts").alias("ts")
+        ).alias("p"),
+    )
+    timeline = click_side.unionByName(purch_side).filter(
+        F.col("k").isNotNull()
+    )
+    # backward: purchases sort BEFORE clicks at equal ts (inclusive ≤)
+    # and equal-ts purchases carry DESC event_id so last() = min id
+    wb = (
+        W.partitionBy("k")
+        .orderBy("t", "is_probe", F.col("p.event_id").desc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # forward: clicks sort before purchases at equal ts (the equal-ts
+    # purchase is still visible in the following frame — it resolves
+    # as dist 0 on BOTH carries and the tie rule prefers backward);
+    # equal-ts purchases ASC event_id so first() = min id
+    wf = (
+        W.partitionBy("k")
+        .orderBy(
+            "t",
+            F.col("is_probe").desc(),
+            F.col("p.event_id").asc_nulls_last(),
+        )
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = timeline.withColumn(
+        "bk", F.last("p", ignorenulls=True).over(wb)
+    ).withColumn("fw", F.first("p", ignorenulls=True).over(wf))
+    c = carried.filter(F.col("is_probe") == 1)
+    tsec = F.col("c_ts").cast("long")
+    db = tsec - F.col("bk.ts").cast("long")
+    df_ = F.col("fw.ts").cast("long") - tsec
+    pick_bk = F.col("fw").isNull() | (
+        F.col("bk").isNotNull() & (db <= df_)
+    )
+    near = F.when(pick_bk, F.col("bk")).otherwise(F.col("fw"))
+    return (
+        c.filter(F.col("bk").isNotNull() | F.col("fw").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("c_ts").alias("ts"),
+            near.alias("near"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("near.event_id").alias("near_event_id"),
+            F.col("near.ts").alias("near_ts"),
+            F.abs(
+                F.col("near.ts").cast("long") - F.col("ts").cast("long")
+            )
+            .cast("bigint")
+            .alias("dist_s"),
+            F.when(F.col("near.ts") <= F.col("ts"), "backward")
+            .otherwise("forward")
+            .alias("direction"),
+        )
+    )

@@ -3497,3 +3497,177 @@ def ns_hybrid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ns_hybrid_prf.__doc__ = ns_hybrid_prf.__doc__.format(fk=_PRF_FEEDBACK_K)
+
+
+# ---------- T5-style span-corruption planning ----------
+
+# Span starts are SEEDED BY HASH, not RNG (the repo's no-RNG-in-plan
+# rule): position p starts a 3-token mask span iff
+# h32(doc_id ':' p) mod 10 == 0 (~10% start rate). The mod is
+# sign-normalized ((h % 10 + 10) % 10) because _h32 is offset-signed
+# and both engines follow the dividend's sign.
+_SPAN_LEN = 3
+_SPAN_MOD = 10
+
+
+def _span_cond_sql(pos: str) -> str:
+    from .dedup import _h32_sql
+
+    h = _h32_sql(f"concat(doc_id, ':', {pos})")
+    return (
+        f"({pos} >= 1 AND (({h}) % {_SPAN_MOD} + {_SPAN_MOD})"
+        f" % {_SPAN_MOD} = 0)"
+    )
+
+
+def _span_sql() -> str:
+    n = "len(string_split(text, ' '))"
+    masked = (
+        f"({_span_cond_sql('p')} OR {_span_cond_sql('p - 1')}"
+        f" OR {_span_cond_sql('p - 2')})"
+    )
+    start = (
+        f"({_span_cond_sql('p')} AND NOT {_span_cond_sql('p - 1')}"
+        f" AND NOT {_span_cond_sql('p - 2')}"
+        f" AND NOT {_span_cond_sql('p - 3')})"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
+             CAST(len([p FOR p IN range(1, {n} + 1) IF {masked}])
+                  AS BIGINT) AS n_masked,
+             CAST(len([p FOR p IN range(1, {n} + 1) IF {start}])
+                  AS BIGINT) AS n_spans
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_masked, n_spans,
+           CAST(n_masked AS DOUBLE) / n_tokens AS mask_ratio
+    FROM base
+    """
+
+
+@query("ns_span_corruption", _span_sql())
+def ns_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. 2020 §3.1.4):
+    per document, deterministic 3-token mask spans seeded by the
+    shared md5 position hash (start iff h32(doc_id:pos) ≡ 0 mod 10 —
+    ~10% starts, ~25-30% tokens masked after overlap merge), emitting
+    the token/masked/span counts and mask ratio a pretraining
+    pipeline uses to budget its denoising objective. Hash seeding
+    (never RNG) keeps the plan resume/retry-safe and the oracle
+    replayable — the repo's minhash/SRP convention applied to the
+    objective itself.
+
+    Determinism: span membership is pure integer hash arithmetic —
+    masked(p) = C(p)∨C(p−1)∨C(p−2) and span_start(p) =
+    C(p)∧¬C(p−1)∧¬C(p−2)∧¬C(p−3), both expanded ROW-LOCALLY (no
+    window: a position's state depends only on 4 hash evaluations);
+    the ratio is one int/int double division.
+
+    Scale: entirely row-local (tokenize + two array-HOF filters over
+    sequence(1, n) — 4·n md5 calls per doc); zero shuffle at any
+    corpus size; at 100 TB this runs inside the ingest projection
+    like the other row-local screens."""
+    from .dedup import _h32
+
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    n = F.size(_TOKENS(F.col("text")))
+
+    def cond(p: Column) -> Column:
+        key = F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), p.cast("string")
+        )
+        return (p >= 1) & (
+            ((_h32(key) % _SPAN_MOD) + _SPAN_MOD) % _SPAN_MOD == 0
+        )
+
+    masked = lambda p: cond(p) | cond(p - 1) | cond(p - 2)  # noqa: E731
+    start = lambda p: (  # noqa: E731
+        cond(p) & ~cond(p - 1) & ~cond(p - 2) & ~cond(p - 3)
+    )
+    seq = F.sequence(F.lit(1), n)
+    base = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.filter(seq, masked)).cast("bigint").alias("n_masked"),
+        F.size(F.filter(seq, start)).cast("bigint").alias("n_spans"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (F.col("n_masked").cast("double") / F.col("n_tokens")).alias(
+            "mask_ratio"
+        ),
+    )
+
+
+# ---------- sentence segmentation stats ----------
+
+# Rule-based splitter: '. ' (period + space) — deliberately simple so
+# both engines split IDENTICALLY (Java regex \. vs DuckDB literal
+# string_split; RE2 lookbehind is unavailable in DuckDB, so no
+# "capital-letter follows" refinement — the production upgrade slots
+# a real segmenter behind the same frame shape).
+_SENT_MIN_CHARS = 1  # drop empty fragments (trailing '. ')
+
+
+@query(
+    "ns_sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             [x FOR x IN string_split(text, '. ') IF length(x) >= 1]
+               AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(list_reduce(
+                  list_prepend(0, [length(x) FOR x IN sents]),
+                  (a, b) -> a + b) AS BIGINT) AS total_chars,
+           CAST(list_reduce(
+                  list_prepend(0, [length(x) FOR x IN sents]),
+                  (a, b) -> greatest(a, b)) AS BIGINT) AS longest_chars,
+           CAST(list_reduce(
+                  list_prepend(0, [length(x) FOR x IN sents]),
+                  (a, b) -> a + b) AS DOUBLE)
+             / greatest(len(sents), 1) AS mean_chars
+    FROM s
+    """,
+)
+def ns_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per document: split on the
+    literal '. ' boundary (both engines split identically — see the
+    module-level splitter note), drop empty fragments, and emit
+    sentence count, total/longest/mean sentence length in chars —
+    the structural screen quality pipelines run next to the
+    token-level stats (a corpus whose 'sentences' average 400 chars
+    or 4 chars is boilerplate or OCR soup, not prose; Gopher rules
+    use exactly these cutoffs).
+
+    Determinism: splitting and lengths are exact string/integer ops;
+    the sums are integer folds; the mean is one int→double division
+    by the exact count (greatest(n,1) guards the all-empty doc the
+    same way on both engines).
+
+    Scale: entirely row-local (one split + three array folds per
+    doc); zero shuffle at any corpus size."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    sents = F.filter(
+        F.split(F.col("text"), "\\. "), lambda x: F.length(x) >= 1
+    )
+    lens = F.transform(sents, lambda x: F.length(x))
+    total = F.aggregate(lens, F.lit(0), lambda a, b: a + b)
+    longest = F.aggregate(lens, F.lit(0), lambda a, b: F.greatest(a, b))
+    nsent = F.size(sents)
+    return d.select(
+        "doc_id",
+        nsent.cast("bigint").alias("n_sentences"),
+        total.cast("bigint").alias("total_chars"),
+        longest.cast("bigint").alias("longest_chars"),
+        (
+            total.cast("double") / F.greatest(nsent, F.lit(1))
+        ).alias("mean_chars"),
+    )

@@ -132,6 +132,11 @@ PLAN_QUERIES = [
     # (partition-pruned) serving path.
     "ns_similarity_ivfpq_residual",
     "ns_ann_index_serve",
+    # round 13 later waves: the shared-exchange timeline joins and
+    # the two-stage fuzzy dedup.
+    "join_asof_nearest",
+    "ts_interval_coverage",
+    "ns_dedup_fuzzy",
 ]
 
 
@@ -957,6 +962,27 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "prefilter gates the residual ADC scan",
         has_wgl and has_inset,
         f"wgl={has_wgl}, inset={has_inset}")
+
+    # join_asof_nearest (r13): the bidirectional nearest join must be
+    # ONE user-keyed exchange feeding BOTH window carries (backward
+    # last + forward first re-sort without re-shuffling) — never a
+    # clicks×purchases join.
+    p = _executed(ops.QUERIES["join_asof_nearest"](spark, sf_dir))
+    n_ex = sum("Exchange hashpartitioning" in ln for ln in p.splitlines())
+    n_join = sum("Join" in _node(ln) for ln in p.splitlines())
+    add("join_asof_nearest",
+        "one shared user-key exchange, two window carries, zero joins",
+        n_ex == 1 and n_join == 0,
+        f"hash_exchanges={n_ex}, joins={n_join}")
+
+    # ts_interval_coverage (r13): both gaps-and-islands window passes
+    # AND the island aggregate must reuse ONE user_id exchange.
+    p = _executed(ops.QUERIES["ts_interval_coverage"](spark, sf_dir))
+    n_ex = sum("Exchange hashpartitioning" in ln for ln in p.splitlines())
+    add("ts_interval_coverage",
+        "interval coalescing rides one shared user_id exchange",
+        n_ex == 1,
+        f"hash_exchanges={n_ex}")
     return checks
 
 

