@@ -257,11 +257,13 @@ def reconcile_notifications(
     same-batch state ranking (NOTIFIED > CHECKED > NEW) advances the
     logdate without outranking genuinely-later batches. No
     bookkeeping on disk → nothing to reconcile → []."""
+    from pyspark.errors import AnalysisException
+
     book_path = os.path.join(cfg.output_path, f"{cfg.table}__bookkeeping")
     try:
         raw_book = spark.read.parquet(book_path)
         max_bid = raw_book.agg(F.max("batch_id")).collect()[0][0]
-    except Exception:
+    except AnalysisException:  # no bookkeeping on disk → nothing owed
         return []
     if max_bid is None:
         return []
