@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import query, tbl
+from .registry import persist_evicting, query, tbl
 
 _NORM = "lower(trim(text))"
 
@@ -244,12 +244,19 @@ def minhash_candidates(d: DataFrame) -> DataFrame:
     Spark re-derives the whole upstream per consumer (measured: 12
     scans / 30 aggregates in the unpersisted plan). At 100 TB this
     is the in-memory analog of checkpointing signatures to storage
-    before the LSH join, which any production near-dup pass does."""
+    before the LSH join, which any production near-dup pass does.
+
+    Cache lifecycle (r13 advice #2): the candidate frame is force-
+    materialized here (one count — the job the first consumer would
+    have run anyway), the signature cache is released immediately
+    after, and the candidate persist itself is site-evicting
+    (registry.persist_evicting) so a long-running sweep/bench process
+    holds at most ONE invocation's candidates, not one per call."""
     sig = minhash_sig_wide(d).persist()
     bands = minhash_bands_from_sig(sig)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = persist_evicting(
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -259,9 +266,12 @@ def minhash_candidates(d: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
-        .persist()
+        .distinct(),
+        "minhash_cand",
     )
+    cand.count()  # materialize through the (still-cached) signatures
+    sig.unpersist(blocking=False)
+    return cand
 
 
 def _sh_list_sql() -> str:
@@ -700,6 +710,9 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # final labels are eagerly localCheckpointed — the edge cache
+        # has no further consumer (r14 persist-lifecycle audit)
+        edges.unpersist(blocking=False)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

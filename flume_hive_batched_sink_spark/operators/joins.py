@@ -852,8 +852,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'forward' END AS direction,
              row_number() OVER (
                PARTITION BY c.event_id
-               ORDER BY abs(CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT)
-                            - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT)),
+               ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP))
+                            - epoch_us(CAST(c.ts AS TIMESTAMP))),
                         p.ts, p.event_id) AS rn
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -876,13 +876,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one user-keyed timeline and makes TWO window passes over the
     same shuffle: a backward carry (last purchase at-or-before, the
     join_asof pattern) and a forward carry (first purchase after),
-    then a ROW-LOCAL integer-seconds comparison picks the closer
+    then a ROW-LOCAL integer-MICROSECOND comparison picks the closer
     (tie → backward, matching the oracle's (|Δt|, ts, id) order).
     Cost is O(n log n) per user key with no clicks×purchases fan-out.
 
-    Determinism: distances are exact integer epoch seconds; equal-ts
-    and equal-distance ties are pinned above; the two carries break
-    equal-ts purchase ties to MIN event_id on both engines."""
+    Determinism: the SELECTION metric is the exact integer epoch-
+    microsecond distance on BOTH engines (r13 ADVICE: a floored-
+    second metric made two distinct-raw-ts backward purchases inside
+    one second an oracle/engine divergence — the oracle's ts-ASC tie
+    picked the earlier while the backward carry keeps the later;
+    exact microseconds collapse that tie class entirely, since the
+    carry's latest-backward IS the microsecond-nearest). The reported
+    dist_s column stays floored whole seconds of the chosen purchase.
+    Remaining exact-|Δt| ties (symmetric backward/forward, or equal
+    raw ts) are pinned: backward first (= oracle's p.ts ASC), then
+    MIN event_id via the carries' per-ts ordering."""
     ev = tbl(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
@@ -936,9 +944,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bk", F.last("p", ignorenulls=True).over(wb)
     ).withColumn("fw", F.first("p", ignorenulls=True).over(wf))
     c = carried.filter(F.col("is_probe") == 1)
-    tsec = F.col("c_ts").cast("long")
-    db = tsec - F.col("bk.ts").cast("long")
-    df_ = F.col("fw.ts").cast("long") - tsec
+    tus = F.unix_micros(F.col("c_ts"))
+    db = tus - F.unix_micros(F.col("bk.ts"))
+    df_ = F.unix_micros(F.col("fw.ts")) - tus
     pick_bk = F.col("fw").isNull() | (
         F.col("bk").isNotNull() & (db <= df_)
     )
@@ -966,4 +974,132 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("forward")
             .alias("direction"),
         )
+    )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH a AS (
+      SELECT user_id,
+             MIN(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+               AS a_start,
+             MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) + 1
+               AS a_end
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600
+    ),
+    b AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 900
+               AS b_start,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 900
+               AS b_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (
+      SELECT a.user_id,
+             least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start)
+               AS ov
+      FROM a JOIN b ON b.user_id = a.user_id
+                   AND a.a_start < b.b_end AND b.b_start < a.a_end
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap_s,
+           CAST(MAX(ov) AS BIGINT) AS max_overlap_s
+    FROM p GROUP BY user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the missing sibling of
+    join_range_bucketed (point-in-interval): per-user hourly click
+    BURST intervals [first click, last click + 1 s) overlap-joined
+    against ±15-min purchase attribution windows, aggregated to
+    per-user overlap exposure (pair count, total and max overlap
+    seconds). The oracle's a×b predicate join is the SEMANTICS; a
+    naive Spark translation of `a.start < b.end AND b.start < a.end`
+    has no equi component beyond user_id and degrades to a per-user
+    nested loop.
+
+    Scale path: discretize BOTH sides. Each interval explodes to its
+    covered 30-min buckets (bounded: bursts ≤ 3601 s → ≤ 3 buckets,
+    windows 1800 s → ≤ 2), the join becomes EQUI on (user_id,
+    bucket) + the exact overlap predicate, and — the trick that
+    distinguishes interval×interval from point-in-interval — a pair
+    sharing several buckets is kept ONLY in the bucket containing
+    max(a_start, b_start), which lies inside every overlapping
+    pair's intersection, so each pair counts exactly once WITHOUT a
+    distinct. Work is Σ_bucket |A∩b|·|B∩b|, shuffle-partitioned by
+    (user, bucket), never all-pairs (the Databricks range-join /
+    PostGIS grid pattern, extended to two interval sets).
+
+    Determinism: pure integer epoch-second arithmetic end to end."""
+    _BKT = 1800
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_s")
+    )
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id",
+            F.floor(F.col("ts_s") / 3600).cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.min("ts_s").alias("a_start"),
+            (F.max("ts_s") + 1).alias("a_end"),
+        )
+        .drop("hr")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts_s") - 900).alias("b_start"),
+        (F.col("ts_s") + 900).alias("b_end"),
+    )
+
+    def buckets(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(start) / _BKT).cast("bigint"),
+                F.floor((F.col(end) - 1) / _BKT).cast("bigint"),
+            )
+        ).alias("bucket")
+
+    a_b = a.select("user_id", "a_start", "a_end", buckets("a_start", "a_end"))
+    b_b = b.select(
+        F.col("user_id").alias("b_user"),
+        "b_start",
+        "b_end",
+        buckets("b_start", "b_end"),
+    )
+    pairs = (
+        a_b.join(
+            b_b,
+            (F.col("user_id") == F.col("b_user"))
+            & (a_b.bucket == b_b.bucket),
+        )
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            # once-per-pair gate: the bucket holding max(starts) is
+            # inside the intersection, hence covered by BOTH explodes
+            & (
+                a_b.bucket
+                == F.floor(
+                    F.greatest("a_start", "b_start") / _BKT
+                ).cast("bigint")
+            )
+        )
+        .select(
+            "user_id",
+            (
+                F.least("a_end", "b_end")
+                - F.greatest("a_start", "b_start")
+            ).alias("ov"),
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("ov").cast("bigint").alias("total_overlap_s"),
+        F.max("ov").cast("bigint").alias("max_overlap_s"),
     )

@@ -185,6 +185,28 @@ def sql_det_ln_ctes(name: str, src: str, cols: dict[str, str]) -> str:
     """
 
 
+# --- bounded persist (per-site cache eviction) ---
+
+_PERSIST_SITES: dict[str, list] = {}
+
+
+def persist_evicting(df: DataFrame, site: str) -> DataFrame:
+    """Persist `df` after unpersisting every frame previously
+    persisted under the same `site` key — the similarity._WIDE_CACHE
+    pattern promoted to a shared helper (r13 verdict #5 / advice #2):
+    a long-running sweep/bench process holds at most ONE invocation's
+    cached partitions per call site instead of accumulating one set
+    per call. Eviction is correctness-safe — an evicted frame lazily
+    recomputes; sites whose recompute is order-sensitive (double
+    folds) must keep using their own guarded caches."""
+    prev = _PERSIST_SITES.setdefault(site, [])
+    while prev:
+        prev.pop().unpersist(blocking=False)
+    out = df.persist()
+    prev.append(out)
+    return out
+
+
 # --- shared table access ---
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import query, tbl, unrolled_dot_enabled
+from .registry import persist_evicting, query, tbl, unrolled_dot_enabled
 
 # precision 25 keeps decimal addition below Spark's 38-digit cap, so
 # the fold never rescales (stays exact); |values| here are ≪ 10^13.
@@ -519,7 +519,7 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, scoring, and the tiebroken top-3 bit-exactly (the same
     `_SQL_BAND_BUCKETS` replay ns_dedup_embedding's oracle uses)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    feats = embedding_features(spark, em).persist()
+    feats = persist_evicting(embedding_features(spark, em), "ann_lsh_feats")
     keys = band_keys(feats)
     qkeys = keys.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
@@ -673,9 +673,12 @@ def dedup_embedding_chain(
     hash-mismatching)."""
     if planes_per_band is None:
         planes_per_band = auto_planes_per_band(em.count())
-    feats = embedding_features(
-        spark, em, n_bands=n_bands, planes_per_band=planes_per_band
-    ).persist()
+    feats = persist_evicting(
+        embedding_features(
+            spark, em, n_bands=n_bands, planes_per_band=planes_per_band
+        ),
+        "srp_pairs_feats",
+    )
     keys = band_keys(feats, n_bands=n_bands)
     pairs = (
         keys.join(
@@ -1074,6 +1077,161 @@ def ns_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_K = 10
+
+
+@query(
+    "ns_ann_recall_eval",
+    f"""
+    WITH {_cosine_ranked_sql_ctes()},
+    {_ivf_assign_sql_ctes()},
+    ann_ranked AS (
+      SELECT s.query_id, s.neighbor_id,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.cosine DESC,
+                                         s.neighbor_id) AS rn
+      FROM scored s
+      JOIN probe_cells pc ON pc.query_id = s.query_id
+      JOIN assigned a ON a.vec_id = s.neighbor_id
+                     AND a.cell_id = pc.cell_id
+    ),
+    exact_k AS (
+      SELECT query_id, neighbor_id FROM cos_ranked
+      WHERE rn <= {_RECALL_K}
+    ),
+    ann_k AS (
+      SELECT query_id, neighbor_id FROM ann_ranked
+      WHERE rn <= {_RECALL_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)
+             AS recall_at_k
+    FROM exact_k e
+    LEFT JOIN ann_k a ON a.query_id = e.query_id
+                     AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ns_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the IVF ANN path against the exact-cosine
+    baseline, per probe — the eval loop a production retrieval stack
+    runs before trusting an index (FAISS's recall-vs-nprobe sweep):
+    recall = |IVF top-{k} ∩ exact top-{k}| / {k}. The exact side is
+    the shared brute-force ranking (cosine_ranked — by design the
+    recall DENOMINATOR, see ns_similarity_topk); the ANN side is the
+    same ivf_topk geometry ns_similarity_ann_ivf serves (nprobe=2),
+    so this row measures exactly what the registered ANN operators
+    ship. Oracle composes the two proven CTE chains verbatim — the
+    IVF candidate set expressed as a join against the exact `scored`
+    frame (identical exact-decimal cosine ⇒ identical ranking), so
+    recall is pure integer counting + one int/int double division.
+
+    Scale: exact side is the one-broadcast probe scoring pass (k·|Q|
+    output rows); ANN side is probed-cells-bounded; the recall join
+    is k·|Q| rows. Evaluating on a sampled probe set (here the fixed
+    5) is the standard estimator — corpus size only enters through
+    the two ranking passes, both already scale-shaped."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    probes = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    exact = cosine_ranked(em, _RECALL_K).select("query_id", "neighbor_id")
+    ann = ivf_topk(
+        em, probes, ivf_centroids(em), k=_RECALL_K, nprobe=2
+    ).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    j = exact.join(
+        ann,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.count("a_neighbor_id").cast("bigint").alias("n_hit"),
+        (
+            F.count("a_neighbor_id").cast("double") / F.count("*")
+        ).alias("recall_at_k"),
+    )
+
+
+ns_ann_recall_eval.__doc__ = ns_ann_recall_eval.__doc__.format(
+    k=_RECALL_K
+)
+
+
+# hard-negative mining band: candidates come from the exact top-_POOL
+# ranking, near-duplicates (cosine ≥ _DUP, likely unlabeled
+# positives) are excluded, and the top _K of what remains are the
+# negatives — the ANCE/DPR "just below the positive band" rule.
+_HN_POOL = 25
+_HN_DUP = 0.98
+_HN_K = 8
+
+
+@query(
+    "ns_hard_negatives",
+    f"""
+    WITH {_cosine_ranked_sql_ctes()},
+    pool AS (
+      SELECT query_id, neighbor_id, cosine FROM cos_ranked
+      WHERE rn <= {_HN_POOL} AND cosine < {_HN_DUP}
+    ),
+    reranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC,
+                                         neighbor_id) AS hn_rank
+      FROM pool
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(hn_rank AS BIGINT) AS hn_rank
+    FROM reranked WHERE hn_rank <= {_HN_K}
+    """,
+)
+def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per
+    probe, the top-{k} most-similar corpus docs that are NOT
+    near-duplicates — candidates from the exact top-{pool} cosine
+    pool, the ≥{dup} near-dup band excluded (those are unlabeled
+    positives; training on them poisons the contrastive loss), the
+    remainder re-ranked by cosine. This is the ANCE/DPR mining rule
+    expressed as one ranking pass + a band filter; swapping the
+    exact pool for the IVF candidate chain (ns_similarity_ann_ivf)
+    is the documented 100 TB path — mining quality degrades only by
+    that index's measured recall (ns_ann_recall_eval is the gauge).
+
+    Determinism: the pool is the proven exact-decimal cosine ranking
+    (shared cos_ranked fragment); the {dup} band gate compares
+    bit-identical doubles; re-rank ties break on neighbor_id.
+
+    Scale: probes broadcast, one corpus scoring pass, two
+    WindowGroupLimit-pushed ranks — output k·|Q| rows."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    pool = cosine_ranked(em, _HN_POOL).filter(F.col("cosine") < _HN_DUP)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pool.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= _HN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("hn_rank").cast("bigint").alias("hn_rank"),
+        )
+    )
+
+
+ns_hard_negatives.__doc__ = ns_hard_negatives.__doc__.format(
+    k=_HN_K, pool=_HN_POOL, dup=_HN_DUP
+)
+
+
 @query(
     "ns_embedding_profile",
     """
@@ -1330,9 +1488,12 @@ def contamination_semantic_frame(
         )
     if planes_per_band is None:
         planes_per_band = auto_planes_per_band(em.count())
-    feats = embedding_features(
-        spark, em, n_bands=n_bands, planes_per_band=planes_per_band
-    ).persist()
+    feats = persist_evicting(
+        embedding_features(
+            spark, em, n_bands=n_bands, planes_per_band=planes_per_band
+        ),
+        "contam_sem_feats",
+    )
     keys = band_keys(feats, n_bands=n_bands)
     evk = keys.filter(F.col("vec_id") < eval_n).select(
         F.col("vec_id").alias("eval_id"), "band", "bucket"
@@ -1673,7 +1834,7 @@ def ns_srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection pass. At production code width the bands widen to
     16-32 bits and the hot cap stops firing."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    codes = _srp_code_cols(em).persist()
+    codes = persist_evicting(_srp_code_cols(em), "srp_codes")
     # literal per-band shifts (shiftright needs an int, not a column)
     bands = codes.select(
         "vec_id",

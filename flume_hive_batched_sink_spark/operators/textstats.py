@@ -25,6 +25,7 @@ from .registry import (
     ORACLE,
     det_ln_int,
     dsum,
+    persist_evicting,
     query,
     sql_det_ln_ctes,
     sql_dsum,
@@ -2390,8 +2391,9 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers sit on it (hot-cap count, both pair-join sides, per-doc
     # totals) — without it the per-row HOF selection re-executes per
     # subtree (measured 4x at sf0.1; the minhash signature-frame
-    # precedent, dedup.py)
-    ex = (
+    # precedent, dedup.py). Site-evicting (r13 verdict #5): a sweep/
+    # bench process holds at most ONE invocation's fingerprint cache.
+    ex = persist_evicting(
         _winnow_sel(d)
         .filter(F.col("fps").isNotNull())
         .select(
@@ -2406,8 +2408,8 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             ).alias("fp"),
-        )
-        .persist()
+        ),
+        "winnowing_fp",
     )
     cool = (
         ex.groupBy("fp")
@@ -2442,6 +2444,152 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+# ---- guaranteed verbatim-passage dedup (winnowing bridge) ----
+
+# Verify gram length = the winnowing guarantee length w + k − 1: any
+# pair sharing a verbatim run of ≥ this many tokens shares ≥1 selected
+# fingerprint (the winnowing theorem), so the candidate stage below
+# cannot miss it, and a stride-1 8-token-gram intersection then
+# verifies/measures it EXACTLY — closing the stride-8 recall hole
+# ns_dedup_exact_substring documents (r13 verdict #7).
+_VERB_N = _WINNOW_W + _WINNOW_K - 1
+assert _VERB_N == 8
+
+
+@query(
+    "ns_dedup_verbatim",
+    f"""
+    WITH {_WINNOW_SQL_CTES},
+    ex AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(fps, x -> x // {_WINNOW_POS}))) AS fp
+      FROM sel
+    ),
+    cool AS (
+      SELECT fp FROM ex GROUP BY fp
+      HAVING COUNT(*) <= {_WINNOW_HOT_CAP}
+    ),
+    exf AS (SELECT ex.* FROM ex JOIN cool ON ex.fp = cool.fp),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    i8 AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - {_VERB_N} + 1, 0))) AS i
+      FROM toks
+    ),
+    g8 AS (
+      SELECT doc_id,
+             CAST('0x' || substring(
+                    md5(array_to_string(t[i + 1 : i + {_VERB_N}], ' ')),
+                    1, 10) AS BIGINT) AS sh,
+             MIN(i) AS pos
+      FROM i8 GROUP BY doc_id, sh
+    )
+    SELECT c.ida, c.idb,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(MIN(a.pos) AS BIGINT) AS a_lo,
+           CAST(MAX(a.pos) + {_VERB_N - 1} AS BIGINT) AS a_hi,
+           CAST(MIN(b.pos) AS BIGINT) AS b_lo,
+           CAST(MAX(b.pos) + {_VERB_N - 1} AS BIGINT) AS b_hi
+    FROM cand c
+    JOIN g8 a ON a.doc_id = c.ida
+    JOIN g8 b ON b.doc_id = c.idb AND b.sh = a.sh
+    GROUP BY c.ida, c.idb
+    """,
+)
+def ns_dedup_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUARANTEED verbatim-passage dedup — the suffix-array-guarantee
+    bridge (r13 verdict #7): every doc pair sharing a verbatim run of
+    ≥ {n} tokens (= w+k−1, the winnowing theorem's bound) is emitted,
+    with the EXACT count of distinct shared stride-1 {n}-token grams
+    and the token-position extent of the shared material in each doc
+    ([a_lo, a_hi], [b_lo, b_hi] — the span a masking/excision pass
+    operates on). Two stages: (1) winnowing-fingerprint candidate
+    pairs (the ns_winnowing_overlap join — by the guarantee, a
+    superset of every ≥{n}-token-run pair, at ~2/(w+1) the density of
+    raw grams); (2) per-candidate exact stride-1 {n}-gram
+    intersection with first-occurrence positions. Pairs sharing a
+    selected 4-gram but no {n}-token run verify to zero shared grams
+    and drop out — no false positives beyond 40-bit hash collisions.
+
+    vs ns_dedup_exact_substring: that operator strides its 40-char
+    windows by 8 and documents the recall hole (shared runs < 47
+    chars straddling offsets can be missed); here stride is 1 and
+    the candidate stage, not the verify, carries the cost bound. The
+    only recall caveat is the shared hot-fingerprint cap
+    (_WINNOW_HOT_CAP, applied identically by both engines): a pair
+    whose ONLY shared fingerprints are corpus boilerplate is dropped
+    by design.
+
+    Scale: candidates are Σ|posting|² over capped winnowing postings
+    (far sparser than raw {n}-gram postings); the verify join is
+    hash-keyed on (doc, gram-hash) and touches only candidate docs'
+    grams. At 100 TB the verify side shuffles 8-byte hashes +
+    positions, never text."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    cand = ns_winnowing_overlap(spark, sf_dir).select("ida", "idb")
+    t = F.split(F.lower(F.trim("text")), " ")
+    g8 = (
+        # size filter first: Spark's sequence(0, hi) DESCENDS for
+        # hi < 0, so short docs must never reach the explode (the
+        # oracle's range() is exclusive-upper and empties naturally)
+        d.filter(F.size(t) >= _VERB_N)
+        .select(
+            "doc_id",
+            t.alias("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.size(t) - F.lit(_VERB_N)).cast("int")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), F.col("i") + 1, _VERB_N)
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("sh"),
+            F.col("i").alias("pos"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.min("pos").alias("pos"))
+    )
+    a8 = g8.select(
+        F.col("doc_id").alias("ida"), "sh", F.col("pos").alias("pa")
+    )
+    b8 = g8.select(
+        F.col("doc_id").alias("idb"), "sh", F.col("pos").alias("pb")
+    )
+    return (
+        cand.join(a8, "ida")
+        .join(b8, ["idb", "sh"])
+        .groupBy("ida", "idb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.min("pa").cast("bigint").alias("a_lo"),
+            (F.max("pa") + F.lit(_VERB_N - 1)).cast("bigint").alias("a_hi"),
+            F.min("pb").cast("bigint").alias("b_lo"),
+            (F.max("pb") + F.lit(_VERB_N - 1)).cast("bigint").alias("b_hi"),
+        )
+    )
+
+
+ns_dedup_verbatim.__doc__ = ns_dedup_verbatim.__doc__.format(n=_VERB_N)
 
 
 # ---- Zipf fit ----

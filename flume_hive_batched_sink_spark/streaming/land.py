@@ -301,6 +301,51 @@ def read_bookkeeping(spark: SparkSession, cfg: SinkConfig) -> DataFrame:
     return lww_bookkeeping(spark.read.parquet(book_path), cfg)
 
 
+def reconcile_timer(
+    spark: SparkSession,
+    cfg: SinkConfig,
+    on_complete: Callable[[list[str]], None],
+    interval_s: float = 300.0,
+):
+    """Periodic reconcile for LONG-LIVED continuous deployments (r13
+    verdict #8's 'timer' option): a ProcessingTime-trigger stream
+    with no incoming data runs no micro-batches, so neither the
+    per-batch epilogue nor the startup reconcile can deliver a
+    notification whose window closes while the stream idles (e.g. a
+    logdate finalized by wall-clock long after its last row). This
+    daemon thread re-runs reconcile_notifications every `interval_s`
+    — the Spark analog of the reference's leader-side timer loop
+    (HiveBatchedSink.scala:205-227 runs getFinishedLogdateList on a
+    schedule, not per event). Driver-side bookkeeping reads only;
+    delivery stays at-least-once and once-per-logdate via the same
+    durable CHECKED/NOTIFIED marks. Returns a zero-arg stopper; the
+    availableNow one-shot paths don't need it (they reconcile at
+    startup and tick per batch)."""
+    import threading
+
+    stop = threading.Event()
+
+    def loop() -> None:
+        while not stop.wait(interval_s):
+            try:
+                reconcile_notifications(spark, cfg, on_complete)
+            except Exception:
+                # never kill the stream over a reconcile hiccup; the
+                # next tick (or restart reconcile) retries
+                pass
+
+    t = threading.Thread(
+        target=loop, daemon=True, name=f"reconcile-{cfg.table}"
+    )
+    t.start()
+
+    def stopper() -> None:
+        stop.set()
+        t.join(timeout=5)
+
+    return stopper
+
+
 def run_landing_stream(
     spark: SparkSession,
     staged_dir: str,

@@ -314,3 +314,108 @@ def test_idle_restart_reconciles_without_new_data(spark, tmp_path):
     # an EMPTY output dir (nothing ever landed) reconciles to []
     cfg2 = SinkConfig(table="never_ran", output_path=str(tmp_path))
     assert reconcile_notifications(spark, cfg2, got2.extend) == []
+
+
+def test_idle_stream_restart_delivers_pending_post(spark, tmp_path):
+    """r13 verdict #8 'Done' criterion: START A STREAM over an EMPTY
+    source with a pending CHECKED-unnotified row and observe the
+    POST. run_landing_stream(fresh=False) must deliver the crashed
+    notification via its startup reconcile even though the stream
+    itself processes zero micro-batches of data."""
+    import datetime
+    import os
+
+    from flume_hive_batched_sink_spark.config import SinkConfig
+    from flume_hive_batched_sink_spark.streaming.land import (
+        land_batch,
+        read_bookkeeping,
+        run_landing_stream,
+    )
+
+    cfg = SinkConfig(
+        table="events_idlestream",
+        output_path=str(tmp_path),
+        round_unit="day",
+        round_value=1,
+    )
+    day1 = "202401010000"
+
+    def crash(logdates):
+        raise RuntimeError("simulated crash before POST")
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime.fromisoformat(t), 1)
+            for t in ("2024-01-01 10:00:00", "2024-01-02 12:00:00")
+        ],
+        "ts timestamp, v int",
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        land_batch(df, 0, cfg, on_complete=crash)
+
+    empty_src = os.path.join(str(tmp_path), "empty_staged")
+    os.makedirs(empty_src, exist_ok=True)
+    got: list[str] = []
+    run_landing_stream(
+        spark,
+        empty_src,
+        "ts timestamp, v int",
+        cfg,
+        on_complete=got.extend,
+        fresh=False,
+    )
+    assert got == [day1]
+    states = {
+        r[cfg.partition_col]: r["state"]
+        for r in read_bookkeeping(spark, cfg).collect()
+    }
+    assert states[day1] == "NOTIFIED"
+
+
+def test_reconcile_timer_delivers_while_idle(spark, tmp_path):
+    """The long-idle window the startup reconcile can't close: the
+    stream is already up (no restarts, no data), and a CHECKED-
+    unnotified row appears (crash of a sibling run / window closing
+    by wall clock). reconcile_timer's periodic pass must deliver it
+    without any micro-batch, exactly once."""
+    import datetime
+    import time
+
+    from flume_hive_batched_sink_spark.config import SinkConfig
+    from flume_hive_batched_sink_spark.streaming.land import (
+        land_batch,
+        reconcile_timer,
+    )
+
+    cfg = SinkConfig(
+        table="events_idletimer",
+        output_path=str(tmp_path),
+        round_unit="day",
+        round_value=1,
+    )
+    day1 = "202401010000"
+
+    def crash(logdates):
+        raise RuntimeError("simulated crash before POST")
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime.fromisoformat(t), 1)
+            for t in ("2024-01-01 10:00:00", "2024-01-02 12:00:00")
+        ],
+        "ts timestamp, v int",
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        land_batch(df, 0, cfg, on_complete=crash)
+
+    got: list[str] = []
+    stop = reconcile_timer(spark, cfg, got.extend, interval_s=0.5)
+    try:
+        deadline = time.time() + 30
+        while not got and time.time() < deadline:
+            time.sleep(0.2)
+        # give it one more tick to prove once-per-logdate
+        time.sleep(1.5)
+    finally:
+        stop()
+    assert got == [day1]

@@ -356,28 +356,65 @@ def test_counters_json_report(spark):
 
     path = os.path.join(SCRATCH, "counters", "sink_counters.json")
 
+    def drain_listener_bus():
+        # the progress events ride the JVM listener bus before the
+        # Python forwarding listener sees them — drain it so a loaded
+        # box's backlog isn't mistaken for a lost event (r13 verdict
+        # #3: the old sleep-poll raced this queue)
+        try:
+            bus = spark.sparkContext._jsc.sc().listenerBus()
+            try:
+                bus.waitUntilEmpty(30_000)
+            except TypeError:
+                bus.waitUntilEmpty()
+        except Exception:
+            pass  # bus drain is best-effort; the stable-poll follows
+
+    def read_report():
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def run_and_wait():
+        # a stale report from a previous run/attempt is stable too —
+        # clear it so the poll can only ever see THIS run's counters
+        if os.path.exists(path):
+            os.remove(path)
         row = QUERIES["stream_observe_counters"](spark, SF_SMALL).collect()[0]
-        total = -1
-        for _ in range(150):  # listener events are delivered async
-            if os.path.exists(path):
-                with open(path) as f:
-                    data = json.load(f)
-                total = sum(
-                    q["observed"].get("n_events", 0) for q in data.values()
-                )
-                if total >= row.n_events:
-                    break
+        drain_listener_bus()
+        # poll until the report is STABLE (two identical consecutive
+        # reads), not merely present — the python-side listener thread
+        # flushes per event with no completion signal
+        prev = None
+        for _ in range(150):
+            data = read_report()
+            if data is not None and data == prev:
+                break
+            prev = data
             time.sleep(0.2)
+        data = read_report() or {}
+        total = sum(
+            q["observed"].get("n_events", 0) for q in data.values()
+        )
+        # consistency invariants hold for every DELIVERED subset of
+        # batches, drops or not: this query observes exactly one
+        # n_events per input row, so the two per-batch counters the
+        # reporter accumulates must agree, and the file can never
+        # overcount the query's own totals
+        for q in data.values():
+            assert q["observed"].get("n_events", 0) == q["input_rows"], q
+            assert q["batches"] >= 1
+        assert total <= row.n_events, (total, row.n_events)
         return total, row.n_events
 
-    total, want = run_and_wait()
-    if total != want:
-        # under heavy host load Spark's listener bus can DROP progress
-        # events (bounded queue) — the report then undercounts through
-        # no fault of the reporter. One clean re-run distinguishes a
-        # dropped-event fluke from a real accounting bug.
+    # completeness (total == want) can still lose to a bounded-queue
+    # event DROP under a fully loaded suite; three independent runs
+    # make a persistent miss a real accounting bug, not noise
+    for attempt in range(3):
         total, want = run_and_wait()
+        if total == want:
+            break
     assert total == want, (total, want)
 
 
@@ -4328,8 +4365,9 @@ def test_cdc_apply_tombstones_and_lineage(spark):
 def test_asof_nearest_bracket_and_directions(spark):
     """join_asof_nearest: the chosen purchase is never farther than
     EITHER the pure-backward or pure-forward candidate (it IS one of
-    them); both directions actually occur on the fixture; distances
-    are exact integer seconds and ties prefer the earlier purchase —
+    them); both directions actually occur on the fixture; SELECTION
+    distance is exact integer microseconds (r13 ADVICE fix) and the
+    reported dist_s is floored whole seconds of the chosen purchase —
     verified against a brute-force python recomputation."""
     from flume_hive_batched_sink_spark.catalog import load_table
 
@@ -4344,23 +4382,69 @@ def test_asof_nearest_bracket_and_directions(spark):
             purch.setdefault(int(e.user_id), []).append(e)
     import math
 
+    def us(t):
+        return int(round(t.timestamp() * 1_000_000))
+
     for r in out:
         cands = purch[int(r.user_id)]
-        te = int(r.ts.timestamp() // 1) if hasattr(r.ts, "timestamp") else 0
         best = None
         for p in cands:
-            d = abs(
-                int(math.floor(p.ts.timestamp()))
-                - int(math.floor(r.ts.timestamp()))
-            )
+            d = abs(us(p.ts) - us(r.ts))
             key = (d, p.ts, int(p.event_id))
             if best is None or key < best[0]:
                 best = (key, p)
         _k, p = best
+        want_dist = abs(
+            int(math.floor(p.ts.timestamp()))
+            - int(math.floor(r.ts.timestamp()))
+        )
         assert (int(r.near_event_id), int(r.dist_s)) == (
             int(p.event_id),
-            _k[0],
+            want_dist,
         )
+
+
+def test_asof_nearest_same_second_tie(spark):
+    """r13 ADVICE regression: two same-user backward purchases with
+    DISTINCT raw microsecond ts inside the click's nearest floored
+    second must resolve to the microsecond-NEAREST (the later one) —
+    the exact case where the old floored-second oracle metric and the
+    raw-ts backward carry diverged. Built as a planted in-memory
+    events fixture routed through the registered operator."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    base = _dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # user 1: click at 10:00:05.000000; purchases at .200000 and
+        # .800000 of the SAME second 10:00:00 → both floored dist 5,
+        # exact-us nearest is the .800000 one (event 102).
+        (100, 1, base + _dt.timedelta(seconds=5), "click"),
+        (101, 1, base + _dt.timedelta(microseconds=200_000), "purchase"),
+        (102, 1, base + _dt.timedelta(microseconds=800_000), "purchase"),
+        # user 2: exact symmetric tie — backward at -3s, forward at
+        # +3s → tie prefers backward (201).
+        (200, 2, base + _dt.timedelta(seconds=10), "click"),
+        (201, 2, base + _dt.timedelta(seconds=7), "purchase"),
+        (202, 2, base + _dt.timedelta(seconds=13), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, t, u, ty, 0.0, "{}") for (e, u, t, ty) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            int(r.event_id): r
+            for r in QUERIES["join_asof_nearest"](spark, d).collect()
+        }
+    assert int(out[100].near_event_id) == 102
+    assert out[100].direction == "backward"
+    assert int(out[100].dist_s) == 5  # floored-second report unchanged
+    assert int(out[200].near_event_id) == 201
+    assert out[200].direction == "backward"
 
 
 def test_span_corruption_hash_replay(spark):
@@ -4450,3 +4534,349 @@ def test_sentence_stats_invariants(spark):
         assert r.total_chars == sum(len(x) for x in parts)
         assert r.longest_chars == max([len(x) for x in parts] or [0])
         assert r.mean_chars == r.total_chars / max(r.n_sentences, 1)
+
+
+def test_persist_lifecycle_bounded(spark):
+    """r13 verdict #5 / advice #2: repeated invocations of the
+    persist-heavy operators (winnowing fingerprints, minhash
+    candidates, LSH features) must NOT accumulate cached partitions —
+    the per-site eviction (registry.persist_evicting) bounds a
+    long-running sweep/bench process to one invocation's cache per
+    site. Asserted via the JVM's persistent-RDD registry: the count
+    after a third round of invocations is no higher than after the
+    first. localCheckpoint frames (the min-label loop) are reclaimed
+    by the ContextCleaner once unreferenced, so both GCs run before
+    each count — the invariant is 'nothing UNRECLAIMABLE
+    accumulates', which is exactly what a long-lived sweep process
+    needs."""
+    import gc
+    import time
+
+    def n_persistent() -> int:
+        # ContextCleaner reclamation is async: poll GC rounds until
+        # the registry stops shrinking (bounded retries, min wins)
+        best = None
+        for _ in range(6):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
+            cur = spark.sparkContext._jsc.getPersistentRDDs().size()
+            if best is not None and cur >= best:
+                return best
+            best = cur
+        return best
+
+    def run_once():
+        QUERIES["ns_winnowing_overlap"](spark, SF_SMALL).collect()
+        QUERIES["ns_dedup_minhash"](spark, SF_SMALL).collect()
+        QUERIES["ns_similarity_ann_lsh"](spark, SF_SMALL).collect()
+        QUERIES["ns_dedup_clusters"](spark, SF_SMALL).collect()
+
+    run_once()
+    after_first = n_persistent()
+    run_once()
+    run_once()
+    after_third = n_persistent()
+    assert after_third <= after_first, (after_first, after_third)
+
+
+def test_ivfpq_index_cache_fingerprint_invalidation(spark):
+    """r13 advice #3: the persisted-index cache must key on a DATA
+    fingerprint, not just the sf_dir path — regenerating embeddings
+    at the same path in-process must trigger a rebuild (new
+    generation), and the stale generation's entry must be dropped.
+    Unchanged data at the same path must stay a cache hit."""
+    import os
+    import shutil
+    import tempfile
+
+    from flume_hive_batched_sink_spark.operators import clustering as cl
+
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        dst = os.path.join(d, "embeddings.parquet")
+        shutil.copy(src, dst)
+        cl.drop_index_cache(d)
+        cl.ivfpq_persisted_index(spark, d)
+        keys1 = [k for k in cl._IVFPQ_IDX_CACHE if k[0] == os.path.abspath(d)]
+        assert len(keys1) == 1
+        # unchanged data → cache hit (same key, no new entry)
+        cl.ivfpq_persisted_index(spark, d)
+        keys2 = [k for k in cl._IVFPQ_IDX_CACHE if k[0] == os.path.abspath(d)]
+        assert keys2 == keys1
+        # regenerate at the SAME path (new mtime) → new generation,
+        # stale entry dropped
+        shutil.copy(src, dst)
+        os.utime(dst, ns=(os.stat(dst).st_mtime_ns + 10**9,) * 2)
+        cl.ivfpq_persisted_index(spark, d)
+        keys3 = [k for k in cl._IVFPQ_IDX_CACHE if k[0] == os.path.abspath(d)]
+        assert len(keys3) == 1 and keys3 != keys1
+        cl.drop_index_cache(d)
+        assert not [k for k in cl._IVFPQ_IDX_CACHE if k[0] == os.path.abspath(d)]
+
+
+def test_dedup_verbatim_planted_passage_stride1(spark):
+    """r13 verdict #7: the verbatim-passage guarantee at stride 1.
+    Plant an 8-token run shared between two docs at NON-aligned
+    offsets (4 and 0 — the case a stride-8 window scheme can miss);
+    the pair MUST surface with the exact shared-gram count and span
+    extents. A third doc sharing only a 7-token run (below the
+    w+k−1 guarantee length) must verify to zero shared 8-grams and
+    stay absent."""
+    import os
+    import tempfile
+
+    run8 = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    filler = lambda p, n: [f"{p}{i}" for i in range(n)]  # noqa: E731
+    d1 = filler("x", 4) + run8 + filler("y", 8)
+    d2 = run8 + filler("z", 12)
+    d3 = filler("w", 6) + run8[:7] + filler("v", 7)
+    docs = [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r.ida, r.idb): r
+            for r in QUERIES["ns_dedup_verbatim"](spark, d).collect()
+        }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.n_shared == 1  # exactly one shared 8-gram from an 8-run
+    assert (r.a_lo, r.a_hi) == (4, 11)
+    assert (r.b_lo, r.b_hi) == (0, 7)
+
+
+def test_ann_refresh_old_generation_servable(spark):
+    """r13 verdict #4: blue/green semantics of ns_ann_index_refresh.
+    After generation 2 (base+delta) is built and the pointer has
+    swapped, generation 1 must STILL serve — and its answers must
+    equal the inline IVFADC over the base corpus alone, while the
+    pointer serve equals the inline IVFADC over the full corpus
+    (= the registered operator's rows)."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators import clustering as cl
+    from pyspark.sql import functions as F
+
+    st = cl.ann_index_generations(spark, SF_SMALL)
+    assert st["current"] == 2
+    with open(st["root"] + "/CURRENT") as f:
+        assert int(f.read()) == 2
+
+    def rows(df):
+        return sorted(
+            (r.probe_id, r.neighbor_id, r.adc_d2, r.rank)
+            for r in df.collect()
+        )
+
+    em = load_table(spark, SF_SMALL, "embeddings")
+    base = em.filter(F.col("vec_id") % 10 != cl._ANN_DELTA_MOD)
+    probe_ids = list(range(cl._ADC_N_PROBES))
+
+    # generation 1 (old) still servable post-swap, answers = inline
+    # IVFADC over the base corpus
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    g1 = rows(cl.ann_serve_generation(spark, SF_SMALL, gen=1))
+    inline_base = rows(
+        cl.ivfpq_topk(base, ivf_centroids(base), probe_ids)
+    )
+    assert g1 == inline_base and g1
+
+    # pointer serve = registered operator = inline IVFADC over full
+    cur = rows(cl.ann_serve_generation(spark, SF_SMALL))
+    reg = rows(QUERIES["ns_ann_index_refresh"](spark, SF_SMALL))
+    assert cur == reg and reg
+    # the refresh is visible: base-only and full-corpus answers
+    # differ somewhere (the delta slice holds ~10% of the corpus)
+    assert g1 != cur
+
+
+def test_holt_winters_brute_force_replay(spark):
+    """ts_holt_winters: replay the three-state recursion in plain
+    python (same op order) — bit-equal level/trend/seasonal/forecast
+    per (type, day); first row is pure init (trend 0, seasonal 0,
+    forecast = level)."""
+    from collections import defaultdict
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.analytics import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_SEASON,
+    )
+
+    out = {
+        (r.event_type, r.day_num): r
+        for r in QUERIES["ts_holt_winters"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    counts = defaultdict(int)
+    for e in ev:
+        counts[(e.event_type, int(e.ts.timestamp() // 86400))] += 1
+    series = defaultdict(list)
+    for (t, d), n in sorted(counts.items()):
+        series[t].append((d, n))
+    for t, rows in series.items():
+        lvl = b = None
+        s = [0.0] * _HW_SEASON
+        for d, n in rows:
+            x, w = float(n), d % _HW_SEASON
+            if lvl is None:
+                lvl, b = x, 0.0
+            else:
+                sw = s[w]
+                lnew = _HW_ALPHA * (x - sw) + (1.0 - _HW_ALPHA) * (lvl + b)
+                b = _HW_BETA * (lnew - lvl) + (1.0 - _HW_BETA) * b
+                s[w] = _HW_GAMMA * (x - lnew) + (1.0 - _HW_GAMMA) * sw
+                lvl = lnew
+            r = out[(t, d)]
+            assert (r.level, r.trend, r.seasonal) == (lvl, b, s[w])
+            assert r.forecast_next == lvl + b + s[(w + 1) % _HW_SEASON]
+    first_days = {t: rows[0][0] for t, rows in series.items()}
+    for t, d in first_days.items():
+        r = out[(t, d)]
+        assert r.trend == 0.0 and r.seasonal == 0.0
+        assert r.forecast_next == r.level
+
+
+def test_acf_matches_numpy_and_bounds(spark):
+    """ts_acf: |acf| ≤ 1 + ε on real data; values match a numpy
+    recomputation to float tolerance (the operator's own hash gate is
+    the exact check — this guards the FORMULA, not the rounding)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    out = QUERIES["ts_acf"](spark, SF_SMALL).collect()
+    assert out and all(abs(r.acf) <= 1.0 + 1e-9 for r in out)
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    counts = defaultdict(int)
+    for e in ev:
+        counts[(e.event_type, int(e.ts.timestamp() // 86400))] += 1
+    series = defaultdict(list)
+    for (t, d), n in sorted(counts.items()):
+        series[t].append(n)
+    for r in out:
+        x = np.array(series[r.event_type], dtype=float)
+        d = x - x.mean()
+        k = int(r.lag)
+        num, den = float(d[k:] @ d[:-k]), float(d @ d)
+        assert abs(r.acf - num / den) < 1e-6, (r, num / den)
+        assert r.n_pairs == max(len(x) - k, 0)
+
+
+def test_ann_recall_eval_bounds_and_consistency(spark):
+    """ns_ann_recall_eval: one row per probe; n_exact = 10 on the
+    fixture corpora; 0 ≤ n_hit ≤ n_exact; recall = n_hit/n_exact; and
+    n_hit agrees with an independent intersection of the two
+    registered rankings."""
+    out = {
+        r.query_id: r
+        for r in QUERIES["ns_ann_recall_eval"](spark, SF_SMALL).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        cosine_ranked,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    em = load_table(spark, SF_SMALL, "embeddings")
+    probes = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_ranked(em, 10).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(em, probes, ivf_centroids(em), k=10, nprobe=2)
+        .collect()
+    }
+    for q, r in out.items():
+        want_hit = len({p for p in exact & ann if p[0] == q})
+        n_ex = len({p for p in exact if p[0] == q})
+        assert (r.n_exact, r.n_hit) == (n_ex, want_hit)
+        assert r.recall_at_k == want_hit / n_ex
+
+
+def test_interval_overlap_brute_force(spark):
+    """join_interval_overlap: the bucketed exactly-once plan equals a
+    brute-force per-user quadratic recomputation of the interval
+    overlap semantics."""
+    from collections import defaultdict
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    out = {
+        r.user_id: (r.n_pairs, r.total_overlap_s, r.max_overlap_s)
+        for r in QUERIES["join_interval_overlap"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    bursts = {}
+    purch = defaultdict(list)
+    for e in ev:
+        ts = int(e.ts.timestamp() // 1)
+        if e.event_type == "click":
+            key = (int(e.user_id), ts // 3600)
+            lo, hi = bursts.get(key, (ts, ts + 1))
+            bursts[key] = (min(lo, ts), max(hi, ts + 1))
+        elif e.event_type == "purchase":
+            purch[int(e.user_id)].append((ts - 900, ts + 900))
+    want = defaultdict(list)
+    for (u, _h), (a0, a1) in bursts.items():
+        for b0, b1 in purch.get(u, []):
+            if a0 < b1 and b0 < a1:
+                want[u].append(min(a1, b1) - max(a0, b0))
+    for u, ovs in want.items():
+        assert out[u] == (len(ovs), sum(ovs), max(ovs)), u
+    assert set(out) == set(want)
+
+
+def test_hard_negatives_band_rule(spark):
+    """ns_hard_negatives: ≤8 rows per probe; every emitted cosine is
+    < the dup threshold; no emitted neighbor outranks an omitted
+    pool member (the re-rank is faithful); near-dup pool members are
+    excluded."""
+    from collections import defaultdict
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.similarity import (
+        _HN_DUP,
+        _HN_K,
+        _HN_POOL,
+        cosine_ranked,
+    )
+
+    em = load_table(spark, SF_SMALL, "embeddings")
+    pool = defaultdict(list)
+    for r in cosine_ranked(em, _HN_POOL).collect():
+        pool[r.query_id].append((r.cosine, r.neighbor_id))
+    out = defaultdict(list)
+    for r in QUERIES["ns_hard_negatives"](spark, SF_SMALL).collect():
+        out[r.query_id].append(r)
+    for q, rows in out.items():
+        assert len(rows) <= _HN_K
+        assert all(r.cosine < _HN_DUP for r in rows)
+        want = sorted(
+            [(c, n) for c, n in pool[q] if c < _HN_DUP],
+            key=lambda t: (-t[0], t[1]),
+        )[:_HN_K]
+        got = sorted(
+            [(r.cosine, r.neighbor_id) for r in rows],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got == want
