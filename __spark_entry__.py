@@ -23,12 +23,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 243 queries are registered (SURVEY §2 Part B, which matches the
+# 250 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 243
+# tests/test_properties.py::test_survey_registry_lockstep); all 250
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
+# Round 14 rotation (scripts/staleness.py is the mechanical input).
+# After the clean 50/50 r13 run the stale pool is exactly the 43-row
+# r09 remainder the r13 rotation note scheduled (the only gates older
+# than r10 in the repo). The r14 window, in priority order:
+# (a) 7 operators NEW in r14 (never driver-checked):
+#     ns_ann_index_refresh — the blue/green generation swap closing
+#     the build→serve→refresh ANN loop (r13 verdict #4);
+#     ns_dedup_verbatim — the winnowing-guarantee stride-1 verbatim-
+#     passage dedup with span extents (r13 verdict #7);
+#     ts_holt_winters — additive seasonal smoothing, m=7 (r13 #6);
+#     ns_ann_recall_eval — recall@10 of the IVF path vs the exact
+#     baseline (the index-trust eval);
+#     ns_hard_negatives — ANCE/DPR band-rule negative mining;
+#     ts_acf — the lag-1..7 correlogram beside the seasonal model;
+#     join_interval_overlap — interval×interval overlap join with
+#     the max-start-bucket exactly-once trick;
+# (b) ALL 43 remaining r09 rows (ns_bigram_stats .. win_topk_per_group
+#     below) — clearing the r09 cohort entirely, so after a clean r14
+#     run no operator's latest driver gate is older than r10 (every
+#     gate ≤4 rounds old, continuing the rotation-hygiene invariant).
+# 7 + 43 = 50. Displaced to r15: nothing stale — the next-oldest
+# cohort is the 50-row r10 set.
+_ROUND14_FRONT = [
+    # (a) new in r14 — first driver check
+    "ns_ann_index_refresh",
+    "ns_dedup_verbatim",
+    "ts_holt_winters",
+    "ns_ann_recall_eval",
+    "ns_hard_negatives",
+    "ts_acf",
+    "join_interval_overlap",
+    # (b) the 43 remaining r09 rows — the oldest gates in the repo
+    "ns_bigram_stats",
+    "ns_cluster_kmeans",
+    "ns_contamination_ngram",
+    "ns_corpus_report",
+    "ns_dedup_bloom",
+    "ns_dedup_embedding",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_domain_mixture",
+    "ns_embedding_filter_join",
+    "ns_embedding_profile",
+    "ns_html_extract",
+    "ns_lsh_bucket_stats",
+    "ns_quality_entropy",
+    "ns_quality_gopher",
+    "ns_quality_perplexity",
+    "ns_repetition",
+    "ns_sample_importance",
+    "ns_sample_weighted_topk",
+    "ns_semdedup",
+    "ns_shard_plan",
+    "ns_similarity_ann_ivf",
+    "ns_similarity_ann_lsh",
+    "ns_split_group_folds",
+    "ns_url_canonicalize",
+    "ns_url_dedup",
+    "scan_dpp_join",
+    "scan_file_lineage",
+    "scan_schema_evolution",
+    "scan_static_prune",
+    "set_except",
+    "sink_compact_small_files",
+    "sink_overwrite_dynamic",
+    "sink_sorted_layout",
+    "stream_dedup_bloom",
+    "stream_stateful_counter",
+    "stream_static_join",
+    "stream_stream_join",
+    "ts_gapfill",
+    "ts_resample_ohlc",
+    "win_ntile_dist",
+    "win_percent_rank",
+    "win_topk_per_group",
+]
+
 # Round 13 rotation (scripts/staleness.py is the mechanical input).
 # After the clean 50/50 r12 run the stale pool is exactly the 31-row
 # r07 remainder the r12 rotation note scheduled first (the oldest
@@ -301,20 +378,34 @@ _ROUND11_FRONT = [
 ]
 
 # Stable alias for tooling (scripts/drive_oracle.py `front` filter).
-FRONT = _ROUND13_FRONT
+FRONT = _ROUND14_FRONT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part B,
     ordered so the driver's 50-query verification window lands on the
     rows that need (re-)verification this round."""
-    front = {n: _ops.QUERIES[n] for n in _ROUND13_FRONT}
+    front = {n: _ops.QUERIES[n] for n in _ROUND14_FRONT}
     rest = {n: f for n, f in _ops.QUERIES.items() if n not in front}
     return {**front, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 243/243 as of r13
+    """DuckDB twins for EVERY registered query — 250/250 as of r14
+    (the seven r14 additions compose proven fragments:
+    ns_ann_index_refresh's oracle IS _ivfpq_sql() verbatim — the
+    refresh-then-serve result must equal the batch IVFADC over
+    base+delta; ns_ann_recall_eval joins the shared cos_ranked and
+    IVF-assignment CTE chains with pure integer counting on top;
+    ns_hard_negatives re-ranks the cos_ranked fragment inside a
+    literal band gate; ns_dedup_verbatim reuses the winnowing CTEs
+    for candidates plus a stride-1 md5-hashed 8-gram intersection in
+    the established conv/'0x'-cast hash pairing; ts_holt_winters
+    replays a 10-wide [l,b,s0..s6,flag] list-state with init routed
+    through flag CASEs; ts_acf rides exact-integer means, row-level
+    deviation products, and the dsum decimal convention;
+    join_interval_overlap is pure integer epoch arithmetic). Was
+    243/243 as of r13
     (the eight r12 additions compose proven oracle fragments
     verbatim: ns_similarity_ivfpq and stream_ann_serve embed
     _ivf_assign_sql_ctes + _pq_sql_prefix + _adc_tables_sql_ctes with

@@ -154,6 +154,20 @@ HEADLINE = [
     "ns_span_corruption",
     "ns_sentence_stats",
     "ts_interval_coverage",
+    # round 14 additions (the 72-query set above stays frozen): the
+    # blue/green generation refresh (two builds + pointer-swap serve
+    # — the heaviest new plan; its build_s is split out below), the
+    # guaranteed stride-1 verbatim dedup (winnowing candidates +
+    # 8-gram verify), recall@10 eval (exact + IVF rankings joined),
+    # hard-negative mining, seasonal Holt-Winters, the correlogram,
+    # and the interval×interval overlap join.
+    "ns_ann_index_refresh",
+    "ns_dedup_verbatim",
+    "ns_ann_recall_eval",
+    "ns_hard_negatives",
+    "ts_holt_winters",
+    "ts_acf",
+    "join_interval_overlap",
 ]
 
 # Frozen-prefix boundaries (round → prefix length). bench_best.py
@@ -164,6 +178,7 @@ PREFIXES = {
     "r02_comparable_subtotal": 20,
     "r04_comparable_subtotal": 24,
     "r06_comparable_subtotal": 36,
+    "r13_comparable_subtotal": 72,
 }
 
 # Operators whose end-to-end timing conflates index BUILD with
@@ -176,6 +191,7 @@ _SPLIT_OPS = {
     "ns_similarity_ivfpq": "pq_train",
     "ns_similarity_ivfpq_residual": "pq_train",
     "ns_ann_index_serve": "ns_ann_index_serve.build",
+    "ns_ann_index_refresh": "ns_ann_index_refresh.build",
 }
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import dsum, query, tbl
+from .registry import dsum, query, sql_dsum, tbl
 
 # ---------- moment-derived statistics ----------
 
@@ -1129,6 +1129,263 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_holt_trend.__doc__ = ts_holt_trend.__doc__.format(
     a=_HOLT_ALPHA, b=_HOLT_BETA
 )
+
+
+# ---------- Holt-Winters additive seasonal smoothing ----------
+
+# α=0.5, β=γ=0.25: exactly representable in binary (and so are the
+# complements 0.5/0.75), keeping every multiply in the three-state
+# recursion correctly rounded on identical operands in the pandas
+# loop and the oracle's list_reduce replay (the Holt convention).
+_HW_ALPHA = 0.5
+_HW_BETA = 0.25
+_HW_GAMMA = 0.25
+_HW_SEASON = 7  # weekly seasonality over the daily frame
+
+
+def _hw_lambda() -> str:
+    """The Holt-Winters update as a DuckDB list_reduce lambda over a
+    10-wide state [l, b, s0..s6, flag]. Elements are encoded
+    [x, w, 0×7, -1]; list_reduce seeds the accumulator with the RAW
+    first element, so flag<0 marks 'acc is the un-initialized first
+    row' and every read of trend/seasonal routes through a CASE that
+    substitutes the init values (b=0, s=0) — the same first-row
+    semantics the pandas loop applies. All l' inlinings are the
+    identical IEEE expression (lambdas bind no intermediates)."""
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    bp = "(CASE WHEN acc[10] < 0 THEN 0.0 ELSE acc[2] END)"
+    sw = (
+        "(CASE WHEN acc[10] < 0 THEN 0.0"
+        " ELSE acc[3 + CAST(v[2] AS INT)] END)"
+    )
+    lnew = f"({a} * (v[1] - {sw}) + {1.0 - a} * (acc[1] + {bp}))"
+    bnew = f"({b} * ({lnew} - acc[1]) + {1.0 - b} * {bp})"
+    snew = f"({g} * (v[1] - {lnew}) + {1.0 - g} * {sw})"
+    slots = ", ".join(
+        f"CASE WHEN CAST(v[2] AS INT) = {i} THEN {snew}"
+        f" ELSE (CASE WHEN acc[10] < 0 THEN 0.0 ELSE acc[{3 + i}] END)"
+        f" END"
+        for i in range(_HW_SEASON)
+    )
+    return f"(acc, v) -> [{lnew}, {bnew}, {slots}, 1.0]"
+
+
+@query(
+    "ts_holt_winters",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT a.event_type, a.day_num, a.n,
+             a.day_num % 7 AS w,
+             (SELECT list_reduce(
+                       list_transform(
+                         list([CAST(b.n AS DOUBLE),
+                               CAST(b.day_num % 7 AS DOUBLE)]
+                              ORDER BY b.day_num),
+                         p -> [p[1], p[2], 0.0, 0.0, 0.0, 0.0, 0.0,
+                               0.0, 0.0, -1.0]),
+                       {_hw_lambda()})
+              FROM c b
+              WHERE b.event_type = a.event_type
+                AND b.day_num <= a.day_num) AS s
+      FROM c a
+    )
+    SELECT event_type, day_num, n,
+           s[1] AS level,
+           CASE WHEN s[10] < 0 THEN 0.0 ELSE s[2] END AS trend,
+           CASE WHEN s[10] < 0 THEN 0.0
+                ELSE s[3 + CAST(w AS INT)] END AS seasonal,
+           s[1] + (CASE WHEN s[10] < 0 THEN 0.0 ELSE s[2] END)
+                + (CASE WHEN s[10] < 0 THEN 0.0
+                        ELSE s[3 + CAST((w + 1) % 7 AS INT)] END)
+             AS forecast_next
+    FROM st
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing of daily
+    event volume per event_type with weekly seasonality (m=7,
+    α={a}, β={b}, γ={g}) — the level+trend+SEASON completion of
+    ts_ewma/ts_holt_trend (r13 verdict #6): l_t = α(x_t − s_{{t−m}})
+    + (1−α)(l_{{t−1}} + b_{{t−1}}); b_t = β(l_t − l_{{t−1}}) +
+    (1−β)b_{{t−1}}; s_t = γ(x_t − l_t) + (1−γ)s_{{t−m}}; init l_1 =
+    x_1, b_1 = 0, s = 0 (the same cold-start rule the Holt operator
+    uses, so the first season learns its offsets from γ-updates).
+    The season slot is the day-of-epoch mod 7, so gaps in the daily
+    frame keep their weekday alignment. forecast_next = l_t + b_t +
+    s[next weekday] is the one-step-ahead seasonal prediction.
+
+    Spark form: `applyInPandas` — sequential within each series,
+    parallel across series (SURVEY §2's custom-operator rule (b)).
+
+    Determinism: daily counts exact ints; α/β/γ and complements are
+    exact binary; the pandas loop and the oracle's prefix
+    list_reduce over [l, b, s0..s6, flag] list-state execute the
+    identical multiply/add order (every inlined l' is the same IEEE
+    expression), so all four outputs are bit-equal. The oracle's
+    O(len²) prefix refold is replay cost only; the engine is O(len).
+
+    Scale: identical to ts_holt_trend — one (type, day) map-side-
+    combine aggregate, then Arrow-batched per-series smoothing; state
+    never crosses groups."""
+    ev = tbl(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def smooth(pdf):
+        pdf = pdf.sort_values("day_num").reset_index(drop=True)
+        lvl = b = None
+        s = [0.0] * _HW_SEASON
+        levels, trends, seas, fc = [], [], [], []
+        for x, d in zip(pdf["n"], pdf["day_num"]):
+            x, w = float(x), int(d) % _HW_SEASON
+            if lvl is None:
+                lvl, b = x, 0.0
+            else:
+                swv = s[w]
+                lnew = _HW_ALPHA * (x - swv) + (1.0 - _HW_ALPHA) * (
+                    lvl + b
+                )
+                b = _HW_BETA * (lnew - lvl) + (1.0 - _HW_BETA) * b
+                s[w] = _HW_GAMMA * (x - lnew) + (1.0 - _HW_GAMMA) * swv
+                lvl = lnew
+            levels.append(lvl)
+            trends.append(b)
+            seas.append(s[w])
+            fc.append(lvl + b + s[(w + 1) % _HW_SEASON])
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["seasonal"] = seas
+        pdf["forecast_next"] = fc
+        return pdf
+
+    return counts.groupBy("event_type").applyInPandas(
+        smooth,
+        "event_type string, day_num bigint, n bigint, level double, "
+        "trend double, seasonal double, forecast_next double",
+    )
+
+
+ts_holt_winters.__doc__ = ts_holt_winters.__doc__.format(
+    a=_HW_ALPHA, b=_HW_BETA, g=_HW_GAMMA
+)
+
+
+# ---------- autocorrelation profile (seasonality detection) ----------
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle_sql() -> str:
+    """DuckDB twin of ts_acf: the same daily frame, exact integer-sum
+    mean, row-lagged deviations, decimal-exact num/den sums, one
+    double division per (type, lag)."""
+    lag_cols = ",\n             ".join(
+        f"lag(dev, {k}) OVER w AS d{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    aggs = ",\n             ".join(
+        f"{sql_dsum(f'dev * d{k}', f'num{k}')},\n             "
+        f"COUNT(d{k}) AS cnt{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    union = "\n    UNION ALL ".join(
+        f"SELECT event_type, CAST({k} AS BIGINT) AS lag,"
+        f" CAST(cnt{k} AS BIGINT) AS n_pairs, num{k} / den AS acf FROM a"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu
+      FROM c GROUP BY 1
+    ),
+    d0 AS (
+      SELECT c.event_type, c.day_num, CAST(c.n AS DOUBLE) - m.mu AS dev
+      FROM c JOIN m USING (event_type)
+    ),
+    d AS (
+      SELECT event_type, day_num, dev,
+             {lag_cols}
+      FROM d0 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+    ),
+    a AS (
+      SELECT event_type,
+             {sql_dsum("dev * dev", "den")},
+             {aggs}
+      FROM d GROUP BY 1
+    )
+    {union}
+    """
+
+
+@query("ts_acf", _acf_oracle_sql())
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of daily event volume per event_type
+    at row lags 1..7 — the seasonality DETECTOR that pairs with
+    ts_holt_winters' seasonal model and ts_seasonality_profile's
+    calendar breakdown: acf_k = Σ d_t·d_{t−k} / Σ d_t² over mean-
+    centered deviations d (a peak at k=7 ⇒ weekly structure; fast
+    decay ⇒ trend-dominated; the standard correlogram read).
+
+    Determinism: the mean is exact-integer SUM(n)/COUNT (one double
+    division); deviations and their products are row-level doubles
+    identical on both engines; the num/den sums ride the decimal-
+    exact dsum convention, so each acf is ONE double division of two
+    bit-identical doubles. Lags are ROW lags over the day-ordered
+    frame (the events fixture is a gapless 30-day span, so row lag =
+    calendar lag).
+
+    Scale: the daily frame is |types|·|days| rows at any corpus size
+    — the heavy lifting is the map-side-combined count; everything
+    after is window + aggregate over a frame that fits one partition
+    per type."""
+    ev = tbl(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wt = W.partitionBy("event_type")
+    wo = W.partitionBy("event_type").orderBy("day_num")
+    mu = F.sum("n").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    d = counts.withColumn("dev", F.col("n").cast("double") - mu)
+    for k in range(1, _ACF_MAX_LAG + 1):
+        d = d.withColumn(f"d{k}", F.lag("dev", k).over(wo))
+    aggs = [dsum(F.col("dev") * F.col("dev"), "den")]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        aggs.append(dsum(F.col("dev") * F.col(f"d{k}"), f"num{k}"))
+        aggs.append(F.count(F.col(f"d{k}")).alias(f"cnt{k}"))
+    a = d.groupBy("event_type").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col(f"cnt{k}").cast("bigint").alias("n_pairs"),
+                (F.col(f"num{k}") / F.col("den")).alias("acf"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    return a.select("event_type", F.explode(rows).alias("r")).select(
+        "event_type", "r.lag", "r.n_pairs", "r.acf"
+    )
 
 
 # ---------- CUSUM changepoint / drift alarm ----------
