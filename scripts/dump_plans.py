@@ -137,6 +137,14 @@ PLAN_QUERIES = [
     "join_asof_nearest",
     "ts_interval_coverage",
     "ns_dedup_fuzzy",
+    # round 14: the blue/green generation serve (pruned read against
+    # the NEW generation directory), the winnowing-bridge verbatim
+    # dedup, the bucketed interval×interval join, and the band-rule
+    # negative miner.
+    "ns_ann_index_refresh",
+    "ns_dedup_verbatim",
+    "join_interval_overlap",
+    "ns_hard_negatives",
 ]
 
 
@@ -983,6 +991,57 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "interval coalescing rides one shared user_id exchange",
         n_ex == 1,
         f"hash_exchanges={n_ex}")
+
+    # ns_ann_index_refresh (r14 verdict #4): the post-swap serve must
+    # read the NEW generation directory (…/g2) AND prune it on a
+    # cell_id IN-set PARTITION filter — the inverted-list read holds
+    # across generation swaps, not just for the single-index path.
+    p = _executed(ops.QUERIES["ns_ann_index_refresh"](spark, sf_dir))
+    seg = ""
+    if "PartitionFilters: [" in p:
+        seg = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    ok = ("cell_id" in seg and " IN " in seg.upper()
+          and "/g2" in p and "/g1" not in p)
+    add("ns_ann_index_refresh",
+        "post-swap serve scans ONLY the new generation (g2) directory "
+        "with a cell_id IN-set partition filter",
+        ok,
+        f"g2={'/g2' in p}, g1={'/g1' in p}, "
+        f"PartitionFilters=[{seg[:100]}]")
+
+    # ns_dedup_verbatim (r14 verdict #7): candidate generation and the
+    # stride-1 verify must both be hash-keyed equi joins — never a
+    # nested-loop pair explosion over the corpus.
+    p = _executed(ops.QUERIES["ns_dedup_verbatim"](spark, sf_dir))
+    bad = ("BroadcastNestedLoopJoin" in p) or ("CartesianProduct" in p)
+    n_join = sum("Join" in _node(ln) for ln in p.splitlines())
+    add("ns_dedup_verbatim",
+        "winnowing candidates + stride-1 gram verify are all "
+        "hash-keyed joins (0 BNLJ/cartesian)",
+        (not bad) and n_join >= 2,
+        f"bnlj_or_cartesian={bad}, joins={n_join}")
+
+    # join_interval_overlap (r14): the overlap predicate must ride an
+    # EQUI join on (user, bucket) — the naive interval join shape
+    # (BNLJ) is exactly what the bucketing exists to avoid.
+    p = _executed(ops.QUERIES["join_interval_overlap"](spark, sf_dir))
+    bad = ("BroadcastNestedLoopJoin" in p) or ("CartesianProduct" in p)
+    has_bucket_key = "bucket" in p
+    add("join_interval_overlap",
+        "interval×interval overlap is an equi join on (user, bucket) "
+        "(0 BNLJ/cartesian)",
+        (not bad) and has_bucket_key,
+        f"bnlj_or_cartesian={bad}, bucket_key={has_bucket_key}")
+
+    # ns_hard_negatives (r14): both ranking passes push into
+    # WindowGroupLimit (partial per-partition top-k before the
+    # |probes|-key exchange).
+    p = _executed(ops.QUERIES["ns_hard_negatives"](spark, sf_dir))
+    n_wgl = p.count("WindowGroupLimit")
+    add("ns_hard_negatives",
+        "pool rank and re-rank both push into WindowGroupLimit",
+        n_wgl >= 2,
+        f"wgl={n_wgl}")
     return checks
 
 

@@ -78,6 +78,14 @@ ALLOWED = {
     "5-probe broadcast (the exact-list component by design); the "
     "fusion join itself is (probe, neighbor)-keyed over two "
     "k*|probes|-row frames",
+    "ns_ann_recall_eval": "inherits ns_similarity_topk's corpus x "
+    "5-probe broadcast (the exact baseline IS the recall "
+    "denominator) plus the capped-64-row broadcast centroid "
+    "assignment from ns_similarity_ann_ivf; the recall join itself "
+    "is (query, neighbor)-keyed over two k*|probes|-row frames",
+    "ns_hard_negatives": "inherits ns_similarity_topk's corpus x "
+    "5-probe broadcast (the exact pool the band rule mines); both "
+    "rank gates push into WindowGroupLimit",
     "ns_embedding_filter_join": "corpus x fixed 5-probe broadcast "
     "frame (the probe screen is the operator)",
     "ns_embedding_matryoshka": "the ns_similarity_topk corpus x "
