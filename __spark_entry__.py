@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 250 queries are registered (SURVEY §2 Part B, which matches the
+# 254 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 250
+# tests/test_properties.py::test_survey_registry_lockstep); all 254
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -45,12 +45,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ts_acf — the lag-1..7 correlogram beside the seasonal model;
 #     join_interval_overlap — interval×interval overlap join with
 #     the max-start-bucket exactly-once trick;
-# (b) ALL 43 remaining r09 rows (ns_bigram_stats .. win_topk_per_group
-#     below) — clearing the r09 cohort entirely, so after a clean r14
-#     run no operator's latest driver gate is older than r10 (every
-#     gate ≤4 rounds old, continuing the rotation-hygiene invariant).
-# 7 + 43 = 50. Displaced to r15: nothing stale — the next-oldest
-# cohort is the 50-row r10 set.
+# (a') 4 MORE operators new in r14's second wave (ts_stl_decompose,
+#     ns_curriculum_order, ns_minhash_est_error, sink_zorder_
+#     interleave) — a never-driver-checked operator outranks any
+#     stale-but-green gate, so these front too;
+# (b) 39 of the 43 remaining r09 rows (ns_bigram_stats ..
+#     ts_resample_ohlc below). 11 + 39 = 50. Displaced to r15: the 4
+#     alphabetically-last r09 rows (win_ntile_dist, win_percent_rank,
+#     win_topk_per_group, ts_gapfill) — they lead the r15 window.
+#     NOTE the hygiene invariant adjusts with registry size: at 254
+#     registered operators and a 50-row driver window the pigeonhole
+#     floor is ceil(254/50) = 6 rounds of rotation, so "every gate
+#     ≤4 rounds old" is no longer attainable; the invariant from r14
+#     on is "no gate older than the pigeonhole floor, never-checked
+#     operators always front, oldest cohort always drains first".
+#     All 254 are still value-checked against the oracle EVERY round
+#     by the local strict sweep (CORRECTNESS_LOCAL_r14.json).
 _ROUND14_FRONT = [
     # (a) new in r14 — first driver check
     "ns_ann_index_refresh",
@@ -60,7 +70,12 @@ _ROUND14_FRONT = [
     "ns_hard_negatives",
     "ts_acf",
     "join_interval_overlap",
-    # (b) the 43 remaining r09 rows — the oldest gates in the repo
+    # (a') new in r14 second wave — first driver check
+    "ts_stl_decompose",
+    "ns_curriculum_order",
+    "ns_minhash_est_error",
+    "sink_zorder_interleave",
+    # (b) 39 of the 43 remaining r09 rows — the oldest gates in the repo
     "ns_bigram_stats",
     "ns_cluster_kmeans",
     "ns_contamination_ngram",
@@ -99,11 +114,7 @@ _ROUND14_FRONT = [
     "stream_stateful_counter",
     "stream_static_join",
     "stream_stream_join",
-    "ts_gapfill",
     "ts_resample_ohlc",
-    "win_ntile_dist",
-    "win_percent_rank",
-    "win_topk_per_group",
 ]
 
 # Round 13 rotation (scripts/staleness.py is the mechanical input).
@@ -391,8 +402,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 250/250 as of r14
-    (the seven r14 additions compose proven fragments:
+    """DuckDB twins for EVERY registered query — 254/254 as of r14
+    (the eleven r14 additions compose proven fragments:
+    ts_stl_decompose rides exact-integer window sums with one double
+    division plus the exact-decimal davg centering;
+    ns_curriculum_order is pure integer rank arithmetic;
+    ns_minhash_est_error consumes the SAME candidate/signature CTE
+    chain as the minhash oracles with an integer agreement count on
+    top; sink_zorder_interleave's Morton key is pure integer
+    shifts/masks, bit-identical across engines;
     ns_ann_index_refresh's oracle IS _ivfpq_sql() verbatim — the
     refresh-then-serve result must equal the batch IVFADC over
     base+delta; ns_ann_recall_eval joins the shared cos_ranked and

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import dsum, query, sql_dsum, tbl
+from .registry import davg, dsum, persist_evicting, query, sql_dsum, tbl
 
 # ---------- moment-derived statistics ----------
 
@@ -1646,3 +1646,145 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_interval_coverage.__doc__ = ts_interval_coverage.__doc__.format(
     w=_COVER_WIN_S
 )
+
+
+# ---------- classical seasonal decomposition (moving-average STL) ----------
+
+_STL_SEASON = 7  # weekly period over the daily frame
+_STL_HALF = _STL_SEASON // 2
+
+
+@query(
+    "ts_stl_decompose",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, day_num, n, day_num % {_STL_SEASON} AS w,
+             SUM(n) OVER fr AS s7, COUNT(*) OVER fr AS c7
+      FROM c
+      WINDOW fr AS (PARTITION BY event_type ORDER BY day_num
+                    RANGE BETWEEN {_STL_HALF} PRECEDING
+                          AND {_STL_HALF} FOLLOWING)
+    ),
+    xt AS (
+      SELECT event_type, day_num, n, w, s7,
+             CASE WHEN c7 = {_STL_SEASON}
+                  THEN CAST(s7 AS DOUBLE) / {_STL_SEASON}.0 END AS trend
+      FROM x
+    ),
+    wm AS (
+      SELECT event_type, w,
+             (CAST(SUM(n) AS DOUBLE)
+              - CAST(SUM(s7) AS DOUBLE) / {_STL_SEASON}.0)
+               / COUNT(*) AS mean_w
+      FROM xt WHERE trend IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT event_type,
+             CAST(SUM(CAST(mean_w AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS adjust
+      FROM wm GROUP BY 1
+    )
+    SELECT xt.event_type, xt.day_num, xt.n, xt.trend,
+           wm.mean_w - adj.adjust AS seasonal,
+           (CAST(xt.n AS DOUBLE) - xt.trend)
+             - (wm.mean_w - adj.adjust) AS resid
+    FROM xt
+    LEFT JOIN wm ON wm.event_type = xt.event_type AND wm.w = xt.w
+    LEFT JOIN adj ON adj.event_type = xt.event_type
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event
+    volume per event_type (the moving-average method behind
+    statsmodels' seasonal_decompose): trend = centered 7-day moving
+    average (defined only where all 7 neighbors exist — NULL at
+    series edges and across gaps, the textbook convention); seasonal
+    = the weekday mean of the detrended series, centered so the
+    seven weekday effects sum to ~0 per type; resid = n − trend −
+    seasonal. Completes the decomposition view of the ts family:
+    ts_holt_winters MODELS level/trend/season recursively, this
+    operator MEASURES them non-parametrically — the pair is how a
+    pipeline validates a seasonal model against the data's actual
+    shape.
+
+    Determinism: the trend is one double division of an exact
+    integer window sum; the weekday mean is derived purely from
+    exact integer sums ((Σn − Σs7/7)/cnt — algebraically the mean of
+    the detrended values but computed without ever summing doubles);
+    the centering offset goes through the exact-decimal davg
+    convention; resid's two subtractions are parenthesized
+    identically in both engines. Every output bit matches the
+    DuckDB twin.
+
+    Scale: the daily frame is |types|·|days| rows at any corpus
+    size, so everything after the one map-side-combined count
+    aggregate is broadcast-sized; the frame is site-evicting-
+    persisted (tiny) so the events scan runs once, not once per
+    consumer branch."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-_STL_HALF, _STL_HALF)
+    )
+    xt = persist_evicting(
+        c.select(
+            "event_type",
+            "day_num",
+            "n",
+            (F.col("day_num") % _STL_SEASON).alias("w"),
+            F.sum("n").over(fr).alias("s7"),
+            F.count("*").over(fr).alias("c7"),
+        ).withColumn(
+            "trend",
+            F.when(
+                F.col("c7") == _STL_SEASON,
+                F.col("s7").cast("double") / float(_STL_SEASON),
+            ),
+        ),
+        "stl_daily",
+    )
+    wm = (
+        xt.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", "w")
+        .agg(
+            (
+                (
+                    F.sum("n").cast("double")
+                    - F.sum("s7").cast("double") / float(_STL_SEASON)
+                )
+                / F.count("*")
+            ).alias("mean_w")
+        )
+    )
+    adj = wm.groupBy("event_type").agg(davg("mean_w", "adjust"))
+    return (
+        xt.join(F.broadcast(wm), ["event_type", "w"], "left")
+        .join(F.broadcast(adj), "event_type", "left")
+        .select(
+            "event_type",
+            "day_num",
+            "n",
+            "trend",
+            (F.col("mean_w") - F.col("adjust")).alias("seasonal"),
+            (
+                (F.col("n").cast("double") - F.col("trend"))
+                - (F.col("mean_w") - F.col("adjust"))
+            ).alias("resid"),
+        )
+    )

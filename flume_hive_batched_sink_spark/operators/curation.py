@@ -1381,3 +1381,95 @@ def ns_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("drop_reason"),
     )
+
+
+# ---------- curriculum ordering (stratified easy-to-hard schedule) ----------
+
+_CURR_NORM = "lower(trim(text))"
+
+
+@query(
+    "ns_curriculum_order",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split({_CURR_NORM}, ' ')) AS BIGINT)
+               AS difficulty
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, lang, difficulty,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY difficulty, doc_id
+             ) AS BIGINT) AS stratum_rank
+      FROM d
+    ),
+    li AS (
+      SELECT lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY lang) AS BIGINT) AS lang_idx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_langs
+      FROM (SELECT DISTINCT lang FROM d) t
+    )
+    SELECT rk.doc_id, rk.lang, rk.difficulty, rk.stratum_rank,
+           (rk.stratum_rank - 1) * li.n_langs + (li.lang_idx - 1)
+             AS curriculum_key
+    FROM rk JOIN li ON li.lang = rk.lang
+    """,
+)
+def ns_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum schedule over the corpus: rank every
+    document within its language stratum by a difficulty proxy
+    (token count — short docs first, the curriculum-learning
+    convention), then emit a GLOBAL interleave key
+    `curriculum_key = (stratum_rank−1)·|langs| + lang_idx` — a strict
+    total order that round-robins the strata (the first |langs|
+    positions are each stratum's easiest doc, the next |langs| the
+    second-easiest, …), so a trainer consuming the corpus in key
+    order sees difficulty rise monotonically per stratum while the
+    language mixture stays balanced batch-over-batch. This is the
+    ordering step a training-data pipeline runs between curation and
+    sharding (curriculum learning / mixture-balanced epochs).
+
+    Scale: NO global row_number — the total order is ARITHMETIC over
+    (per-stratum rank, broadcast lang index), so the only full-data
+    window is partitioned by lang (the stratum shuffle a 100 TB run
+    needs anyway; a skewed mega-stratum salts like any window). The
+    lang index frame is |langs| rows, broadcast. Writing the
+    schedule out is then repartitionByRange(curriculum_key) — a
+    total ordering with no single-task sort. All columns are exact
+    integers — hash-gated trivially."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("bigint")
+        .alias("difficulty"),
+    )
+    rk = d.withColumn(
+        "stratum_rank",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("difficulty", "doc_id"))
+        .cast("bigint"),
+    )
+    langs = d.select("lang").distinct()
+    li = langs.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("lang"))
+        .cast("bigint")
+        .alias("lang_idx"),
+        F.count("*")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("bigint")
+        .alias("n_langs"),
+    )
+    return rk.join(F.broadcast(li), "lang").select(
+        "doc_id",
+        "lang",
+        "difficulty",
+        "stratum_rank",
+        (
+            (F.col("stratum_rank") - 1) * F.col("n_langs")
+            + (F.col("lang_idx") - 1)
+        ).alias("curriculum_key"),
+    )

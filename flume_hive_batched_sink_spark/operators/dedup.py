@@ -1446,3 +1446,124 @@ def ns_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ns_dedup_fuzzy.__doc__ = ns_dedup_fuzzy.__doc__.format(
     p=_FUZZY_PREFIX, d=_FUZZY_DENOM
 )
+
+
+# ---------- MinHash estimator calibration ----------
+
+
+def _minhash_est_oracle_sql() -> str:
+    """DuckDB twin of ns_minhash_est_error: the shared candidate CTE
+    chain (which already defines `sig` with the 16 minhash columns),
+    then per-pair signature agreement vs exact shingle Jaccard.
+    n_agree is an integer count, est_jaccard one fixed division by
+    N_HASHES, jaccard the same exact division the minhash verify
+    uses — every column replays bit-exactly."""
+    agree = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_minhash_cand_sql_ctes()}, shs AS (
+      SELECT doc_id, list_distinct({_sh_list_sql()}) AS sh FROM documents
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST({agree} AS DOUBLE) / {N_HASHES} AS est_jaccard,
+           CAST(len(list_intersect(sx.sh, sy.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sx.sh, sy.sh))) AS jaccard,
+           abs(CAST({agree} AS DOUBLE) / {N_HASHES}
+               - CAST(len(list_intersect(sx.sh, sy.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sx.sh, sy.sh))))
+             AS abs_err
+    FROM cand
+    JOIN sig x ON x.doc_id = cand.doc_a
+    JOIN sig y ON y.doc_id = cand.doc_b
+    JOIN shs sx ON sx.doc_id = cand.doc_a
+    JOIN shs sy ON sy.doc_id = cand.doc_b
+    """
+
+
+@query("ns_minhash_est_error", _minhash_est_oracle_sql())
+def ns_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every banded-LSH candidate
+    pair, the sketch's Jaccard ESTIMATE (fraction of the 16 minhash
+    slots that agree — the unbiased estimator the sketch exists to
+    provide) beside the EXACT shingle Jaccard and their absolute
+    error. This is the eval an operator team runs before trusting a
+    sketch at 100 TB: the per-pair error distribution tells you
+    whether k=16 suffices for your dedup threshold or the signature
+    needs widening (stderr ≈ sqrt(J(1−J)/k)), the same
+    index-trust pattern as ns_ann_recall_eval for the IVF path.
+
+    Spark form: ONE persisted signature aggregate feeds both the
+    banding self-join (the same band derivation minhash_candidates
+    uses, from the same minhash_sig_wide frame) and the per-pair
+    agreement count; exact Jaccard recomputes shingles only for
+    candidate docs via the same semi-join ns_dedup_minhash uses.
+    No all-pairs product anywhere — candidates bound every join.
+
+    Determinism: n_agree is an integer count over bit-identical
+    signatures (md5-derived _h32 base hash), est_jaccard and jaccard
+    are single divisions of exact integers, abs_err one subtraction
+    of those two quotients — all four replay bit-exactly in the
+    DuckDB twin, which consumes the SAME candidate/signature CTE
+    chain as the minhash/fuzzy oracles."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    # one persisted signature frame feeds the band self-join AND the
+    # per-pair agreement count (minhash_candidates would rebuild and
+    # drop its own copy, doubling the md5/minhash pass — the one
+    # genuinely expensive stage of this operator)
+    sig = persist_evicting(minhash_sig_wide(d), "minhash_est_sig")
+    bands = minhash_bands_from_sig(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ).cast("bigint")
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    sh = d.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", shingles(_norm_col()).alias("sh")
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    est = F.col("n_agree").cast("double") / F.lit(float(N_HASHES))
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("n_agree", n_agree)
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.abs(est - jac).alias("abs_err"),
+        )
+    )

@@ -986,3 +986,104 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").cast("bigint").alias("min_part"),
         F.max("l_partkey").cast("bigint").alias("max_part"),
     )
+
+
+# ---------- z-order (bit-interleaved) multi-dimension layout ----------
+
+_Z_BITS = 4  # per-dimension resolution: 4+4 bits -> 8-bit z key
+
+
+def _z_terms_sql(xcol: str, ycol: str) -> str:
+    """DuckDB twin of the z-value: interleave the low 8 bits of two
+    bucket coordinates (x on even bit positions, y on odd). Pure
+    integer shifts/masks — bit-identical across engines."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _z_col(xcol: str, ycol: str) -> F.Column:
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z + F.shiftright(F.col(xcol), i).bitwiseAND(F.lit(1)) * (
+            1 << (2 * i)
+        )
+        z = z + F.shiftright(F.col(ycol), i).bitwiseAND(F.lit(1)) * (
+            1 << (2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "sink_zorder_interleave",
+    f"""
+    WITH z AS (
+      SELECT user_id % 16 AS ux,
+             (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400) % 16 AS dy,
+             user_id
+      FROM events
+    ),
+    zz AS (
+      SELECT user_id, ux, dy, {_z_terms_sql('ux', 'dy')} AS zval
+      FROM z
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           CAST(MIN(zval) AS BIGINT) AS min_z,
+           CAST(MAX(zval) AS BIGINT) AS max_z,
+           CAST(MIN(dy) AS BIGINT) AS min_dy,
+           CAST(MAX(dy) AS BIGINT) AS max_dy
+    FROM zz WHERE ux BETWEEN 4 AND 7
+    """,
+)
+def sink_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout for MULTI-dimension
+    scan skipping — the two-key generalization of
+    sink_sorted_layout's single-key sort: bucket coordinates ux =
+    user_id mod 16 and dy = epoch-day mod 16 are bit-INTERLEAVED
+    into an 8-bit z key (x on even, y on odd bit positions — a
+    coarse bucket mod keeps every coordinate populated even on the
+    15-user sf0.001 fixture; production would widen _Z_BITS with the
+    key cardinality), events
+    are rewritten range-partitioned + sorted by z with small row
+    groups, and the file is read back through a selective one-dim
+    predicate (ux BETWEEN 4 AND 7). Because the Morton curve keeps
+    both coordinates locally bounded inside every z range, each row
+    group's min/max footer stats are narrow on BOTH stored bucket
+    columns — so predicates on EITHER dimension skip row groups,
+    which a single-column sort gives only its leading key. This is
+    the standard lakehouse layout move (Delta/Iceberg OPTIMIZE
+    ZORDER BY) for 100 TB tables with two hot filter keys; the z
+    computation is pure integer shifts/masks, identical in the
+    DuckDB twin, and the layout property (matching rows concentrate
+    in a strict subset of files vs ALL files under the natural
+    order) is pinned by a test over `_metadata.file_name`."""
+    ev = tbl(spark, sf_dir, "events")
+    zz = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") % 16).alias("ux"),
+        (
+            (F.floor(F.col("ts").cast("long") / 86400).cast("bigint")) % 16
+        ).alias("dy"),
+    ).withColumn("zval", _z_col("ux", "dy"))
+    out = os.path.join(SCRATCH, "zorder_layout")
+    (
+        zz.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("ux").between(4, 7))
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("sum_uid"),
+        F.min("zval").cast("bigint").alias("min_z"),
+        F.max("zval").cast("bigint").alias("max_z"),
+        F.min("dy").cast("bigint").alias("min_dy"),
+        F.max("dy").cast("bigint").alias("max_dy"),
+    )

@@ -4880,3 +4880,140 @@ def test_hard_negatives_band_rule(spark):
             key=lambda t: (-t[0], t[1]),
         )
         assert got == want
+
+
+def test_zorder_layout_skips_both_dims(spark):
+    """sink_zorder_interleave's reason to exist: under the z-order
+    layout, a selective one-dimensional predicate on EITHER bucket
+    coordinate touches only a strict subset of output files, while
+    the z key itself round-trips its two coordinates (bit
+    de-interleave recovers ux and dy exactly)."""
+    import os
+
+    from flume_hive_batched_sink_spark.operators.scans import _Z_BITS
+    from flume_hive_batched_sink_spark.scratch import SCRATCH
+
+    QUERIES["sink_zorder_interleave"](spark, SF_SMALL).collect()
+    root = os.path.join(SCRATCH, "zorder_layout")
+    back = spark.read.parquet(root)
+    n_files = back.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert n_files >= 4, f"want multiple z-partition files, got {n_files}"
+
+    for col in ("ux", "dy"):
+        hit = (
+            back.filter(F.col(col).between(4, 7))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert 0 < hit < n_files, (
+            f"z-order should concentrate {col}-range rows in a strict "
+            f"subset of files: {hit}/{n_files}"
+        )
+
+    # bit round-trip: de-interleave zval -> (ux, dy) exactly
+    rows = back.select("ux", "dy", "zval").limit(500).collect()
+    for r in rows:
+        ux = sum(((r.zval >> (2 * i)) & 1) << i for i in range(_Z_BITS))
+        dy = sum(((r.zval >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
+        assert (ux, dy) == (r.ux, r.dy)
+
+
+def test_stl_decompose_identity_and_centering(spark):
+    """ts_stl_decompose invariants: (1) wherever trend is defined,
+    trend + seasonal + resid reconstructs n exactly (additive
+    identity, float-assoc tolerance); (2) trend is NULL exactly
+    where the centered 7-day window is incomplete (series edges /
+    gaps); (3) per type, the seven weekday effects sum to ~0 (the
+    centering step's contract)."""
+    from collections import defaultdict
+
+    rows = QUERIES["ts_stl_decompose"](spark, SF_SMALL).collect()
+    assert rows
+    days = defaultdict(set)
+    for r in rows:
+        days[r.event_type].add(r.day_num)
+    season = defaultdict(dict)
+    for r in rows:
+        if r.trend is not None:
+            assert (
+                abs((r.trend + r.seasonal + r.resid) - r.n) < 1e-6
+            ), r
+            season[r.event_type][r.day_num % 7] = r.seasonal
+        complete = all(
+            (r.day_num + d) in days[r.event_type] for d in range(-3, 4)
+        )
+        assert complete == (r.trend is not None), r
+    for et, eff in season.items():
+        if len(eff) == 7:
+            # the centering offset goes through davg's exact
+            # DECIMAL(28,6) convention, so each of the 7 effects
+            # carries up to 0.5e-6 of quantization — bound the sum
+            # by 7 half-ulps, not float epsilon
+            assert abs(sum(eff.values())) < 5e-6, (et, eff)
+
+
+def test_curriculum_order_interleave(spark):
+    """ns_curriculum_order contract: curriculum_key is a strict
+    total order (globally unique); within every language stratum,
+    difficulty is non-decreasing along the key; and the first
+    |langs| keys hit |langs| distinct languages (round-robin
+    balance at the head of the schedule)."""
+    from collections import defaultdict
+
+    rows = QUERIES["ns_curriculum_order"](spark, SF_SMALL).collect()
+    keys = [r.curriculum_key for r in rows]
+    assert len(keys) == len(set(keys))
+    langs = {r.lang for r in rows}
+    by_lang = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.curriculum_key):
+        by_lang[r.lang].append(r.difficulty)
+    for lang, seq in by_lang.items():
+        assert all(a <= b for a, b in zip(seq, seq[1:])), lang
+    head = sorted(rows, key=lambda r: r.curriculum_key)[: len(langs)]
+    assert {r.lang for r in head} == langs
+
+
+def test_minhash_est_error_planted_twin(spark):
+    """ns_minhash_est_error calibration sanity on the real corpus:
+    every estimate is n_agree/16 with n_agree in [0, 16]; abs_err
+    is exactly |est − jaccard|; and a planted EXACT duplicate pair
+    (same normalized text ⇒ identical signatures and shingle sets)
+    reports n_agree = 16, est = jaccard = 1, abs_err = 0 — if the
+    sketch can't score a verbatim copy perfectly, nothing about its
+    error curve is trustworthy."""
+    from flume_hive_batched_sink_spark.operators.dedup import N_HASHES
+
+    rows = QUERIES["ns_minhash_est_error"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= N_HASHES
+        assert abs(r.est_jaccard - r.n_agree / N_HASHES) < 1e-12
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-12
+        if r.jaccard == 1.0:
+            assert r.n_agree == N_HASHES and r.est_jaccard == 1.0
+
+    # planted verbatim twin (the small fixtures carry no exact-dup
+    # text, so plant one): identical normalized text must produce 16
+    # bit-identical signature slots — the n_agree=16 ⇒ est=1 path
+    from flume_hive_batched_sink_spark.operators.dedup import (
+        minhash_sig_wide,
+    )
+
+    twin = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, twin), (2, "  " + twin.upper() + " "), (3, "something else "
+          "entirely different words here that share no shingle at all")],
+        "doc_id bigint, text string",
+    )
+    sig = {r["doc_id"]: r for r in minhash_sig_wide(docs).collect()}
+    agree12 = sum(
+        sig[1][f"m{i}"] == sig[2][f"m{i}"] for i in range(N_HASHES)
+    )
+    agree13 = sum(
+        sig[1][f"m{i}"] == sig[3][f"m{i}"] for i in range(N_HASHES)
+    )
+    assert agree12 == N_HASHES
+    assert agree13 < N_HASHES
