@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 254 queries are registered (SURVEY §2 Part B, which matches the
+# 261 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 254
+# tests/test_properties.py::test_survey_registry_lockstep); all 261
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -49,10 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_curriculum_order, ns_minhash_est_error, sink_zorder_
 #     interleave) — a never-driver-checked operator outranks any
 #     stale-but-green gate, so these front too;
-# (b) 39 of the 43 remaining r09 rows (ns_bigram_stats ..
-#     ts_resample_ohlc below). 11 + 39 = 50. Displaced to r15: the 4
-#     alphabetically-last r09 rows (win_ntile_dist, win_percent_rank,
-#     win_topk_per_group, ts_gapfill) — they lead the r15 window.
+# (a'') 7 MORE in the third/fourth waves (graph_pagerank,
+#     graph_bfs_reach, graph_butterfly_count, ts_seasonal_strength,
+#     ts_xcorr, ts_forecast_backtest, ns_verbatim_mask) — same rule;
+# (b) 32 of the 43 remaining r09 rows (ns_bigram_stats ..
+#     sink_compact_small_files below). 18 + 32 = 50. Displaced to
+#     r15: the 11 tail r09 rows (sink_overwrite_dynamic,
+#     sink_sorted_layout, stream_dedup_bloom, stream_stateful_counter,
+#     stream_static_join, stream_stream_join, ts_gapfill,
+#     ts_resample_ohlc, win_ntile_dist, win_percent_rank,
+#     win_topk_per_group) — they lead the r15 window.
 #     NOTE the hygiene invariant adjusts with registry size: at 254
 #     registered operators and a 50-row driver window the pigeonhole
 #     floor is ceil(254/50) = 6 rounds of rotation, so "every gate
@@ -75,7 +81,15 @@ _ROUND14_FRONT = [
     "ns_curriculum_order",
     "ns_minhash_est_error",
     "sink_zorder_interleave",
-    # (b) 39 of the 43 remaining r09 rows — the oldest gates in the repo
+    # (a'') new in r14 third wave — first driver check
+    "graph_pagerank",
+    "graph_bfs_reach",
+    "ts_seasonal_strength",
+    "ts_xcorr",
+    "ns_verbatim_mask",
+    "ts_forecast_backtest",
+    "graph_butterfly_count",
+    # (b) 32 of the 43 remaining r09 rows — the oldest gates in the repo
     "ns_bigram_stats",
     "ns_cluster_kmeans",
     "ns_contamination_ngram",
@@ -108,13 +122,6 @@ _ROUND14_FRONT = [
     "scan_static_prune",
     "set_except",
     "sink_compact_small_files",
-    "sink_overwrite_dynamic",
-    "sink_sorted_layout",
-    "stream_dedup_bloom",
-    "stream_stateful_counter",
-    "stream_static_join",
-    "stream_stream_join",
-    "ts_resample_ohlc",
 ]
 
 # Round 13 rotation (scripts/staleness.py is the mechanical input).
@@ -402,8 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 254/254 as of r14
-    (the eleven r14 additions compose proven fragments:
+    """DuckDB twins for EVERY registered query — 261/261 as of r14
+    (the eighteen r14 additions compose proven fragments:
     ts_stl_decompose rides exact-integer window sums with one double
     division plus the exact-decimal davg centering;
     ns_curriculum_order is pure integer rank arithmetic;

