@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 261 queries are registered (SURVEY §2 Part B, which matches the
+# 263 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 261
+# tests/test_properties.py::test_survey_registry_lockstep); all 263
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -49,15 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_curriculum_order, ns_minhash_est_error, sink_zorder_
 #     interleave) — a never-driver-checked operator outranks any
 #     stale-but-green gate, so these front too;
-# (a'') 7 MORE in the third/fourth waves (graph_pagerank,
-#     graph_bfs_reach, graph_butterfly_count, ts_seasonal_strength,
-#     ts_xcorr, ts_forecast_backtest, ns_verbatim_mask) — same rule;
-# (b) 32 of the 43 remaining r09 rows (ns_bigram_stats ..
-#     sink_compact_small_files below). 18 + 32 = 50. Displaced to
-#     r15: the 11 tail r09 rows (sink_overwrite_dynamic,
-#     sink_sorted_layout, stream_dedup_bloom, stream_stateful_counter,
-#     stream_static_join, stream_stream_join, ts_gapfill,
-#     ts_resample_ohlc, win_ntile_dist, win_percent_rank,
+# (a'') 9 MORE in the third/fourth/fifth waves (graph_pagerank,
+#     graph_bfs_reach, graph_butterfly_count, graph_node_similarity,
+#     ts_seasonal_strength, ts_xcorr, ts_forecast_backtest,
+#     ns_verbatim_mask, ns_embedding_drift) — same rule;
+# (b) 30 of the 43 remaining r09 rows (ns_bigram_stats ..
+#     scan_static_prune below). 20 + 30 = 50. Displaced to r15: the
+#     13 tail r09 rows (set_except, sink_compact_small_files,
+#     sink_overwrite_dynamic, sink_sorted_layout, stream_dedup_bloom,
+#     stream_stateful_counter, stream_static_join, stream_stream_join,
+#     ts_gapfill, ts_resample_ohlc, win_ntile_dist, win_percent_rank,
 #     win_topk_per_group) — they lead the r15 window.
 #     NOTE the hygiene invariant adjusts with registry size: at 254
 #     registered operators and a 50-row driver window the pigeonhole
@@ -89,7 +90,9 @@ _ROUND14_FRONT = [
     "ns_verbatim_mask",
     "ts_forecast_backtest",
     "graph_butterfly_count",
-    # (b) 32 of the 43 remaining r09 rows — the oldest gates in the repo
+    "graph_node_similarity",
+    "ns_embedding_drift",
+    # (b) 30 of the 43 remaining r09 rows — the oldest gates in the repo
     "ns_bigram_stats",
     "ns_cluster_kmeans",
     "ns_contamination_ngram",
@@ -120,8 +123,6 @@ _ROUND14_FRONT = [
     "scan_file_lineage",
     "scan_schema_evolution",
     "scan_static_prune",
-    "set_except",
-    "sink_compact_small_files",
 ]
 
 # Round 13 rotation (scripts/staleness.py is the mechanical input).
@@ -409,7 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 261/261 as of r14
+    """DuckDB twins for EVERY registered query — 263/263 as of r14
     (the eighteen r14 additions compose proven fragments:
     ts_stl_decompose rides exact-integer window sums with one double
     division plus the exact-decimal davg centering;

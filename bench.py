@@ -189,6 +189,11 @@ HEADLINE = [
     # and the Holt-Winters one-step backtest.
     "graph_butterfly_count",
     "ts_forecast_backtest",
+    # round 14 fifth wave: neighborhood similarity coefficients over
+    # the shared capped pair list, and the per-label centroid drift
+    # monitor (the heavier plan: two posexplode aggregates).
+    "graph_node_similarity",
+    "ns_embedding_drift",
 ]
 
 # Frozen-prefix boundaries (round → prefix length). bench_best.py

@@ -273,9 +273,36 @@ graph_bfs_reach.__doc__ = graph_bfs_reach.__doc__.format(
 _BFLY_DEG_CAP = 256
 
 
-def _bfly_sql() -> str:
-    return f"""
-    WITH ed AS (
+def capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_edc_sql_ctes`'s edc: the distinct bipartite
+    (cnode, snode) pair list with hub customers (degree >
+    _BFLY_DEG_CAP) removed. Shared by graph_butterfly_count and
+    graph_node_similarity."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _EDGE_QTY)
+        .select("l_orderkey", "l_suppkey")
+    )
+    ed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    degc = ed.groupBy("cnode").agg(F.count("*").alias("deg"))
+    return ed.join(
+        degc.filter(F.col("deg") <= _BFLY_DEG_CAP).select("cnode"),
+        "cnode",
+    )
+
+
+# Shared capped-bipartite-pair CTE chain (ed → customer degree cap →
+# edc) — interpolated by the butterfly and node-similarity oracles.
+def _edc_sql_ctes() -> str:
+    return f"""ed AS (
       SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity >= {_EDGE_QTY}
@@ -286,7 +313,12 @@ def _bfly_sql() -> str:
     edc AS (
       SELECT ed.* FROM ed JOIN degc ON degc.cnode = ed.cnode
       WHERE degc.deg <= {_BFLY_DEG_CAP}
-    ),
+    )"""
+
+
+def _bfly_sql() -> str:
+    return f"""
+    WITH {_edc_sql_ctes()},
     w AS (
       SELECT a.snode AS s1, b.snode AS s2,
              CAST(COUNT(*) AS BIGINT) AS n_common
@@ -320,25 +352,7 @@ def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, so parity is unconditional). Integer arithmetic end to
     end; n·(n−1) is even, so the halved division is exact.
     """
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _EDGE_QTY)
-        .select("l_orderkey", "l_suppkey")
-    )
-    ed = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    degc = ed.groupBy("cnode").agg(F.count("*").alias("deg"))
-    edc = ed.join(
-        degc.filter(F.col("deg") <= _BFLY_DEG_CAP).select("cnode"),
-        "cnode",
-    )
+    edc = capped_pairs(spark, sf_dir)
     a = edc.select("cnode", F.col("snode").alias("s1"))
     b = edc.select("cnode", F.col("snode").alias("s2"))
     w = (
@@ -355,4 +369,93 @@ def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         ((nc * (nc - F.lit(1))) / F.lit(2)).cast("bigint")
         .alias("n_butterflies"),
+    )
+
+
+# ---------- neighborhood similarity (link-prediction primitives) ----------
+
+
+def _nodesim_sql() -> str:
+    return f"""
+    WITH {_edc_sql_ctes()},
+    degs AS (
+      SELECT snode, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edc GROUP BY snode
+    ),
+    w AS (
+      SELECT a.snode AS s1, b.snode AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM edc a JOIN edc b
+        ON a.cnode = b.cnode AND a.snode < b.snode
+      GROUP BY 1, 2
+    )
+    SELECT w.s1 // 2 AS supp_a, w.s2 // 2 AS supp_b,
+           w.n_common, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(w.n_common AS DOUBLE)
+             / (da.deg + db.deg - w.n_common) AS jaccard,
+           CAST(w.n_common AS DOUBLE)
+             / least(da.deg, db.deg) AS overlap_coef,
+           CAST(w.n_common AS DOUBLE)
+             / sqrt(CAST(da.deg * db.deg AS DOUBLE)) AS cosine
+    FROM w
+    JOIN degs da ON da.snode = w.s1
+    JOIN degs db ON db.snode = w.s2
+    """
+
+
+@query("graph_node_similarity", _nodesim_sql())
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-set similarity between supplier pairs sharing at
+    least one customer — the three standard link-prediction /
+    entity-resolution primitives over the co-purchase graph: Jaccard
+    |A∩B|/|A∪B|, overlap coefficient |A∩B|/min(|A|,|B|), and
+    set-cosine |A∩B|/√(|A|·|B|) of the customer neighborhoods. The
+    graded companion to graph_butterfly_count's motif census: the
+    butterfly count says HOW MUCH cohesion a pair has in absolute
+    terms, these coefficients normalize it by degree (a 2-customer
+    niche pair with full overlap outranks a hub pair sharing 2 of
+    200). Degrees and commons both come from the SAME degree-capped
+    pair list (_edc_sql_ctes / capped_pairs — one definition each
+    side), so the coefficients are internally consistent.
+
+    Determinism: counts are exact integers from the shared wedge
+    join; each coefficient is one double division (cosine adds one
+    exact integer product and one correctly-rounded sqrt) —
+    bit-equal both engines.
+
+    Scale: identical wedge bound to graph_butterfly_count
+    (Σ_c C(deg(c), 2) with the per-customer cap); the degree frame
+    is |suppliers| rows, broadcast into the final joins."""
+    edc = capped_pairs(spark, sf_dir)
+    degs = edc.groupBy("snode").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    a = edc.select("cnode", F.col("snode").alias("s1"))
+    b = edc.select("cnode", F.col("snode").alias("s2"))
+    w = (
+        a.join(b, "cnode")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    da = degs.select(F.col("snode").alias("s1"), F.col("deg").alias("deg_a"))
+    db = degs.select(F.col("snode").alias("s2"), F.col("deg").alias("deg_b"))
+    nc = F.col("n_common").cast("double")
+    return (
+        w.join(F.broadcast(da), "s1")
+        .join(F.broadcast(db), "s2")
+        .select(
+            F.shiftright("s1", 1).alias("supp_a"),
+            F.shiftright("s2", 1).alias("supp_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (nc / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")))
+            .alias("jaccard"),
+            (nc / F.least("deg_a", "deg_b")).alias("overlap_coef"),
+            (
+                nc
+                / F.sqrt((F.col("deg_a") * F.col("deg_b")).cast("double"))
+            ).alias("cosine"),
+        )
     )

@@ -2221,3 +2221,97 @@ def ns_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, neighbor_id long, mmr_score double, "
         "mmr_rank long",
     )
+
+
+# ---------- per-label centroid drift (embedding-space monitoring) ----------
+
+
+@query(
+    "ns_embedding_drift",
+    """
+    WITH ex AS (
+      SELECT e.label, i.i AS dim, CAST(e.embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    pc AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY 1, 2
+    ),
+    gc AS (
+      SELECT dim,
+             CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY 1
+    ),
+    d AS (
+      SELECT pc.label, pc.n,
+             (pc.s / pc.n - gc.s / gc.n)
+               * (pc.s / pc.n - gc.s / gc.n) AS sq,
+             gc.n AS n_total
+      FROM pc JOIN gc ON gc.dim = pc.dim
+    )
+    SELECT label, MAX(n) AS n,
+           CAST(MAX(n) AS DOUBLE) / MAX(n_total) AS share,
+           sqrt(CAST(SUM(CAST(CAST(sq AS VARCHAR) AS DECIMAL(38,12)))
+                     AS DOUBLE)) AS centroid_l2
+    FROM d GROUP BY label
+    """,
+)
+def ns_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space drift monitor — the slice-level
+    companion to ns_embedding_profile's per-dimension stats: for
+    every label (data slice), its row count, corpus share, and the
+    L2 distance between the slice centroid and the GLOBAL centroid.
+    This is the monitoring read a training pipeline runs per
+    ingestion batch: a slice whose centroid_l2 jumps between
+    snapshots has distribution shift in embedding space (new content
+    regime, encoder drift, upstream corruption) long before any
+    label-count monitor fires; share catches sampling drift in the
+    same pass.
+
+    Determinism: per-(label, dim) and per-dim sums are exact decimal
+    (VARCHAR-routed in the oracle, the _SQL_DOT convention); each
+    centroid coordinate is one double division of those bit-equal
+    sums; the squared diff is row-level IEEE; the 64-term distance
+    sum is an UNORDERED exact-decimal aggregate (order-independent
+    by construction) under one correctly-rounded sqrt.
+
+    Scale: one posexplode pass → 64·|labels| and 64-row aggregates
+    with map-side partials — the shuffle carries only dim-keyed
+    partial sums regardless of corpus size; everything after is
+    broadcast-sized."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    ex = em.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    pc = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    gc = ex.groupBy("dim").agg(
+        F.sum(F.col("v").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("gs"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    diff = F.col("s") / F.col("n") - F.col("gs") / F.col("n_total")
+    d = pc.join(F.broadcast(gc), "dim").select(
+        "label", "n", "n_total", (diff * diff).alias("sq")
+    )
+    return d.groupBy("label").agg(
+        F.max("n").alias("n"),
+        (F.max("n").cast("double") / F.max("n_total")).alias("share"),
+        F.sqrt(
+            F.sum(F.col("sq").cast("decimal(38,12)")).cast("double")
+        ).alias("centroid_l2"),
+    )

@@ -1042,6 +1042,65 @@ def plan_checks(spark, sf_dir: str) -> list[dict]:
         "pool rank and re-rank both push into WindowGroupLimit",
         n_wgl >= 2,
         f"wgl={n_wgl}")
+
+    # graph_pagerank (r14): the edge list must be persisted ONCE and
+    # every iteration's join read it from cache — the plan shows one
+    # InMemoryTableScan per edge consumption and the raw
+    # lineitem/orders scans only inside the cached relation build,
+    # and the iteration joins are hash joins, never BNLJ.
+    p = _executed(ops.QUERIES["graph_pagerank"](spark, sf_dir))
+    n_imts = p.count("InMemoryTableScan")
+    bad = ("BroadcastNestedLoopJoin" in p) or ("CartesianProduct" in p)
+    add("graph_pagerank",
+        "iterations reuse the cached edge list (>=3 InMemoryTableScans)"
+        " and all rank joins are hash joins (0 BNLJ/cartesian)",
+        n_imts >= 3 and not bad,
+        f"imts={n_imts}, bnlj_or_cartesian={bad}")
+
+    # graph_butterfly_count (r14): wedge enumeration must be ONE
+    # hash-keyed self-join on cnode — no nested-loop supplier-pair
+    # explosion.
+    p = _executed(ops.QUERIES["graph_butterfly_count"](spark, sf_dir))
+    bad = ("BroadcastNestedLoopJoin" in p) or ("CartesianProduct" in p)
+    add("graph_butterfly_count",
+        "wedge self-join is hash-keyed on cnode (0 BNLJ/cartesian)",
+        not bad and "cnode" in p,
+        f"bnlj_or_cartesian={bad}, cnode_key={'cnode' in p}")
+
+    # sink_zorder_interleave (r14): the z-layout readback must reach
+    # parquet with the ux predicate pushed (row-group skipping on a
+    # NON-leading interleaved dimension is the operator's point).
+    p = _executed(ops.QUERIES["sink_zorder_interleave"](spark, sf_dir))
+    pushed = ""
+    if "PushedFilters: [" in p:
+        pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    add("sink_zorder_interleave",
+        "z-layout readback pushes the ux range predicate to parquet",
+        "ux" in pushed,
+        f"PushedFilters=[{pushed[:120]}]")
+
+    # ts_xcorr (r14): the lag-aligned pair join must be an equi join
+    # on the computed day key with the type inequality as a residual
+    # filter — not a nested-loop over the daily frames.
+    p = _executed(ops.QUERIES["ts_xcorr"](spark, sf_dir))
+    bad = ("BroadcastNestedLoopJoin" in p) or ("CartesianProduct" in p)
+    add("ts_xcorr",
+        "lag-aligned pair join is equi on the day key "
+        "(0 BNLJ/cartesian)",
+        not bad,
+        f"bnlj_or_cartesian={bad}")
+
+    # ns_verbatim_mask (r14): candidate + gram + anti-join chain all
+    # hash-keyed (0 BNLJ/cartesian), and the token re-assembly is a
+    # keyed aggregate (SortAggregate/ObjectHashAggregate over
+    # doc_id), not a global collect.
+    p = _executed(ops.QUERIES["ns_verbatim_mask"](spark, sf_dir))
+    bad = ("BroadcastNestedLoopJoin" in p) or ("CartesianProduct" in p)
+    n_join = sum("Join" in _node(ln) for ln in p.splitlines())
+    add("ns_verbatim_mask",
+        "excision chain is hash-keyed end to end (0 BNLJ/cartesian)",
+        (not bad) and n_join >= 3,
+        f"bnlj_or_cartesian={bad}, joins={n_join}")
     return checks
 
 

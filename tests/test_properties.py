@@ -5242,3 +5242,68 @@ def test_butterfly_matches_python_replay(spark):
         ).collect()
     }
     assert got == want and want
+
+
+def test_node_similarity_matches_replay(spark):
+    """graph_node_similarity: exact n_common/degree replay from the
+    shared capped pair list, the three coefficients recomputed
+    driver-side, and the standard ordering overlap_coef >= cosine >=
+    jaccard on every row."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from flume_hive_batched_sink_spark.operators.graph import (
+        capped_pairs,
+    )
+
+    by_cust = defaultdict(set)
+    deg = defaultdict(int)
+    for r in capped_pairs(spark, SF_SMALL).collect():
+        by_cust[r.cnode].add(r.snode)
+        deg[r.snode] += 1
+    common = defaultdict(int)
+    for supps in by_cust.values():
+        for s1, s2 in combinations(sorted(supps), 2):
+            common[(s1, s2)] += 1
+    rows = QUERIES["graph_node_similarity"](spark, SF_SMALL).collect()
+    got = {(r.supp_a * 2 + 1, r.supp_b * 2 + 1): r for r in rows}
+    assert set(got) == set(common)
+    for (s1, s2), r in got.items():
+        c = common[(s1, s2)]
+        assert (r.n_common, r.deg_a, r.deg_b) == (c, deg[s1], deg[s2])
+        assert abs(r.jaccard - c / (deg[s1] + deg[s2] - c)) < 1e-12
+        assert abs(r.overlap_coef - c / min(deg[s1], deg[s2])) < 1e-12
+        assert abs(r.cosine - c / (deg[s1] * deg[s2]) ** 0.5) < 1e-12
+        assert (
+            r.overlap_coef >= r.cosine - 1e-12
+            and r.cosine >= r.jaccard - 1e-12
+        )
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """ns_embedding_drift vs a numpy replay: shares sum to 1 and
+    per-label centroid distances match the straightforward
+    mean-vector computation (float tolerance; the oracle holds the
+    bit-exact line)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    vecs = defaultdict(list)
+    for r in load_table(spark, SF_SMALL, "embeddings").collect():
+        vecs[r.label].append(np.array(r.embedding, dtype=np.float64))
+    allv = np.array([v for vs in vecs.values() for v in vs])
+    gc = allv.mean(axis=0)
+    out = {
+        r.label: r
+        for r in QUERIES["ns_embedding_drift"](spark, SF_SMALL).collect()
+    }
+    assert set(out) == set(vecs)
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-9
+    for label, vs in vecs.items():
+        r = out[label]
+        assert r.n == len(vs)
+        want = float(np.linalg.norm(np.mean(vs, axis=0) - gc))
+        assert abs(r.centroid_l2 - want) < 1e-6, (label, r, want)
