@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() per round.
-# 263 queries are registered (SURVEY §2 Part B, which matches the
+# 265 queries are registered (SURVEY §2 Part B, which matches the
 # registry exactly in both directions — pinned by
-# tests/test_properties.py::test_survey_registry_lockstep); all 263
+# tests/test_properties.py::test_survey_registry_lockstep); all 265
 # carry exact DuckDB oracles and the local sweep value-equal-gates
 # every one each round.
 #
@@ -49,16 +49,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ns_curriculum_order, ns_minhash_est_error, sink_zorder_
 #     interleave) — a never-driver-checked operator outranks any
 #     stale-but-green gate, so these front too;
-# (a'') 9 MORE in the third/fourth/fifth waves (graph_pagerank,
+# (a'') 11 MORE in waves three through six (graph_pagerank,
 #     graph_bfs_reach, graph_butterfly_count, graph_node_similarity,
 #     ts_seasonal_strength, ts_xcorr, ts_forecast_backtest,
-#     ns_verbatim_mask, ns_embedding_drift) — same rule;
-# (b) 30 of the 43 remaining r09 rows (ns_bigram_stats ..
-#     scan_static_prune below). 20 + 30 = 50. Displaced to r15: the
-#     13 tail r09 rows (set_except, sink_compact_small_files,
-#     sink_overwrite_dynamic, sink_sorted_layout, stream_dedup_bloom,
-#     stream_stateful_counter, stream_static_join, stream_stream_join,
-#     ts_gapfill, ts_resample_ohlc, win_ntile_dist, win_percent_rank,
+#     ns_verbatim_mask, ns_embedding_drift, ns_linear_probe,
+#     ns_centroid_classifier) — same rule;
+# (b) 28 of the 43 remaining r09 rows (ns_bigram_stats ..
+#     scan_file_lineage below). 22 + 28 = 50. Displaced to r15: the
+#     15 tail r09 rows (scan_schema_evolution, scan_static_prune,
+#     set_except, sink_compact_small_files, sink_overwrite_dynamic,
+#     sink_sorted_layout, stream_dedup_bloom, stream_stateful_counter,
+#     stream_static_join, stream_stream_join, ts_gapfill,
+#     ts_resample_ohlc, win_ntile_dist, win_percent_rank,
 #     win_topk_per_group) — they lead the r15 window.
 #     NOTE the hygiene invariant adjusts with registry size: at 254
 #     registered operators and a 50-row driver window the pigeonhole
@@ -92,7 +94,9 @@ _ROUND14_FRONT = [
     "graph_butterfly_count",
     "graph_node_similarity",
     "ns_embedding_drift",
-    # (b) 30 of the 43 remaining r09 rows — the oldest gates in the repo
+    "ns_linear_probe",
+    "ns_centroid_classifier",
+    # (b) 28 of the 43 remaining r09 rows — the oldest gates in the repo
     "ns_bigram_stats",
     "ns_cluster_kmeans",
     "ns_contamination_ngram",
@@ -121,8 +125,6 @@ _ROUND14_FRONT = [
     "ns_url_dedup",
     "scan_dpp_join",
     "scan_file_lineage",
-    "scan_schema_evolution",
-    "scan_static_prune",
 ]
 
 # Round 13 rotation (scripts/staleness.py is the mechanical input).
@@ -410,7 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY registered query — 263/263 as of r14
+    """DuckDB twins for EVERY registered query — 265/265 as of r14
     (the eighteen r14 additions compose proven fragments:
     ts_stl_decompose rides exact-integer window sums with one double
     division plus the exact-decimal davg centering;

@@ -194,6 +194,10 @@ HEADLINE = [
     # monitor (the heavier plan: two posexplode aggregates).
     "graph_node_similarity",
     "ns_embedding_drift",
+    # round 14 sixth wave: in-engine GD linear probe (3 unrolled
+    # rounds — the heaviest new plan) and the Rocchio classifier eval.
+    "ns_linear_probe",
+    "ns_centroid_classifier",
 ]
 
 # Frozen-prefix boundaries (round → prefix length). bench_best.py

@@ -2766,3 +2766,298 @@ def ns_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id", _pca_center_dot(mu, v).alias("pc1")
     )
+
+
+# ---------- distributed linear probe (in-engine gradient descent) ----------
+
+_LP_LR = 0.125  # exact binary learning rate
+_LP_ITERS = 3
+_LP_DIM = 64
+
+_LP_DEC = (
+    "CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)"
+)
+
+
+def _lp_sql() -> str:
+    """Unrolled 3-iteration batch gradient descent: prediction and
+    gradient CTEs per round, VARCHAR-routed exact-decimal sums (the
+    _SQL_DOT convention), every weight update the identical scalar
+    double expression Spark computes."""
+    ctes = [
+        f"""ex AS (
+      SELECT e.vec_id, CAST(e.label AS DOUBLE) AS y, i.i AS dim,
+             CAST(e.embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings e,
+           (SELECT unnest(range(1, {_LP_DIM + 1})) AS i) i
+    )""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)",
+        f"""w0 AS (
+      SELECT i.i AS dim, 0.0 AS w
+      FROM (SELECT unnest(range(1, {_LP_DIM + 1})) AS i) i
+    )""",
+    ]
+    for t in range(1, _LP_ITERS + 2):
+        pred = _LP_DEC.format(expr="ex.v * w.w")
+        ctes.append(f"""p{t} AS (
+      SELECT ex.vec_id, MAX(ex.y) AS y, {pred} AS pred
+      FROM ex JOIN w{t - 1} w ON w.dim = ex.dim
+      GROUP BY ex.vec_id
+    )""")
+        if t > _LP_ITERS:
+            break
+        grad = _LP_DEC.format(expr="(p.pred - p.y) * ex.v")
+        ctes.append(f"""g{t} AS (
+      SELECT ex.dim, {grad} AS g
+      FROM ex JOIN p{t} p ON p.vec_id = ex.vec_id
+      GROUP BY ex.dim
+    )""")
+        ctes.append(f"""w{t} AS (
+      SELECT w.dim, w.w - {_LP_LR} * (2.0 * g.g / nn.n) AS w
+      FROM w{t - 1} w JOIN g{t} g ON g.dim = w.dim CROSS JOIN nn
+    )""")
+    # the mse sum reaches ~1e4, so at scale 12 the exact decimal
+    # total would carry 17 significant digits — past the range where
+    # decimal→double casts round identically in both engines (the
+    # 1-ulp divergence r14 measured). The dsum scale-6 convention
+    # keeps the total within exact double range; term magnitudes
+    # (err² ≲ 100) lose nothing that matters to a probe metric.
+    ctes.append(f"""mse AS (
+      SELECT CAST(SUM(CAST((pred - y) * (pred - y) AS DECIMAL(28,6)))
+                  AS DOUBLE) / MAX(nn.n) AS mse
+      FROM p{_LP_ITERS + 1} CROSS JOIN nn
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT w.dim, w.w AS weight, mse.mse AS train_mse
+    FROM w{_LP_ITERS} w CROSS JOIN mse
+    """
+
+
+@query("ns_linear_probe", _lp_sql())
+def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probe trained IN-ENGINE by batch gradient descent —
+    the standard embedding-quality evaluation (how linearly decodable
+    is a target from the representation), run as {it} synchronous GD
+    rounds entirely as DataFrame joins/aggregates: per round, ONE
+    dim-keyed broadcast join + vec-keyed aggregate computes every
+    prediction w·x, ONE vec-keyed join + dim-keyed aggregate computes
+    the full-batch least-squares gradient (2/n)Σ r·x, and the weight
+    update w ← w − lr·grad is a 64-row projection. Emits the final
+    64 weights + training MSE. This is the same harness shape as
+    graph_pagerank — fixed small iteration count, distributed state,
+    nothing driver-side except bounded scalars — applied to
+    optimization instead of graph propagation (target: label as a
+    regression surrogate; a production probe swaps in any numeric
+    column).
+
+    Determinism: predictions and gradients are UNORDERED
+    exact-decimal sums of row-level IEEE products (VARCHAR-routed in
+    the oracle, the _SQL_DOT convention); the update arithmetic is
+    the identical scalar expression both engines evaluate on
+    bit-equal inputs, so all {it} rounds replay exactly — the oracle
+    unrolls them CTE by CTE.
+
+    Scale: per round the shuffle traffic is |vecs| prediction rows +
+    64 gradient partials; the weight frame (64 rows) broadcasts.
+    The explode frame is persisted once across all rounds."""
+    from .registry import persist_evicting
+
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    ex = persist_evicting(
+        em.select(
+            "vec_id",
+            F.col("label").cast("double").alias("y"),
+            F.posexplode("embedding").alias("pos", "v"),
+        ).select(
+            "vec_id",
+            "y",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        ),
+        "linear_probe_ex",
+    )
+    n = em.count()  # bounded scalar
+    w = spark.createDataFrame(
+        [(d, 0.0) for d in range(1, _LP_DIM + 1)], "dim bigint, w double"
+    )
+    dec = "decimal(38,12)"
+    pred_df = None
+    for _ in range(_LP_ITERS):
+        pred_df = (
+            ex.join(F.broadcast(w), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.max("y").alias("y"),
+                F.sum((F.col("v") * F.col("w")).cast(dec))
+                .cast("double")
+                .alias("pred"),
+            )
+        )
+        grad = (
+            ex.select("vec_id", "dim", "v").join(pred_df, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    ((F.col("pred") - F.col("y")) * F.col("v")).cast(dec)
+                )
+                .cast("double")
+                .alias("g")
+            )
+        )
+        w = w.join(grad, "dim").select(
+            "dim",
+            (
+                F.col("w")
+                - F.lit(_LP_LR)
+                * (F.lit(2.0) * F.col("g") / F.lit(n))
+            ).alias("w"),
+        )
+    final_pred = (
+        ex.join(F.broadcast(w), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.max("y").alias("y"),
+            F.sum((F.col("v") * F.col("w")).cast(dec))
+            .cast("double")
+            .alias("pred"),
+        )
+    )
+    err = F.col("pred") - F.col("y")
+    mse = float(
+        final_pred.agg(
+            (
+                F.sum((err * err).cast("decimal(28,6)")).cast("double")
+                / F.lit(n)
+            ).alias("m")
+        ).collect()[0]["m"]
+    )  # bounded 1-value collect (the hybrid_prf precedent)
+    return w.select(
+        "dim",
+        F.col("w").alias("weight"),
+        F.lit(mse).cast("double").alias("train_mse"),
+    )
+
+
+ns_linear_probe.__doc__ = ns_linear_probe.__doc__.format(it=_LP_ITERS)
+
+
+# ---------- nearest-centroid classifier eval ----------
+
+
+@query(
+    "ns_centroid_classifier",
+    """
+    WITH ex AS (
+      SELECT e.vec_id, e.label, i.i AS dim,
+             CAST(e.embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT ex.vec_id, ex.label AS true_label, cent.label AS cand,
+             CAST(SUM(CAST(CAST((ex.v - cent.c) * (ex.v - cent.c)
+                                AS VARCHAR) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON cent.dim = ex.dim
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT vec_id, true_label, cand AS pred_label
+      FROM (
+        SELECT vec_id, true_label, cand, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cand) AS rn
+        FROM d2
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def ns_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification eval over the
+    embedding corpus — the second standard representation-quality
+    probe beside ns_linear_probe: per-label centroids are fit on the
+    corpus, every vector is assigned to its nearest centroid
+    (squared-L2, ties broken by label), and per TRUE label the row
+    count, correct count, and accuracy are emitted. A label whose
+    accuracy is near chance has embeddings that do not separate —
+    the per-slice signal that decides re-encoding before a 100 TB
+    similarity-search build (same read as ns_embedding_drift, but
+    DISCRIMINATIVE rather than distributional).
+
+    Determinism: centroids are exact-decimal sums / integer counts
+    (one double division per coordinate); per-(vector, candidate)
+    distances are unordered exact-decimal sums of IEEE squared
+    diffs; the argmin ranks bit-equal doubles with a label
+    tiebreak; final counts are integers and accuracy one division.
+
+    Scale: the distance join fans each exploded row by |labels|
+    (centroid frame is 64·|labels| rows, broadcast); shuffles are
+    keyed on (vec, candidate) then vec — the same bounded-fanout
+    shape as the kmeans assignment join, never all-pairs."""
+    em = tbl(spark, sf_dir, "embeddings", parallel=True)
+    ex = em.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = ex.groupBy(F.col("label").alias("cand"), "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy(
+            "vec_id", F.col("label").alias("true_label"), "cand"
+        )
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                .cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    pred = (
+        d2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("dist2", "cand")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    hit = F.when(
+        F.col("pred_label") == F.col("true_label"), 1
+    ).otherwise(0)
+    return pred.groupBy(
+        F.col("true_label").cast("bigint").alias("label")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
+    )

@@ -5307,3 +5307,70 @@ def test_embedding_drift_matches_numpy(spark):
         assert r.n == len(vs)
         want = float(np.linalg.norm(np.mean(vs, axis=0) - gc))
         assert abs(r.centroid_l2 - want) < 1e-6, (label, r, want)
+
+
+def test_linear_probe_matches_numpy_gd(spark):
+    """ns_linear_probe vs a numpy batch-GD replay (same init, lr,
+    iteration count): weights match to float tolerance, and the
+    trained MSE improves on the w=0 baseline (E[y²]) — gradient
+    descent actually descended."""
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _LP_ITERS,
+        _LP_LR,
+    )
+
+    rows = load_table(spark, SF_SMALL, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([float(r.label) for r in rows])
+    n = len(y)
+    w = np.zeros(X.shape[1])
+    for _ in range(_LP_ITERS):
+        r = X @ w - y
+        w = w - _LP_LR * (2.0 * (X.T @ r) / n)
+    out = QUERIES["ns_linear_probe"](spark, SF_SMALL).collect()
+    got = np.zeros_like(w)
+    for row in out:
+        got[row.dim - 1] = row.weight
+    assert np.allclose(got, w, atol=1e-8), np.abs(got - w).max()
+    mse0 = float((y * y).mean())
+    mse = out[0].train_mse
+    assert all(abs(r.train_mse - mse) < 1e-12 for r in out)
+    want_mse = float(((X @ w - y) ** 2).mean())
+    assert abs(mse - want_mse) < 1e-5
+    assert mse < mse0
+
+
+def test_centroid_classifier_matches_numpy(spark):
+    """ns_centroid_classifier vs a numpy nearest-centroid replay:
+    exact per-label counts (tie-break by label asc mirrored)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flume_hive_batched_sink_spark.catalog import load_table
+
+    rows = load_table(spark, SF_SMALL, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label for r in rows])
+    labels = np.array(sorted(set(y.tolist())))
+    cents = np.array([X[y == lb].mean(axis=0) for lb in labels])
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    pred = labels[np.argmin(d2, axis=1)]  # argmin = first min = low label
+    want = defaultdict(lambda: [0, 0])
+    for t, p in zip(y.tolist(), pred.tolist()):
+        want[t][0] += 1
+        want[t][1] += int(t == p)
+    got = {
+        r.label: (r.n, r.n_correct, r.accuracy)
+        for r in QUERIES["ns_centroid_classifier"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for lb, (n, c) in want.items():
+        gn, gc, acc = got[lb]
+        assert (gn, gc) == (n, c), (lb, got[lb], (n, c))
+        assert abs(acc - c / n) < 1e-12
