@@ -24,7 +24,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import persist_evicting, query, tbl, unrolled_dot_enabled
+from .registry import (
+    data_key,
+    persist_evicting,
+    query,
+    tbl,
+    unrolled_dot_enabled,
+)
 
 # precision 25 keeps decimal addition below Spark's 38-digit cap, so
 # the fold never rescales (stays exact); |values| here are ≪ 10^13.
@@ -519,7 +525,11 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, scoring, and the tiebroken top-3 bit-exactly (the same
     `_SQL_BAND_BUCKETS` replay ns_dedup_embedding's oracle uses)."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    feats = persist_evicting(embedding_features(spark, em), "ann_lsh_feats")
+    feats = persist_evicting(
+        embedding_features(spark, em),
+        "ann_lsh_feats",
+        key=data_key(sf_dir, "embeddings"),
+    )
     keys = band_keys(feats)
     qkeys = keys.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
@@ -1834,7 +1844,9 @@ def ns_srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection pass. At production code width the bands widen to
     16-32 bits and the hot cap stops firing."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    codes = persist_evicting(_srp_code_cols(em), "srp_codes")
+    codes = persist_evicting(
+        _srp_code_cols(em), "srp_codes", key=data_key(sf_dir, "embeddings")
+    )
     # literal per-band shifts (shiftright needs an int, not a column)
     bands = codes.select(
         "vec_id",
