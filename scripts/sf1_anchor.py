@@ -26,7 +26,10 @@ Prints one JSON line {"frozen24_sf1eq_subtotal_sec": ...,
 {...}}; subtotals are recorded as table rows in BASELINE.md so
 future rounds have an absolute self-anchor at two scale factors.
 
-Usage: python scripts/sf1_anchor.py   (run SOLO — timing-sensitive)
+Usage: python scripts/sf1_anchor.py [--frozen-only]
+(run SOLO — timing-sensitive; --frozen-only re-measures just the
+frozen-24/36 subtotals, for re-anchoring after a contaminated run
+without paying the ~50-min curation section)
 """
 
 from __future__ import annotations
@@ -90,6 +93,7 @@ def main() -> None:
         "bench.HEADLINE prefix drifted from the pinned frozen-36 "
         "snapshot — fix the drift or mint a NEW anchor group"
     )
+    frozen_only = "--frozen-only" in sys.argv[1:]
     spark = get_spark(app_name="sf1-anchor")
     scaled = build_scaled(spark, 10)
     times: dict[str, float] = {}
@@ -97,6 +101,24 @@ def main() -> None:
         times[name] = round(timed(spark, name, scaled), 3)
         spark.catalog.clearCache()
         print(f"{name:28s} {times[name]:7.2f}s", flush=True)
+    if frozen_only:
+        print(
+            json.dumps(
+                {
+                    "frozen24_sf1eq_subtotal_sec": round(
+                        sum(times[n] for n in FROZEN36[:24]), 3
+                    ),
+                    "frozen36_sf1eq_subtotal_sec": round(
+                        sum(times.values()), 3
+                    ),
+                    "corpus": "scale_check K=10 blow-up of sf0.1 (~sf1)",
+                    "method": "bench.py methodology: warmup + "
+                    "best-of-2, noop sink (frozen-only)",
+                    "queries": times,
+                }
+            )
+        )
+        return
     extras: dict[str, float] = {}
     for name in EXTRAS:
         extras[name] = round(timed(spark, name, scaled), 3)
