@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import (
-    data_key,
     davg,
     dsum,
     persist_evicting,
@@ -1576,7 +1575,6 @@ def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day_num", "dev"
         ),
         "xcorr_dev",
-        key=data_key(sf_dir, "events"),
     )
     den = d.groupBy("event_type").agg(
         dsum(F.col("dev") * F.col("dev"), "den")
@@ -1985,7 +1983,6 @@ def _stl_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         "stl_daily",
-        key=data_key(sf_dir, "events"),
     )
     wm = (
         xt.filter(F.col("trend").isNotNull())

@@ -2861,7 +2861,7 @@ def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per round the shuffle traffic is |vecs| prediction rows +
     64 gradient partials; the weight frame (64 rows) broadcasts.
     The explode frame is persisted once across all rounds."""
-    from .registry import data_key, persist_evicting
+    from .registry import persist_evicting
 
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     ex = persist_evicting(
@@ -2876,7 +2876,6 @@ def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double").alias("v"),
         ),
         "linear_probe_ex",
-        key=data_key(sf_dir, "embeddings"),
     )
     n = em.count()  # bounded scalar
     w = spark.createDataFrame(

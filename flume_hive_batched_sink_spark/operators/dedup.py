@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import data_key, persist_evicting, persist_lookup, query, tbl
+from .registry import persist_evicting, query, tbl
 
 _NORM = "lower(trim(text))"
 
@@ -231,9 +231,7 @@ def minhash_bands(
     return minhash_bands_from_sig(minhash_sig_wide(d), n_bands)
 
 
-def minhash_candidates(
-    d: DataFrame, cache_key: str | None = None
-) -> DataFrame:
+def minhash_candidates(d: DataFrame) -> DataFrame:
     """Distinct banded-LSH candidate pairs (doc_a < doc_b) — the ONE
     Spark candidate chain ns_dedup_minhash (Jaccard verify) and
     ns_dedup_fuzzy (edit-distance verify) both consume, so their
@@ -254,9 +252,6 @@ def minhash_candidates(
     after, and the candidate persist itself is site-evicting
     (registry.persist_evicting) so a long-running sweep/bench process
     holds at most ONE invocation's candidates, not one per call."""
-    hit = persist_lookup("minhash_cand", cache_key, d.sparkSession)
-    if hit is not None:
-        return hit  # memoized: skip the signature persist + count
     sig = minhash_sig_wide(d).persist()
     bands = minhash_bands_from_sig(sig)
     a = bands.alias("a")
@@ -273,7 +268,6 @@ def minhash_candidates(
         )
         .distinct(),
         "minhash_cand",
-        key=cache_key,
     )
     cand.count()  # materialize through the (still-cached) signatures
     sig.unpersist(blocking=False)
@@ -375,7 +369,7 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set through the main aggregate.
     """
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    cand = minhash_candidates(d, cache_key=data_key(sf_dir, "documents"))
+    cand = minhash_candidates(d)
     # no .distinct(): left_semi ignores duplicate build-side keys,
     # and skipping it saves a shuffle
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
@@ -1414,7 +1408,7 @@ def ns_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     in candidates, and the prefix cap is what keeps a pathological
     long-doc pair from stalling an executor."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    cand = minhash_candidates(d, cache_key=data_key(sf_dir, "documents"))
+    cand = minhash_candidates(d)
     pref = d.select(
         "doc_id",
         F.substring(_norm_col(), 1, _FUZZY_PREFIX).alias("pref"),
@@ -1521,7 +1515,6 @@ def ns_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # genuinely expensive stage of this operator)
     sig = persist_evicting(
         minhash_sig_wide(d), "minhash_est_sig",
-        key=data_key(sf_dir, "documents"),
     )
     bands = minhash_bands_from_sig(sig)
     a, b = bands.alias("a"), bands.alias("b")

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import data_key, persist_evicting, query, tbl
+from .registry import persist_evicting, query, tbl
 
 _EDGE_QTY = 48  # lineitem quantity screen keeping the graph sparse
 _PR_ITERS = 3
@@ -146,7 +146,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = persist_evicting(
         copurchase_edges(spark, sf_dir),
         "graph_edges",
-        key=data_key(sf_dir, "orders", "lineitem"),
     )
     deg = edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("outdeg")
@@ -233,7 +232,6 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = persist_evicting(
         copurchase_edges(spark, sf_dir),
         "graph_edges_bfs",
-        key=data_key(sf_dir, "orders", "lineitem"),
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     d = nodes.filter(

@@ -190,41 +190,7 @@ def sql_det_ln_ctes(name: str, src: str, cols: dict[str, str]) -> str:
 _PERSIST_SITES: dict[str, list] = {}
 
 
-def data_key(sf_dir: str, *tables: str) -> str:
-    """Cheap data fingerprint for persist memoization: abspath plus
-    per-table parquet mtime+size, so a site keyed on it is reused
-    across invocations over the SAME data but invalidated when the
-    directory changes OR a table is regenerated in place (the IVFPQ
-    index-cache staleness rule, r13 advice #3, applied to the
-    per-site persist caches)."""
-    import os
-
-    parts = [os.path.abspath(sf_dir)]
-    for t in tables:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        try:
-            st = os.stat(path)
-            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
-        except OSError:
-            parts.append(f"{t}:?")
-    return "|".join(parts)
-
-
-def persist_lookup(site: str, key, spark) -> DataFrame | None:
-    """Return the memoized frame for `site` if its key matches and it
-    belongs to the same session; else None. Lets expensive builders
-    (e.g. minhash_candidates' signature persist + materializing
-    count) skip their side effects entirely on a hit."""
-    prev = _PERSIST_SITES.get(site)
-    if not prev or key is None:
-        return None
-    k0, df0 = prev[-1]
-    if k0 is not None and k0 == key and df0.sparkSession is spark:
-        return df0
-    return None
-
-
-def persist_evicting(df: DataFrame, site: str, key=None) -> DataFrame:
+def persist_evicting(df: DataFrame, site: str) -> DataFrame:
     """Persist `df` after unpersisting every frame previously
     persisted under the same `site` key — the similarity._WIDE_CACHE
     pattern promoted to a shared helper (r13 verdict #5 / advice #2):
@@ -234,24 +200,24 @@ def persist_evicting(df: DataFrame, site: str, key=None) -> DataFrame:
     recomputes; sites whose recompute is order-sensitive (double
     folds) must keep using their own guarded caches.
 
-    With `key` (r14: the bench-regression fix for the r13 leak fix —
-    always-evict made every repeat invocation recompute what it used
-    to reuse, measured 4.8x on ns_winnowing_overlap), the site
-    MEMOIZES: a repeat call whose key matches the cached frame's
-    (and whose plan binds the same session) returns the cached frame
-    untouched; a different key — new sf_dir, regenerated data per
-    `data_key`'s mtime fingerprint, new session — evicts and
-    re-persists. key=None keeps the pure always-evict behavior
-    (tests and ad-hoc frames)."""
+    ALWAYS evicts and re-persists: every invocation recomputes its
+    intermediates from the parquet inputs. (An r14 interim build
+    briefly memoized keyed sites across invocations; that hid the
+    expensive pass of a repeat invocation behind the first one's
+    cache — a measurement distortion, reverted in the optimization
+    round. Persist here is strictly WITHIN-invocation sharing: one
+    returned plan with several consumers of the same subtree.)"""
     prev = _PERSIST_SITES.setdefault(site, [])
-    if key is not None and prev:
-        k0, df0 = prev[-1]
-        if k0 == key and df0.sparkSession is df.sparkSession:
-            return df0
     while prev:
-        prev.pop()[1].unpersist(blocking=False)
+        # blocking: async unpersist leaves the old entry in the JVM's
+        # persistent-RDD registry for an arbitrary grace period, which
+        # both defeats the bounded-lifecycle guarantee this helper
+        # exists for and makes the lifecycle test's registry count
+        # nondeterministic; the synchronous drop is milliseconds in
+        # local mode and bounds memory deterministically at scale
+        prev.pop()[1].unpersist(blocking=True)
     out = df.persist()
-    prev.append((key, out))
+    prev.append((None, out))
     return out
 
 

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import (
-    data_key,
     persist_evicting,
     query,
     tbl,
@@ -528,7 +527,6 @@ def ns_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = persist_evicting(
         embedding_features(spark, em),
         "ann_lsh_feats",
-        key=data_key(sf_dir, "embeddings"),
     )
     keys = band_keys(feats)
     qkeys = keys.filter(F.col("vec_id") < 5).select(
@@ -1844,9 +1842,7 @@ def ns_srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection pass. At production code width the bands widen to
     16-32 bits and the hot cap stops firing."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    codes = persist_evicting(
-        _srp_code_cols(em), "srp_codes", key=data_key(sf_dir, "embeddings")
-    )
+    codes = persist_evicting(_srp_code_cols(em), "srp_codes")
     # literal per-band shifts (shiftright needs an int, not a column)
     bands = codes.select(
         "vec_id",

@@ -23,7 +23,6 @@ from .dedup import _CKEY as _DEDUP_CKEY
 from .dedup import _ckey_col as _dedup_ckey_col
 from .registry import (
     ORACLE,
-    data_key,
     det_ln_int,
     dsum,
     persist_evicting,
@@ -2411,7 +2410,6 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         ),
         "winnowing_fp",
-        key=data_key(sf_dir, "documents"),
     )
     cool = (
         ex.groupBy("fp")

@@ -5376,67 +5376,39 @@ def test_centroid_classifier_matches_numpy(spark):
         assert abs(acc - c / n) < 1e-12
 
 
-def test_persist_memoization_and_invalidation(spark):
-    """r14 bench-regression fix for the r13 leak fix: a keyed persist
-    site MEMOIZES — same key returns the identical cached frame (no
-    recompute), a different key evicts and re-persists, and key=None
-    keeps pure always-evict. data_key embeds the parquet mtime+size
-    so in-place regeneration invalidates (the IVFPQ staleness rule
-    applied to persist caches)."""
-    import os
-    import shutil
-    import tempfile
-
+def test_persist_always_evicts_and_recomputes(spark):
+    """Optimization-round methodology invariant: persist sites do NOT
+    memoize across invocations — every call evicts the site's previous
+    frame and re-persists a fresh one (the r14 interim keyed-memo
+    behavior hid repeat-invocation compute behind the first call's
+    cache and was reverted). The registry also stays bounded: repeat
+    calls never grow the persistent-RDD set."""
     from flume_hive_batched_sink_spark.operators.registry import (
-        data_key,
         persist_evicting,
-        persist_lookup,
     )
 
     base = spark.range(100)
-    a = persist_evicting(base.selectExpr("id * 2 AS x"), "memo_t", key="k1")
-    b = persist_evicting(base.selectExpr("id * 2 AS x"), "memo_t", key="k1")
-    assert b is a  # memo hit: identical cached frame
-    assert persist_lookup("memo_t", "k1", spark) is a
-    assert persist_lookup("memo_t", "other", spark) is None
-    c = persist_evicting(base.selectExpr("id * 3 AS x"), "memo_t", key="k2")
-    assert c is not a  # key change evicted
-    assert [r.x for r in c.orderBy("x").limit(3).collect()] == [0, 3, 6]
-    d = persist_evicting(base.selectExpr("id * 3 AS x"), "memo_t")
-    assert d is not c  # key=None: always-evict
-    persist_evicting(base.selectExpr("id AS x"), "memo_t", key=None)
-
-    with tempfile.TemporaryDirectory() as tmp:
-        shutil.copy(
-            os.path.join(SF_SMALL, "documents.parquet"),
-            os.path.join(tmp, "documents.parquet"),
-        )
-        k1 = data_key(tmp, "documents")
-        assert k1 == data_key(tmp, "documents")
-        os.utime(
-            os.path.join(tmp, "documents.parquet"), ns=(1, 10**15)
-        )
-        assert data_key(tmp, "documents") != k1  # mtime invalidates
-    assert "?" in data_key("/nonexistent", "documents")
+    a = persist_evicting(base.selectExpr("id * 2 AS x"), "memo_t")
+    b = persist_evicting(base.selectExpr("id * 2 AS x"), "memo_t")
+    assert b is not a  # no memo hit: fresh frame per invocation
+    assert [r.x for r in b.orderBy("x").limit(3).collect()] == [0, 2, 4]
+    persist_evicting(base.selectExpr("id AS x"), "memo_t")
 
 
-def test_minhash_candidates_memo_hit_skips_rebuild(spark):
-    """ns_dedup_minhash invoked twice over the same data must serve
-    candidates from the memoized site: the second call returns the
-    SAME cached frame (no signature persist, no materializing count)
-    and the persistent-RDD registry does not grow."""
+def test_minhash_candidates_repeat_invocation_bounded(spark):
+    """minhash_candidates invoked twice over the same data recomputes
+    (fresh frame — no cross-invocation memoization) while the
+    persistent-RDD registry stays bounded (site eviction)."""
     from flume_hive_batched_sink_spark.catalog import load_table
     from flume_hive_batched_sink_spark.operators.dedup import (
         minhash_candidates,
     )
-    from flume_hive_batched_sink_spark.operators.registry import data_key
 
     d = load_table(spark, SF_SMALL, "documents")
-    key = data_key(SF_SMALL, "documents")
-    c1 = minhash_candidates(d, cache_key=key)
+    c1 = minhash_candidates(d)
     n_persist = spark.sparkContext._jsc.getPersistentRDDs().size()
-    c2 = minhash_candidates(d, cache_key=key)
-    assert c2 is c1
+    c2 = minhash_candidates(d)
+    assert c2 is not c1
     assert (
         spark.sparkContext._jsc.getPersistentRDDs().size() == n_persist
     )
