@@ -2858,84 +2858,87 @@ def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal inputs, so all {it} rounds replay exactly — the oracle
     unrolls them CTE by CTE.
 
-    Scale: per round the shuffle traffic is |vecs| prediction rows +
-    64 gradient partials; the weight frame (64 rows) broadcasts.
-    The explode frame is persisted once across all rounds."""
-    from .registry import persist_evicting
-
+    Scale (optimization-round shape, guide §2.3/§2.4): the weight
+    vector is BOUNDED driver state (64 doubles — the Lloyd-centroid
+    pattern kmeans_assign/_pq_train already use), so each GD round is
+    ONE corpus scan: predictions are a row-local exact-decimal fold
+    of the embedding against the current weights as literals (the
+    _dot_dec convention — decimal adds are exact, hence order-free,
+    so the fold equals the old explode+groupBy sum bit-for-bit), and
+    the gradient is a single 64-column map-side-combined aggregate
+    collected as one row. Shuffle traffic per round: 64 decimal
+    partials per task — nothing else. The previous form exploded the
+    corpus to |vecs|*64 rows, persisted it, and per round paid a
+    broadcast join + a vec-keyed aggregate + a vec-keyed join +
+    a dim-keyed aggregate (two corpus-sized Exchanges per round);
+    plan evidence in plans/r14/ns_linear_probe_{{before,after}}.txt."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
-    ex = persist_evicting(
-        em.select(
-            "vec_id",
-            F.col("label").cast("double").alias("y"),
-            F.posexplode("embedding").alias("pos", "v"),
-        ).select(
-            "vec_id",
-            "y",
-            (F.col("pos") + 1).cast("bigint").alias("dim"),
-            F.col("v").cast("double").alias("v"),
-        ),
-        "linear_probe_ex",
-    )
     n = em.count()  # bounded scalar
-    w = spark.createDataFrame(
-        [(d, 0.0) for d in range(1, _LP_DIM + 1)], "dim bigint, w double"
-    )
     dec = "decimal(38,12)"
-    pred_df = None
-    for _ in range(_LP_ITERS):
-        pred_df = (
-            ex.join(F.broadcast(w), "dim")
-            .groupBy("vec_id")
-            .agg(
-                F.max("y").alias("y"),
-                F.sum((F.col("v") * F.col("w")).cast(dec))
-                .cast("double")
-                .alias("pred"),
-            )
+    # fold accumulator precision: 25, NOT 38 — adding two (38,12)
+    # decimals overflows precision 38 and Spark's allowPrecisionLoss
+    # silently drops the result to scale 11 (rounding every step at
+    # 1e-11); at (25,12) every add stays exact and the scale-12
+    # per-term quantization is identical, so the fold reproduces the
+    # unordered (38,12) Sum bit-for-bit (the _dot_dec convention)
+    fdec = "decimal(25,12)"
+
+    def pred_col(w: list[float]) -> Column:
+        # row-local w·x with literal weights: per-element double
+        # multiply cast to exact decimal, exact decimal fold — the
+        # same addend set the oracle's unordered SUM adds, so the
+        # value is bit-identical regardless of order.
+        wl = F.array(*[F.lit(x) for x in w])
+        prods = F.zip_with(
+            F.col("embedding"),
+            wl,
+            lambda v, ww: (v.cast("double") * ww).cast(fdec),
         )
-        grad = (
-            ex.select("vec_id", "dim", "v").join(pred_df, "vec_id")
-            .groupBy("dim")
-            .agg(
+        return F.aggregate(
+            prods,
+            F.lit(0).cast(fdec),
+            lambda acc, p: (acc + p).cast(fdec),
+        ).cast("double")
+
+    w = [0.0] * _LP_DIM
+    for _ in range(_LP_ITERS):
+        scored = em.select(
+            F.col("label").cast("double").alias("y"),
+            "embedding",
+            pred_col(w).alias("pred"),
+        )
+        r = F.col("pred") - F.col("y")
+        grow = scored.agg(
+            *[
                 F.sum(
-                    ((F.col("pred") - F.col("y")) * F.col("v")).cast(dec)
+                    (r * F.get("embedding", i).cast("double")).cast(dec)
                 )
                 .cast("double")
-                .alias("g")
-            )
-        )
-        w = w.join(grad, "dim").select(
-            "dim",
-            (
-                F.col("w")
-                - F.lit(_LP_LR)
-                * (F.lit(2.0) * F.col("g") / F.lit(n))
-            ).alias("w"),
-        )
-    final_pred = (
-        ex.join(F.broadcast(w), "dim")
-        .groupBy("vec_id")
-        .agg(
-            F.max("y").alias("y"),
-            F.sum((F.col("v") * F.col("w")).cast(dec))
-            .cast("double")
-            .alias("pred"),
-        )
-    )
+                .alias(f"g{i}")
+                for i in range(_LP_DIM)
+            ]
+        ).collect()[0]  # bounded 64-value collect (the Lloyd pattern)
+        w = [
+            w[i] - _LP_LR * (2.0 * float(grow[f"g{i}"]) / n)
+            for i in range(_LP_DIM)
+        ]
     err = F.col("pred") - F.col("y")
     mse = float(
-        final_pred.agg(
+        em.select(
+            F.col("label").cast("double").alias("y"),
+            pred_col(w).alias("pred"),
+        )
+        .agg(
             (
                 F.sum((err * err).cast("decimal(28,6)")).cast("double")
                 / F.lit(n)
             ).alias("m")
-        ).collect()[0]["m"]
+        )
+        .collect()[0]["m"]
     )  # bounded 1-value collect (the hybrid_prf precedent)
-    return w.select(
-        "dim",
-        F.col("w").alias("weight"),
-        F.lit(mse).cast("double").alias("train_mse"),
+    return spark.createDataFrame(
+        [(d, w[d - 1], mse) for d in range(1, _LP_DIM + 1)],
+        "dim bigint, weight double, train_mse double",
     )
 
 

@@ -84,14 +84,28 @@ SHINGLE = 3
 
 def shingles(col: Column, n: int = SHINGLE) -> Column:
     """Distinct n-token shingles as strings (higher-order functions,
-    row-local)."""
-    toks = F.split(col, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    row-local).
+
+    The token split is LET-BOUND once per row via the single-element-
+    array lambda trick: HOF lambdas re-evaluate their body per
+    element, so referencing the split EXPRESSION inside the transform
+    re-tokenized the whole text per shingle — O(L²) interpreted work
+    per doc (the _winnow_sel pathology, found in the r14 optimization
+    round; this helper feeds the entire minhash/ngram family)."""
+    toks0 = F.split(col, " ")
+
+    def inner(toks: Column) -> Column:
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
         )
-    )
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+
+    return F.get(F.transform(F.array(toks0), inner), 0)
 
 
 # affine permutation constants: 31-bit odd multipliers / 32-bit offsets,

@@ -143,12 +143,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver — ranks live distributed end to end (contrast a
     GraphX/driver-loop port).
     """
+    from pyspark.sql import Window
+
+    # outdeg attached via ONE window pass instead of a per-iteration
+    # deg join (guide §2.4: two operations keyed the same way share
+    # one exchange): the window's hash-partitioning on src is ALSO
+    # the layout every iteration's rank join needs, and the persist
+    # pins it — so the docstring's "edge list partitioned on src
+    # ONCE" now holds physically (the pre-optimization form never
+    # repartitioned and reshuffled edges every round; plan diff in
+    # plans/r14/graph_pagerank_{before,after}.txt).
     edges = persist_evicting(
-        copurchase_edges(spark, sf_dir),
+        copurchase_edges(spark, sf_dir).withColumn(
+            "outdeg",
+            F.count("*")
+            .over(Window.partitionBy("src"))
+            .cast("bigint"),
+        ),
         "graph_edges",
-    )
-    deg = edges.groupBy("src").agg(
-        F.count("*").cast("bigint").alias("outdeg")
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # bounded scalar (|V|), not a data collect
@@ -158,7 +170,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("r") / F.col("outdeg")).alias("c"),
@@ -229,8 +240,12 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(dist_t(v), min over in-neighbors u of dist_t(u)+1); a node
     outside the frontier carries no row, keeping per-round state
     |reached| rather than |V|."""
+    # persist pinned hash-partitioned on src (guide §2.4): every
+    # round's frontier join keys on src, so only the (small) frontier
+    # side reshuffles per round; the repartition also makes the
+    # nodes/seed distinct exchange-free over the cached layout
     edges = persist_evicting(
-        copurchase_edges(spark, sf_dir),
+        copurchase_edges(spark, sf_dir).repartition("src"),
         "graph_edges_bfs",
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()

@@ -2215,41 +2215,74 @@ def _winnow_sel(d: DataFrame) -> DataFrame:
     """Spark twin of _WINNOW_SQL_CTES: (doc_id, m, n_windows, fps) with
     fps the distinct packed (hash << 20 | inverted-pos) selections
     (NULL for docs shorter than k tokens). ONE implementation feeds
-    both winnowing consumers."""
-    t = F.split(F.lower(F.trim("text")), " ")
-    m = F.greatest(F.size(t) - F.lit(_WINNOW_K - 1), F.lit(0)).cast(
-        "bigint"
-    )
+    both winnowing consumers.
 
-    def kgram_hash(i: Column) -> Column:
+    Optimization-round note (guide §1.2 — per-task work): the
+    original single-projection form nested the k-gram hash array
+    `carr` INSIDE the window-min lambda and the token split `t`
+    INSIDE the k-gram lambda; higher-order-function lambdas re-
+    evaluate their body per element, so every window re-hashed every
+    k-gram and every k-gram re-split the text — O(m²·L) interpreted
+    work per doc, measured 8.3 s of the 12.6 s candidate chain at
+    sf0.1. Each intermediate is now LET-BOUND once per row with the
+    single-element-array trick (`transform(array(x), x -> …)` binds
+    the evaluated x to a lambda variable; inner lambdas reference
+    the variable, not the expression), making the pass O(m·W + m·K)
+    as the algorithm intends. The expressions themselves are
+    unchanged, so values are identical and the oracle CTEs still
+    replay them exactly."""
+
+    def kgram_hash(t: Column, i: Column) -> Column:
         s = F.concat_ws(" ", F.slice(t, i + 1, _WINNOW_K))
         return F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast(
             "bigint"
         ) * F.lit(_WINNOW_POS) + (F.lit(_WINNOW_POS - 1) - i)
 
-    carr = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0)).cast("int")),
-        kgram_hash,
-    )
-    n_windows = (
-        F.greatest(m - F.lit(_WINNOW_W), F.lit(0)) + F.lit(1)
-    ).cast("bigint")
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                F.greatest(m - F.lit(_WINNOW_W), F.lit(0)).cast("int"),
-            ),
-            lambda j: F.array_min(F.slice(carr, j + 1, _WINNOW_W)),
+    def inner(t: Column) -> Column:
+        m = F.greatest(F.size(t) - F.lit(_WINNOW_K - 1), F.lit(0)).cast(
+            "bigint"
         )
-    )
-    return d.select(
+        carr = F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(m - 1, F.lit(0)).cast("int")
+            ),
+            lambda i: kgram_hash(t, i),
+        )
+
+        def with_carr(c: Column) -> Column:
+            n_windows = (
+                F.greatest(m - F.lit(_WINNOW_W), F.lit(0)) + F.lit(1)
+            ).cast("bigint")
+            fps = F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(m - F.lit(_WINNOW_W), F.lit(0)).cast(
+                            "int"
+                        ),
+                    ),
+                    lambda j: F.array_min(F.slice(c, j + 1, _WINNOW_W)),
+                )
+            )
+            return F.struct(
+                m.alias("m"),
+                n_windows.alias("n_windows"),
+                fps.alias("fps"),
+            )
+
+        return F.get(F.transform(F.array(carr), with_carr), 0)
+
+    t0 = F.split(F.lower(F.trim("text")), " ")
+    packed = F.get(F.transform(F.array(t0), inner), 0)
+    return d.select("doc_id", packed.alias("p")).select(
         "doc_id",
-        m.alias("m"),
-        F.when(F.col("m") > 0, n_windows)
+        F.col("p.m").alias("m"),
+        F.when(F.col("p.m") > 0, F.col("p.n_windows"))
         .otherwise(F.lit(0).cast("bigint"))
         .alias("n_windows"),
-        F.when(F.col("m") > 0, fps).otherwise(None).alias("fps"),
+        F.when(F.col("p.m") > 0, F.col("p.fps"))
+        .otherwise(None)
+        .alias("fps"),
     )
 
 
@@ -2335,6 +2368,74 @@ def ns_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_HOT_CAP = 100
 
 
+def _winnow_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, fp) postings: the exploded, per-doc-distinct
+    winnowing fingerprint hashes (positions stripped). The winnowing
+    projection is the expensive pass and several consumers sit on it
+    (hot-cap count, both pair-join sides, per-doc totals) — without
+    the persist the per-row HOF selection re-executes per subtree
+    (measured 4x at sf0.1; the minhash signature-frame precedent,
+    dedup.py). Site-evicting (r13 verdict #5): a sweep/bench process
+    holds at most ONE invocation's fingerprint cache, and every
+    invocation recomputes from parquet (no cross-invocation memo).
+    Shared by ns_winnowing_overlap and winnowing_candidates."""
+    d = tbl(spark, sf_dir, "documents", parallel=True)
+    return persist_evicting(
+        _winnow_sel(d)
+        .filter(F.col("fps").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        "fps",
+                        lambda x: F.shiftright(
+                            x, _WINNOW_POS.bit_length() - 1
+                        ),
+                    )
+                )
+            ).alias("fp"),
+        ),
+        "winnowing_fp",
+    )
+
+
+def _winnow_exf(ex: DataFrame) -> DataFrame:
+    """Hot-cap-filtered postings (the `exf` CTE): fingerprints present
+    in more than _WINNOW_HOT_CAP docs are boilerplate and dropped
+    before any pair generation."""
+    cool = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= _WINNOW_HOT_CAP)
+        .select("fp")
+    )
+    return ex.join(cool, "fp")
+
+
+def winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT candidate pairs (ida < idb) sharing a capped winnowing
+    fingerprint — the `cand` CTE of _VERB_SQL_CTES, and nothing more.
+    ns_dedup_verbatim / ns_verbatim_mask used to obtain candidates by
+    running the FULL ns_winnowing_overlap operator and dropping every
+    column but (ida, idb): that paid the per-pair shared-fp count
+    aggregate plus two per-doc n_fp joins whose outputs were thrown
+    away (guide §1.2 — don't compute things you discard). Persisted
+    (site-evicting) because both downstream consumers use the pair
+    list twice: once to restrict gram extraction to candidate docs,
+    once as the verify join's probe side."""
+    exf = _winnow_exf(_winnow_ex(spark, sf_dir))
+    a = exf.select(F.col("doc_id").alias("ida"), "fp")
+    b = exf.select(F.col("doc_id").alias("idb"), "fp")
+    return persist_evicting(
+        a.join(b, "fp")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct(),
+        "winnow_cand",
+    )
+
+
 @query(
     "ns_winnowing_overlap",
     f"""
@@ -2386,38 +2487,8 @@ def ns_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound. Everything downstream of the explode is keyed aggregates
     and 1:1 doc_id joins; counts exact ints, overlap ONE double
     division."""
-    d = tbl(spark, sf_dir, "documents", parallel=True)
-    # persist: the winnowing projection is the expensive pass and four
-    # consumers sit on it (hot-cap count, both pair-join sides, per-doc
-    # totals) — without it the per-row HOF selection re-executes per
-    # subtree (measured 4x at sf0.1; the minhash signature-frame
-    # precedent, dedup.py). Site-evicting (r13 verdict #5): a sweep/
-    # bench process holds at most ONE invocation's fingerprint cache.
-    ex = persist_evicting(
-        _winnow_sel(d)
-        .filter(F.col("fps").isNotNull())
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        "fps",
-                        lambda x: F.shiftright(
-                            x, _WINNOW_POS.bit_length() - 1
-                        ),
-                    )
-                )
-            ).alias("fp"),
-        ),
-        "winnowing_fp",
-    )
-    cool = (
-        ex.groupBy("fp")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") <= _WINNOW_HOT_CAP)
-        .select("fp")
-    )
-    exf = ex.join(cool, "fp")
+    ex = _winnow_ex(spark, sf_dir)
+    exf = _winnow_exf(ex)
     nfp = exf.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = exf.select(F.col("doc_id").alias("ida"), "fp")
     b = exf.select(F.col("doc_id").alias("idb"), "fp")
@@ -2497,29 +2568,34 @@ _VERB_SQL_CTES = f"""{_WINNOW_SQL_CTES},
 def _verb_g8(d: DataFrame) -> DataFrame:
     """Spark twin of _VERB_SQL_CTES's g8: (doc_id, sh, pos) — every
     stride-1 verify gram's 40-bit hash with its FIRST token position.
-    Shared by ns_dedup_verbatim and ns_verbatim_mask."""
+    Shared by ns_dedup_verbatim and ns_verbatim_mask.
+
+    Optimization-round shape (guide §2.4): the per-(doc, sh) MIN(pos)
+    dedup is intrinsically PER-DOC — all of a doc's grams live in one
+    row before the explode — so it is computed ROW-LOCALLY (sort the
+    (sh, pos) struct array, keep the first element of each sh run)
+    instead of exploding raw grams and shuffling them into a
+    (doc_id, sh) hash aggregate. This removes the groupBy Exchange
+    entirely and the explode now carries a 2-field struct instead of
+    the whole token array per gram row. Identical output: array_sort
+    on struct<sh,pos> orders lexicographically, so the first element
+    of an sh run IS that hash's minimum position — the oracle's
+    GROUP BY doc_id, sh / MIN(i)."""
     t = F.split(F.lower(F.trim("text")), " ")
-    return (
-        # size filter first: Spark's sequence(0, hi) DESCENDS for
-        # hi < 0, so short docs must never reach the explode (the
-        # oracle's range() is exclusive-upper and empties naturally)
-        d.filter(F.size(t) >= _VERB_N)
-        .select(
-            "doc_id",
-            t.alias("t"),
-            F.explode(
-                F.sequence(
-                    F.lit(0), (F.size(t) - F.lit(_VERB_N)).cast("int")
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
+    # size filter first: Spark's sequence(0, hi) DESCENDS for
+    # hi < 0, so short docs must never reach the gram transform (the
+    # oracle's range() is exclusive-upper and empties naturally)
+    d2 = d.filter(F.size(t) >= _VERB_N).select("doc_id", t.alias("t"))
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), (F.size(F.col("t")) - F.lit(_VERB_N)).cast("int")
+        ),
+        lambda i: F.struct(
             F.conv(
                 F.substring(
                     F.md5(
                         F.concat_ws(
-                            " ", F.slice(F.col("t"), F.col("i") + 1, _VERB_N)
+                            " ", F.slice(F.col("t"), i + 1, _VERB_N)
                         )
                     ),
                     1,
@@ -2530,10 +2606,28 @@ def _verb_g8(d: DataFrame) -> DataFrame:
             )
             .cast("bigint")
             .alias("sh"),
-            F.col("i").alias("pos"),
+            i.alias("pos"),
+        ),
+    )
+    return (
+        d2.select("doc_id", F.array_sort(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.explode(
+                # keep the first (= min-pos) element of each sh run;
+                # CASE (not OR) so the i-1 access never evaluates at
+                # i = 0 under ANSI mode
+                F.expr(
+                    "filter(g, (x, i) -> CASE WHEN i = 0 THEN true "
+                    "ELSE element_at(g, i).sh != x.sh END)"
+                )
+            ).alias("x"),
         )
-        .groupBy("doc_id", "sh")
-        .agg(F.min("pos").alias("pos"))
+        .select(
+            "doc_id",
+            F.col("x.sh").alias("sh"),
+            F.col("x.pos").alias("pos"),
+        )
     )
 
 
@@ -2584,7 +2678,13 @@ def ns_dedup_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams. At 100 TB the verify side shuffles 8-byte hashes +
     positions, never text."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    cand = ns_winnowing_overlap(spark, sf_dir).select("ida", "idb")
+    # candidates-only helper (guide §1.2): the previous form ran the
+    # FULL ns_winnowing_overlap (per-pair counts + two n_fp joins)
+    # and discarded everything but (ida, idb). (A candidate-doc
+    # semi-join before gram extraction was tried and reverted: 89%
+    # of sf0.1 docs are candidates, so it saved ~nothing and added a
+    # join — measured +1.4 s.)
+    cand = winnowing_candidates(spark, sf_dir)
     g8 = _verb_g8(d)
     a8 = g8.select(
         F.col("doc_id").alias("ida"), "sh", F.col("pos").alias("pa")
@@ -2669,17 +2769,31 @@ def ns_verbatim_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the gram join inherits the verbatim operator's candidate
     bound (capped winnowing postings, hash-keyed verify); the
-    coverage explode is {n} rows per shared gram; token re-assembly
-    shuffles only AFFECTED docs' tokens keyed by doc_id, and the
-    collect_list is bounded by per-doc token count (the same bound
-    every toks explode in this module already carries)."""
+    coverage explode is {n} rows per shared gram; coverage positions
+    aggregate into ONE masked-position set row per affected doc
+    (collect_set bounded by per-doc token count — the same bound
+    every toks explode in this module already carries) and the
+    excision itself is a row-local token-array filter."""
     d = tbl(spark, sf_dir, "documents", parallel=True)
-    cand = ns_winnowing_overlap(spark, sf_dir).select("ida", "idb")
+    # candidates-only helper — the same reshape as ns_dedup_verbatim
+    # (guide §1.2); gram extraction stays corpus-wide (the candidate
+    # semi-join was measured a loss, see ns_dedup_verbatim)
+    cand = winnowing_candidates(spark, sf_dir)
     g8 = _verb_g8(d)
     a8 = g8.select(F.col("doc_id").alias("ida"), "sh")
     b8 = g8.select(
         F.col("doc_id").alias("idb"), "sh", F.col("pos").alias("pb")
     )
+    # masked-position SETS per doc instead of a token-level anti-join
+    # (guide §2.3/§2.4): the old path posexploded every affected
+    # doc's tokens into rows, shuffled them through a (doc_id, p)
+    # anti-join against the distinct coverage rows, then re-assembled
+    # text via collect_list + array_sort — three corpus-keyed
+    # Exchanges. Coverage dedup is per-doc, so collect_set(p) gives
+    # the mask as ONE array row per affected doc and the excision
+    # becomes a row-local filter over the token array: the only
+    # remaining shuffles are the coverage aggregate itself and the
+    # doc-keyed join back to `documents`.
     cov = (
         cand.join(a8, "ida")
         .join(b8, ["idb", "sh"])
@@ -2689,48 +2803,22 @@ def ns_verbatim_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pb"), F.col("pb") + F.lit(_VERB_N - 1))
             ).alias("p"),
         )
-        .distinct()
     )
-    nmask = cov.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_masked")
-    )
+    mask = cov.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
     t = F.split(F.lower(F.trim("text")), " ")
-    toks = d.join(nmask.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id",
-        F.size(t).cast("bigint").alias("n_tokens"),
-        F.posexplode(t).alias("p", "tok"),
-    )
-    kept = (
-        toks.join(cov, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("p", "tok"))
-                        ),
-                        lambda x: x.tok,
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("masked_text")
-        )
-    )
-    ntok = d.join(nmask.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id", F.size(t).cast("bigint").alias("n_tokens")
-    )
     return (
-        nmask.join(ntok, "doc_id")
-        .join(kept, "doc_id", "left")
+        d.join(mask, "doc_id")
         .select(
             "doc_id",
-            "n_tokens",
-            "n_masked",
-            F.coalesce(F.col("masked_text"), F.lit("")).alias(
-                "masked_text"
-            ),
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.size("ps").cast("bigint").alias("n_masked"),
+            F.array_join(
+                F.filter(
+                    t,
+                    lambda tok, i: ~F.array_contains(F.col("ps"), i),
+                ),
+                " ",
+            ).alias("masked_text"),
         )
     )
 
