@@ -262,23 +262,58 @@ def _assign_join(
     )
 
 
+def _dlit_sql(v: float) -> str:
+    """Exact double literal for generated SQL: a string cast parses
+    via Double.parseDouble, so the shortest-round-trip repr recovers
+    the bit-identical double F.lit(v) would carry."""
+    return f"cast('{float(v)!r}' as double)"
+
+
+def _sqdiff_chain_sql(x_sql: str, cvals: list[float]) -> str:
+    """SQL text of _sqdiff_chain's default HOF-fold form — the SAME
+    zip_with/aggregate expression tree, but parsed by the JVM in ONE
+    expr() call instead of being assembled Column-by-Column over
+    py4j. Profiling (guide §1.1) showed DataFrame CONSTRUCTION, not
+    execution, dominating the PQ/kmeans family at sf0.1 (e.g.
+    ns_similarity_ivfpq: 8.0 s build vs 1.4 s exec; pq_train's
+    argmin projection alone cost 1.6 s of py4j chatter per call).
+    Values are bit-identical: the parsed expressions are the ones
+    the Column API built."""
+    lits = ", ".join(_dlit_sql(v) for v in cvals)
+    return (
+        f"aggregate(zip_with({x_sql}, array({lits}), "
+        f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        f"cast('0.0' as double), (acc, p) -> acc + p)"
+    )
+
+
 def _assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Row-local nearest-centroid assignment: one projection, zero
     shuffle — each row min-reduces an array of (d2, j) structs built
     from literal centroids (ties break to the smallest j, mirroring
     the oracle's ORDER BY d2, j). When _use_join_assign(n, k) the
     caller uses _assign_join instead — per-row cost here is k
-    interpreted HOF folds, linear in k."""
-    cands = F.array(
-        *[
-            F.struct(
-                _sqdiff_chain(F.col("embedding"), c).alias("d"),
-                F.lit(int(j)).alias("j"),
-            )
+    interpreted HOF folds, linear in k. Default path built as ONE
+    generated-SQL expr (see _sqdiff_chain_sql); the unrolled knob
+    keeps the Column-API construction."""
+    if unrolled_dot_enabled():
+        cands = F.array(
+            *[
+                F.struct(
+                    _sqdiff_chain(F.col("embedding"), c).alias("d"),
+                    F.lit(int(j)).alias("j"),
+                )
+                for j, c in cents
+            ]
+        )
+        m = F.array_min(cands)
+    else:
+        structs = ", ".join(
+            f"struct({_sqdiff_chain_sql('embedding', c)} as d, "
+            f"{int(j)} as j)"
             for j, c in cents
-        ]
-    )
-    m = F.array_min(cands)
+        )
+        m = F.expr(f"array_min(array({structs}))")
     return em.select(
         "vec_id",
         "embedding",
@@ -1303,18 +1338,28 @@ def _pq_sub(m: int) -> Column:
 def _pq_argmin(m: int, cb: dict) -> Column:
     """Row-local nearest-codeword struct (d, j) for subspace m — the
     _assign array_min convention ((d2, j) lexicographic == the
-    oracle's ORDER BY d2, j)."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdiff_chain(_pq_sub(m), cb[(m, j)]).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(_PQ_K)
-            ]
+    oracle's ORDER BY d2, j). Default path built as ONE generated-SQL
+    expr (the _sqdiff_chain_sql rationale: profiling put ~1.6 s of
+    py4j Column assembly per pq_train call); the unrolled knob keeps
+    the Column-API construction."""
+    if unrolled_dot_enabled():
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdiff_chain(_pq_sub(m), cb[(m, j)]).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(_PQ_K)
+                ]
+            )
         )
+    x = f"slice(embedding, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+    structs = ", ".join(
+        f"struct({_sqdiff_chain_sql(x, cb[(m, j)])} as d, {j} as j)"
+        for j in range(_PQ_K)
     )
+    return F.expr(f"array_min(array({structs}))")
 
 
 def _pq_train(em: DataFrame) -> dict:

@@ -224,6 +224,20 @@ def persist_evicting(df: DataFrame, site: str) -> DataFrame:
 # --- shared table access ---
 
 
+# Per-session scan-metadata cache for tbl(): {(abspath, name,
+# mtime_ns, size): (lazy scan frame, base split count)}. This caches
+# PLAN METADATA only — a lazy relation handle (file listing + schema,
+# the same things Spark's own FileStatusCache memoizes per session)
+# and one int. NO data, NO results, NO intermediates are cached, and
+# the key carries the parquet mtime+size so in-place regeneration
+# invalidates. Why (r14 optimization round, guide §1): every fresh
+# `spark.read.parquet` relists+re-reads footers (~100 ms) and the
+# parallel-guard's `df.rdd.getNumPartitions()` probe converts the
+# plan to an RDD (~290 ms measured) — ~0.3-0.5 s of driver-side
+# fixed cost PER QUERY BUILD that has nothing to do with the query.
+_TBL_META: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def tbl(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
@@ -243,13 +257,31 @@ def tbl(
     folds (agg_multi 1.43 s with vs 1.75 s without; agg_stats 1.21 vs
     1.95) and text/hash/vector work qualify; cheap probe/count paths
     do not (join_multiway 1.79 with vs 1.52 without → no repartition).
-    """
+
+    The lazy scan handle and its split count are cached per (session,
+    path, parquet mtime+size) — see _TBL_META: plan metadata, never
+    data."""
+    import os
+
     from ..catalog import load_table
 
-    df = load_table(spark, sf_dir, name)
+    per = _TBL_META.setdefault(spark, {})
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None
+    key = (os.path.abspath(sf_dir), name, fp)
+    ent = per.get(key)
+    if ent is None:
+        df = load_table(spark, sf_dir, name)
+        ent = (df, df.rdd.getNumPartitions())
+        per[key] = ent
+    df, nparts = ent
     if parallel:
         want = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < want:
+        if nparts < want:
             df = df.repartition(want)
     return df
 

@@ -2420,19 +2420,18 @@ def winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     running the FULL ns_winnowing_overlap operator and dropping every
     column but (ida, idb): that paid the per-pair shared-fp count
     aggregate plus two per-doc n_fp joins whose outputs were thrown
-    away (guide §1.2 — don't compute things you discard). Persisted
-    (site-evicting) because both downstream consumers use the pair
-    list twice: once to restrict gram extraction to candidate docs,
-    once as the verify join's probe side."""
+    away (guide §1.2 — don't compute things you discard). Not
+    persisted: each consumer uses the pair list exactly once (the
+    expensive shared subtree is the fingerprint pass, which
+    _winnow_ex persists)."""
     exf = _winnow_exf(_winnow_ex(spark, sf_dir))
     a = exf.select(F.col("doc_id").alias("ida"), "fp")
     b = exf.select(F.col("doc_id").alias("idb"), "fp")
-    return persist_evicting(
+    return (
         a.join(b, "fp")
         .filter(F.col("ida") < F.col("idb"))
         .select("ida", "idb")
-        .distinct(),
-        "winnow_cand",
+        .distinct()
     )
 
 

@@ -5412,3 +5412,150 @@ def test_minhash_candidates_repeat_invocation_bounded(spark):
     assert (
         spark.sparkContext._jsc.getPersistentRDDs().size() == n_persist
     )
+
+
+def test_verb_g8_rowlocal_equals_explode_groupby(spark):
+    """r14 optimization guard: the row-local (sort + first-of-run)
+    verify-gram dedup in _verb_g8 must equal the explode +
+    groupBy(doc_id, sh).min(pos) reference it replaced."""
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+    from flume_hive_batched_sink_spark.operators.textstats import (
+        _VERB_N,
+        _verb_g8,
+    )
+
+    d = tbl(spark, SF_SMALL, "documents")
+    got = {
+        (r.doc_id, r.sh): r.pos for r in _verb_g8(d).collect()
+    }
+    t = F.split(F.lower(F.trim("text")), " ")
+    ref_rows = (
+        d.filter(F.size(t) >= _VERB_N)
+        .select(
+            "doc_id",
+            t.alias("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.size(t) - F.lit(_VERB_N)).cast("int")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(F.col("t"), F.col("i") + 1, _VERB_N),
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("sh"),
+            F.col("i").alias("pos"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.min("pos").alias("pos"))
+        .collect()
+    )
+    ref = {(r.doc_id, r.sh): r.pos for r in ref_rows}
+    assert got == ref and len(got) > 0
+
+
+def test_decimal_fold_25_12_equals_sum_38_12(spark):
+    """r14 optimization guard for the fold-accumulator pitfall: adding
+    two decimal(38,12) values overflows precision 38 and Spark's
+    allowPrecisionLoss silently reduces the result to scale 11
+    (rounding every step at 1e-11). A decimal(25,12) fold keeps the
+    identical per-term scale-12 quantization with EXACT adds, so it
+    must reproduce the unordered decimal(38,12) SUM bit-for-bit —
+    the invariant ns_linear_probe's row-local predictions rely on."""
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    em = tbl(spark, SF_SMALL, "embeddings")
+    w = [0.001 * ((i % 7) - 3) for i in range(64)]
+    wl = F.array(*[F.lit(x) for x in w])
+    dec = "decimal(25,12)"
+    prods = F.zip_with(
+        "embedding", wl, lambda v, ww: (v.cast("double") * ww).cast(dec)
+    )
+    fold = F.aggregate(
+        prods, F.lit(0).cast(dec), lambda a, p: (a + p).cast(dec)
+    ).cast("double")
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    wdf = spark.createDataFrame(
+        [(i, w[i]) for i in range(64)], "pos int, w double"
+    )
+    ref = (
+        ex.join(F.broadcast(wdf), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("v") * F.col("w")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("p")
+        )
+    )
+    j = (
+        em.select("vec_id", fold.alias("p2"))
+        .join(ref, "vec_id")
+        .filter("p != p2")
+        .count()
+    )
+    assert j == 0
+
+
+def test_sqdiff_chain_sql_equals_column_form(spark):
+    """r14 optimization guard: the generated-SQL form of the
+    assignment distance (_sqdiff_chain_sql, parsed in one expr call)
+    must be bit-identical to the Column-API HOF fold it replaced."""
+    from flume_hive_batched_sink_spark.operators.clustering import (
+        _sqdiff_chain,
+        _sqdiff_chain_sql,
+    )
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    em = tbl(spark, SF_SMALL, "embeddings")
+    c = [0.01 * ((i % 11) - 5) for i in range(64)]
+    n_diff = (
+        em.select(
+            _sqdiff_chain(F.col("embedding"), c).alias("a"),
+            F.expr(_sqdiff_chain_sql("embedding", c)).alias("b"),
+        )
+        .filter("a != b")
+        .count()
+    )
+    assert n_diff == 0
+
+
+def test_tbl_metadata_cache_identity_and_invalidation(spark):
+    """r14 optimization guard: tbl() caches the lazy scan handle +
+    split count per (session, path, mtime+size) — same data returns
+    the SAME frame object (plan metadata reuse, no relisting), and
+    touching the parquet invalidates the entry."""
+    import os
+    import shutil
+    import tempfile
+
+    from flume_hive_batched_sink_spark.operators.registry import tbl
+
+    with tempfile.TemporaryDirectory() as tmp:
+        shutil.copy(
+            os.path.join(SF_SMALL, "documents.parquet"),
+            os.path.join(tmp, "documents.parquet"),
+        )
+        a = tbl(spark, tmp, "documents")
+        b = tbl(spark, tmp, "documents")
+        assert b is a  # metadata cache hit: same lazy handle
+        assert a.count() > 0
+        os.utime(os.path.join(tmp, "documents.parquet"), ns=(1, 10**15))
+        c = tbl(spark, tmp, "documents")
+        assert c is not a  # mtime fingerprint invalidates
+        assert c.count() == a.count()
