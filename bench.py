@@ -382,31 +382,65 @@ def main() -> None:
     # The full artifact goes to a SIDECAR file; stdout gets ONE
     # compact JSON line sized for the driver's 2000-char capture
     # window (the r12 driver artifact recorded parsed=null because
-    # the line with 60 queries + notes outgrew it). If even the
-    # compact per-query map fits, keep it inline; otherwise the line
-    # carries the subtotals + components and points at the sidecar.
+    # the line with 60 queries + notes outgrew it; the stored tails
+    # are exactly 2000 chars and a longer line loses its opening
+    # brace, so the WHOLE line must fit in the last 2000 chars of
+    # output).
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_full.json")
     with open(side, "w") as f:
         json.dump(full, f)
         f.write("\n")
+    print(build_stdout_line(full))
+
+
+# Hard cap for the stdout JSON line (driver tail capture is 2000
+# chars; leave margin for the trailing newline and any \r remnants).
+_LINE_MAX = 1900
+
+
+def build_stdout_line(full: dict) -> str:
+    """The driver-facing JSON line, with per-query timings restored.
+
+    r12-r14 dropped the WHOLE ``queries`` map once the line outgrew
+    the driver's 2000-char capture window, leaving PERF blind
+    (empty per_query, null geomean, two rounds running — r14 verdict
+    #1). All 94 names can never fit (names alone are ~1600 chars;
+    with JSON overhead the minimal map is ~2250 chars), so this
+    keeps AS MANY per-query entries as fit, dropping the NEWEST
+    headline additions first — the frozen comparable prefixes
+    (r01/r02/r04/r06/r13) have round-over-round history and stay.
+    ``q_omitted`` counts what was trimmed; the complete map is
+    always in the BENCH_full.json sidecar. ``components`` lives only
+    in the sidecar now (it cost ~300 chars of window and the
+    build_s/query_s split is for the judge, not the driver parser).
+    """
     line_obj = {
         "metric": full["metric"],
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        **subtotals,
-        "components": components,
-        "ambient": [other_jvms, load1, full["ambient_warning"]],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "queries": {k: round(v, 2) for k, v in full["queries"].items()},
+        **{k: round(full[k], 2) for k in PREFIXES if k in full},
+        "ambient": [
+            full["ambient_other_jvms"],
+            full["ambient_load1"],
+            full["ambient_warning"],
+        ],
         "full": "BENCH_full.json",
     }
     line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1900:
-        line_obj.pop("queries")
+    # Trim from the END of the benchmark order (newest additions,
+    # least history) until the line fits the capture window.
+    names = list(line_obj["queries"])
+    omitted = 0
+    while len(line) > _LINE_MAX and names:
+        line_obj["queries"].pop(names.pop())
+        omitted += 1
+        line_obj["q_omitted"] = omitted
         line_obj["queries_in"] = "BENCH_full.json"
         line = json.dumps(line_obj, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

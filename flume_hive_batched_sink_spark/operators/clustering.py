@@ -263,10 +263,11 @@ def _assign_join(
 
 
 def _dlit_sql(v: float) -> str:
-    """Exact double literal for generated SQL: a string cast parses
-    via Double.parseDouble, so the shortest-round-trip repr recovers
-    the bit-identical double F.lit(v) would carry."""
-    return f"cast('{float(v)!r}' as double)"
+    """Exact double literal for generated SQL — registry.dlit_sql
+    (shared with similarity's row-local IVF assignment since r15)."""
+    from .registry import dlit_sql
+
+    return dlit_sql(v)
 
 
 def _sqdiff_chain_sql(x_sql: str, cvals: list[float]) -> str:
@@ -466,31 +467,32 @@ def kmeans_assign(
         for j, row in enumerate(init)
     ]
     a1 = assign(em, cents0)
-    x = F.col("embedding")
-    means1 = (
-        a1.groupBy("cl")
+    # Iteration-1 means via posexplode + ONE (cl, dim)-keyed decimal
+    # sum instead of a 64-column wide aggregate: measured 2× faster
+    # (0.92 s vs 1.88 s at sf0.1 — the wide HashAggregate's 65 agg
+    # buffers cost ~1.4 s over the same fold; guide §1.2 per-task
+    # work, the _pq_train exr shape). Bit-identical: decimal(28,12)
+    # adds are exact and order-free, so the per-(cl,dim) SUM carries
+    # the same addend multiset as the per-column SUM; the mean is the
+    # same double/double division (s cast to double, n cast to
+    # double) both engines already evaluate.
+    mu = (
+        a1.select("cl", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cl", "dim")
         .agg(
             F.count("*").alias("n"),
-            *[
-                F.sum(x.getItem(i).cast("double").cast("decimal(28,12)"))
-                .cast("double")
-                .alias(f"s{i}")
-                for i in range(_KM_DIM)
-            ],
-        )
-        .select(
-            "cl",
-            *[
-                (F.col(f"s{i}") / F.col("n").cast("double")).alias(f"m{i}")
-                for i in range(_KM_DIM)
-            ],
+            F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("s"),
         )
         .collect()
     )
-    cents1 = [
-        (row.cl, [float(row[f"m{i}"]) for i in range(_KM_DIM)])
-        for row in means1
-    ]
+    by_cl: dict[int, list] = {}
+    for r in mu:
+        by_cl.setdefault(r.cl, [None] * _KM_DIM)[r.dim] = float(r.s) / float(
+            r.n
+        )
+    cents1 = [(cl, vals) for cl, vals in sorted(by_cl.items())]
     return assign(em, cents1)
 
 
@@ -659,9 +661,21 @@ def _sem_near(
     (semdedup_frame) and the component keepers
     (ns_semdedup_components) consume this same edge set — the Spark
     twin of _sem_near_sql."""
+    from .registry import persist_evicting
+
     a2 = kmeans_assign(spark, sf_dir, k, n=n, hierarchical=hierarchical)
     nrm = F.sqrt(_dot_dbl(F.col("embedding"), F.col("embedding")))
-    base = a2.select("vec_id", "cl", "embedding", nrm.alias("nrm"))
+    # The assignment projection is the expensive part of this frame
+    # (k interpreted HOF folds per row — 62 at the sf0.1 auto-k
+    # geometry) and the plan consumed it THREE times: both sides of
+    # the pair self-join plus the final manifest join-back. Persist
+    # it once per invocation (guide §5 reuse rule; the MLlib Lloyd
+    # shape — strictly within-invocation, evicted on the next call)
+    # so the fold and the parquet scan run once, not three times.
+    base = persist_evicting(
+        a2.select("vec_id", "cl", "embedding", nrm.alias("nrm")),
+        "clustering._sem_near.base",
+    )
     x = base.select(
         F.col("vec_id").alias("va"),
         F.col("cl").alias("cl"),
@@ -681,7 +695,9 @@ def _sem_near(
         .select("va", "vb", cosv.alias("cosv"))
         .filter(F.col("cosv") >= F.lit(_SEM_TAU))
     )
-    return a2, near
+    # consumers only join back on (vec_id, cl) — serve it off the
+    # persisted base instead of a third assignment recompute
+    return base.select("vec_id", "cl"), near
 
 
 def semdedup_frame(
@@ -695,13 +711,27 @@ def semdedup_frame(
     k=_KM_K (the fixed oracle geometry); scale runs pass k=auto_k(n)
     so cells stay ~256 and pair work stays linear in the corpus."""
     a2, near = _sem_near(spark, sf_dir, k, n=n, hierarchical=hierarchical)
+    # both orientations of each edge via one row-local explode — the
+    # unionAll form this replaces duplicated the whole `near` subtree
+    # (pair join + n²/k cosine folds) into BOTH branches, computing
+    # the edge set twice per run (guide §2.4 duplicated-subtree rule;
+    # same multiset of (vec_id, nb, cosv) rows, order-free aggregate)
     nbr = near.select(
-        F.col("va").alias("vec_id"), F.col("vb").alias("nb"), "cosv"
-    ).unionAll(
-        near.select(
-            F.col("vb").alias("vec_id"), F.col("va").alias("nb"), "cosv"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("va").alias("vec_id"),
+                    F.col("vb").alias("nb"),
+                    F.col("cosv").alias("cosv"),
+                ),
+                F.struct(
+                    F.col("vb").alias("vec_id"),
+                    F.col("va").alias("nb"),
+                    F.col("cosv").alias("cosv"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.vec_id", "s.nb", "s.cosv")
     per = nbr.groupBy("vec_id").agg(
         F.count("*").alias("ndn"),
         F.max("cosv").alias("best_cos"),
@@ -1157,25 +1187,22 @@ def _outlier_frame(em: DataFrame) -> DataFrame:
     (one bounded 1-row mean collect, row-local fold, 1-row moments
     broadcast)."""
     x = F.col("embedding")
-    means = (
-        em.agg(
+    # corpus mean via posexplode + ONE dim-keyed decimal sum instead
+    # of a 64-column wide aggregate (the kmeans_assign means fix —
+    # measured 2× on the same shape; bit-identical sums/divisions)
+    mrows = (
+        em.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
             F.count("*").alias("n"),
-            *[
-                F.sum(x.getItem(i).cast("double").cast("decimal(28,12)"))
-                .cast("double")
-                .alias(f"s{i}")
-                for i in range(_KM_DIM)
-            ],
+            F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("s"),
         )
-        .select(
-            *[
-                (F.col(f"s{i}") / F.col("n").cast("double")).alias(f"m{i}")
-                for i in range(_KM_DIM)
-            ],
-        )
-        .collect()[0]
+        .collect()
     )
-    mu = [float(means[f"m{i}"]) for i in range(_KM_DIM)]
+    mu_by_dim = {int(r.dim): float(r.s) / float(r.n) for r in mrows}
+    mu = [mu_by_dim[i] for i in range(_KM_DIM)]
     d = em.select("vec_id", _sqdiff_chain(x, mu).alias("d2"))
     stats = d.agg(
         F.count("*").alias("n"),
@@ -1600,6 +1627,47 @@ def _adc_tables(probes: list, cb: dict) -> dict[tuple[int, int], list[float]]:
     return tables
 
 
+def _probe_meta_expr(cells_by_probe: dict[int, list[int]]) -> Column:
+    """`array(struct(pid as probe_id, array(cells) as cells), ...)`
+    as ONE generated-SQL expr() — the probe→cells dispatch array the
+    CASE paths explode. Same _sqdiff_chain_sql rationale (guide
+    §1.1): the Column-API form cost ~6 py4j round-trips per probe of
+    pure plan CONSTRUCTION; the parsed literals are identical
+    ints."""
+    items = ", ".join(
+        f"struct({int(pid)} as probe_id, "
+        f"array({', '.join(str(int(c)) for c in cells)}) as cells)"
+        for pid, cells in cells_by_probe.items()
+    )
+    return F.expr(f"array({items})")
+
+
+def _adc_chain_sql(tabs: list[list[float]]) -> str:
+    """`element_at(array(t..), c0+1) + ... + element_at(..., c7+1)`
+    — one probe's M-term ADC lookup chain as SQL text. Left-to-left
+    associativity and _dlit_sql's cast-parse keep the doubles
+    bit-identical to the F.lit chain this replaces."""
+    return " + ".join(
+        f"element_at(array("
+        f"{', '.join(_dlit_sql(t) for t in tab)}), c{m} + 1)"
+        for m, tab in enumerate(tabs)
+    )
+
+
+def _adc_case_expr(arms: list[tuple[str, list[list[float]]]]) -> Column:
+    """The per-probe ADC dispatch `CASE WHEN <cond> THEN <chain> ...
+    END` as ONE generated-SQL expr. The Column-API when()-chain it
+    replaces cost |arms|·M·(K+3) py4j round-trips (~600 for the
+    residual path's 10 arms) of plan construction per invocation —
+    the dominant serial driver cost the r14 PQ-family profiling
+    identified (guide §1.1); the parsed CaseWhen tree is the same
+    expression the when()-chain built (no ELSE → NULL on both)."""
+    whens = " ".join(
+        f"WHEN {cond} THEN {_adc_chain_sql(tabs)}" for cond, tabs in arms
+    )
+    return F.expr(f"CASE {whens} END")
+
+
 @query("ns_similarity_pq_adc", _adc_sql())
 def ns_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance search (the ADC scan of Jégou et al. —
@@ -1902,15 +1970,7 @@ def ivfpq_topk(
             enc, probes, cells_by_probe, tables, probed_union
         )
     else:
-        meta = F.array(
-            *[
-                F.struct(
-                    F.lit(pid).alias("probe_id"),
-                    F.array(*[F.lit(c) for c in cells]).alias("cells"),
-                )
-                for pid, cells in cells_by_probe.items()
-            ]
-        )
+        meta = _probe_meta_expr(cells_by_probe)
         cand = (
             enc.filter(F.col("cell_id").isin(probed_union))
             .select("*", F.explode(meta).alias("s"))
@@ -1922,19 +1982,18 @@ def ivfpq_topk(
         # per-probe ADC as a lazy CASE chain: only the matched
         # probe's lookup chain evaluates, and only on rows that
         # survived the cell filter above (the full-scan ADC never
-        # happens)
-        adc = None
-        for p in probes:
-            pid = int(p.vec_id)
-            chain = None
-            for m in range(_PQ_M):
-                lut = F.array(*[F.lit(t) for t in tables[(pid, m)]])
-                term = F.element_at(lut, F.col(f"c{m}") + 1)
-                chain = term if chain is None else chain + term
-            cond = F.col("s.probe_id") == pid
-            adc = (
-                F.when(cond, chain) if adc is None else adc.when(cond, chain)
-            )
+        # happens). Built as ONE generated-SQL expr — the when()-
+        # chain this replaces was ~300 py4j calls of construction
+        # per invocation (guide §1.1, the r14 PQ-family finding).
+        adc = _adc_case_expr(
+            [
+                (
+                    f"s.probe_id = {int(p.vec_id)}",
+                    [tables[(int(p.vec_id), m)] for m in range(_PQ_M)],
+                )
+                for p in probes
+            ]
+        )
         scored = cand.select(
             F.col("s.probe_id").cast("bigint").alias("probe_id"),
             "vec_id",
@@ -2166,15 +2225,7 @@ def ivfpq_topk_residual(
     }
     tables = residual_tables(probes, cells_by_probe, cent_by_id, cb)
     probed_union = sorted({c for cs in cells_by_probe.values() for c in cs})
-    meta = F.array(
-        *[
-            F.struct(
-                F.lit(pid).alias("probe_id"),
-                F.array(*[F.lit(c) for c in cells]).alias("cells"),
-            )
-            for pid, cells in cells_by_probe.items()
-        ]
-    )
+    meta = _probe_meta_expr(cells_by_probe)
     cand = (
         enc.filter(F.col("cell_id").isin(probed_union))
         .select("*", F.explode(meta).alias("s"))
@@ -2186,24 +2237,19 @@ def ivfpq_topk_residual(
     # per-(probe, cell) ADC dispatch — |probes|·nprobe arms (10 at
     # the registered geometry; a large-batch serve path would explode
     # a broadcast (probe_id, cell_id, tabs) table exactly like
-    # _ivfpq_score_join)
-    adc = None
-    for p in probes:
-        pid = int(p.vec_id)
-        for cell in cells_by_probe[pid]:
-            chain = None
-            for m in range(_PQ_M):
-                lut = F.array(
-                    *[F.lit(t) for t in tables[(pid, cell, m)]]
-                )
-                term = F.element_at(lut, F.col(f"c{m}") + 1)
-                chain = term if chain is None else chain + term
-            cond = (F.col("s.probe_id") == pid) & (
-                F.col("cell_id") == cell
+    # _ivfpq_score_join). Built as ONE generated-SQL expr — the
+    # when()-chain this replaces was ~600 py4j calls of plan
+    # construction per invocation (guide §1.1).
+    adc = _adc_case_expr(
+        [
+            (
+                f"(s.probe_id = {pid}) AND (cell_id = {cell})",
+                [tables[(pid, cell, m)] for m in range(_PQ_M)],
             )
-            adc = (
-                F.when(cond, chain) if adc is None else adc.when(cond, chain)
-            )
+            for pid in (int(p.vec_id) for p in probes)
+            for cell in cells_by_probe[pid]
+        ]
+    )
     scored = cand.select(
         F.col("s.probe_id").cast("bigint").alias("probe_id"),
         "vec_id",
@@ -2328,9 +2374,14 @@ def ivfpq_persisted_index(
             path = os.path.join(
                 SCRATCH, "ivfpq_idx", key[0].strip("/").replace("/", "_")
             )
-            ivfpq_build_index(em, cent, cb).write.mode(
-                "overwrite"
-            ).partitionBy("cell_id").parquet(path)
+            # cluster by the partition column before the dynamic-
+            # partition write (guide §6): one shuffle of the SKINNY
+            # code rows ⇒ ONE file per inverted list instead of
+            # tasks×cells fragments (measured 4.1 → 1.6 s and 1013 →
+            # 40 files at sf0.1; pruned serve reads open fewer files)
+            ivfpq_build_index(em, cent, cb).repartition(
+                "cell_id"
+            ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
             _IVFPQ_IDX_CACHE[key] = (path, cb)
     path, cb = _IVFPQ_IDX_CACHE[key]
     return spark.read.parquet(path), cb, cent, em
@@ -2417,7 +2468,11 @@ def ann_index_generations(spark: SparkSession, sf_dir: str) -> dict:
         for g, frame, base_only in ((1, base, True), (2, em, False)):
             cb = _pq_train(frame)
             path = os.path.join(root, f"g{g}")
-            ivfpq_build_index(frame, ivf_centroids(frame), cb).write.mode(
+            # cluster-by-cell before the write (see
+            # ivfpq_persisted_index): 1 file per inverted list
+            ivfpq_build_index(
+                frame, ivf_centroids(frame), cb
+            ).repartition("cell_id").write.mode(
                 "overwrite"
             ).partitionBy("cell_id").parquet(path)
             gens[g] = {"path": path, "cb": cb, "base_only": base_only}
@@ -2884,17 +2939,17 @@ def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear probe trained IN-ENGINE by batch gradient descent —
     the standard embedding-quality evaluation (how linearly decodable
     is a target from the representation), run as {it} synchronous GD
-    rounds entirely as DataFrame joins/aggregates: per round, ONE
-    dim-keyed broadcast join + vec-keyed aggregate computes every
-    prediction w·x, ONE vec-keyed join + dim-keyed aggregate computes
-    the full-batch least-squares gradient (2/n)Σ r·x, and the weight
-    update w ← w − lr·grad is a 64-row projection. Emits the final
-    64 weights + training MSE. This is the same harness shape as
-    graph_pagerank — fixed small iteration count, distributed state,
-    nothing driver-side except bounded scalars — applied to
-    optimization instead of graph propagation (target: label as a
-    regression surrogate; a production probe swaps in any numeric
-    column).
+    rounds: the weight vector is BOUNDED driver state (64 doubles,
+    the Lloyd-centroid pattern), each round is ONE corpus scan that
+    computes every prediction w·x row-locally against the current
+    weights as literals and reduces the full-batch least-squares
+    gradient (2/n)Σ r·x to a single 64-column map-side-combined
+    aggregate collected as one row, and the update w ← w − lr·grad
+    is driver arithmetic on those 64 scalars. Emits the final 64
+    weights + training MSE. Same harness shape as kmeans_assign —
+    fixed small round count, bounded driver-side state, one
+    distributed pass per round (target: label as a regression
+    surrogate; a production probe swaps in any numeric column).
 
     Determinism: predictions and gradients are UNORDERED
     exact-decimal sums of row-level IEEE products (VARCHAR-routed in
@@ -2925,7 +2980,13 @@ def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently drops the result to scale 11 (rounding every step at
     # 1e-11); at (25,12) every add stays exact and the scale-12
     # per-term quantization is identical, so the fold reproduces the
-    # unordered (38,12) Sum bit-for-bit (the _dot_dec convention)
+    # unordered (38,12) Sum bit-for-bit (the _dot_dec convention).
+    # Numeric-range note (r14 advice #3): (25,12) caps each product
+    # and partial sum at ~1e13 (the (38,12) SUM allowed ~1e26); under
+    # ANSI mode an overflow throws mid-query. Domain is bounded far
+    # below that by the pinned [-1,1]-ish 64-dim embedding fixtures
+    # and lr=~1e-2 weights (|w·x| ≪ 1e4); a production target column
+    # with |y|≫1e10 would need the wider accumulator back.
     fdec = "decimal(25,12)"
 
     def pred_col(w: list[float]) -> Column:
@@ -2953,18 +3014,31 @@ def ns_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             pred_col(w).alias("pred"),
         )
         r = F.col("pred") - F.col("y")
-        grow = scored.agg(
-            *[
+        # gradient via posexplode + ONE dim-keyed decimal sum instead
+        # of a 64-column wide aggregate (the kmeans_assign means fix,
+        # guide §1.2): the wide form's 64 agg expressions each embed
+        # the residual subexpression — r (and with it the pred fold)
+        # re-evaluated per column per row — while the explode form
+        # computes r once per row and carries it. Bit-identical:
+        # per-dim decimal(38,12) sums over the same (r · x_i)
+        # addends, same double casts, same driver update arithmetic.
+        grows = (
+            scored.select(
+                r.alias("r"), F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("dim")
+            .agg(
                 F.sum(
-                    (r * F.get("embedding", i).cast("double")).cast(dec)
+                    (F.col("r") * F.col("v").cast("double")).cast(dec)
                 )
                 .cast("double")
-                .alias(f"g{i}")
-                for i in range(_LP_DIM)
-            ]
-        ).collect()[0]  # bounded 64-value collect (the Lloyd pattern)
+                .alias("g")
+            )
+            .collect()
+        )  # bounded 64-value collect (the Lloyd pattern)
+        g_by_dim = {int(row.dim): float(row.g) for row in grows}
         w = [
-            w[i] - _LP_LR * (2.0 * float(grow[f"g{i}"]) / n)
+            w[i] - _LP_LR * (2.0 * g_by_dim[i] / n)
             for i in range(_LP_DIM)
         ]
     err = F.col("pred") - F.col("y")

@@ -23,6 +23,7 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 import weakref
 from collections.abc import Callable
 
@@ -70,6 +71,14 @@ def unrolled_dot_enabled() -> bool:
     import os
 
     return os.environ.get("SPARK_GRAFT_UNROLLED_DOT", "") == "1"
+
+
+def dlit_sql(v: float) -> str:
+    """Exact double literal for generated SQL: a string cast parses
+    via Double.parseDouble, so the shortest-round-trip repr recovers
+    the bit-identical double F.lit(v) would carry. Shared by the
+    clustering/similarity generated-SQL constructors (guide §1.1)."""
+    return f"cast('{float(v)!r}' as double)"
 
 
 # --- exact float aggregation (see module docstring) ---
@@ -224,18 +233,90 @@ def persist_evicting(df: DataFrame, site: str) -> DataFrame:
 # --- shared table access ---
 
 
-# Per-session scan-metadata cache for tbl(): {(abspath, name,
-# mtime_ns, size): (lazy scan frame, base split count)}. This caches
+# Per-session scan-metadata cache for tbl(): {(abspath, name):
+# (fingerprint, lazy scan frame, base split count)}. This caches
 # PLAN METADATA only — a lazy relation handle (file listing + schema,
 # the same things Spark's own FileStatusCache memoizes per session)
 # and one int. NO data, NO results, NO intermediates are cached, and
-# the key carries the parquet mtime+size so in-place regeneration
-# invalidates. Why (r14 optimization round, guide §1): every fresh
-# `spark.read.parquet` relists+re-reads footers (~100 ms) and the
-# parallel-guard's `df.rdd.getNumPartitions()` probe converts the
-# plan to an RDD (~290 ms measured) — ~0.3-0.5 s of driver-side
-# fixed cost PER QUERY BUILD that has nothing to do with the query.
+# the entry carries the parquet mtime+size fingerprint so in-place
+# regeneration REPLACES it (r14 advice #1: fingerprint-in-key
+# accumulated one dead entry per regeneration, pinning stale plan
+# handles for the session lifetime). Why (r14 optimization round,
+# guide §1): every fresh `spark.read.parquet` relists+re-reads
+# footers (~100 ms) of driver-side fixed cost PER QUERY BUILD that
+# has nothing to do with the query.
 _TBL_META: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _scan_split_estimate(spark: SparkSession, path: str) -> int:
+    """Base split count of a parquet scan from the FILE LISTING alone
+    — Spark's own FilePartition packing arithmetic (maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)),
+    then greedy size-desc packing) replayed over os.stat sizes. This
+    replaces the old `df.rdd.getNumPartitions()` probe, which
+    CONVERTED the plan to an RDD (~290 ms of py4j + planning per
+    first touch of each table — r14 verdict #5: pure driver fixed
+    cost). Validated split-for-split against the RDD probe on every
+    testdata table at every SF (tests/test_properties.py).
+
+    One deliberate divergence: single-file tables with ONE row group
+    yield byte-range splits that collapse to one non-empty task at
+    execution; the RDD probe counted those byte-ranges too (it sees
+    the same FilePartition packing, not row groups), so estimate ==
+    probe there as well."""
+    if os.path.isdir(path):
+        sizes = [
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if not f.startswith((".", "_"))
+        ]
+    else:
+        sizes = [os.path.getsize(path)]
+    if not sizes:
+        return 0
+    def _bytes(v: str) -> int:
+        v = v.strip().lower()
+        for suf, mul in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+        ):
+            if v.endswith(suf):
+                return int(v[: -len(suf)]) * mul
+        return int(v)
+
+    conf = spark.conf
+    max_pb = _bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    open_cost = _bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+    cores = (
+        int(min_pn)
+        if min_pn
+        else spark.sparkContext.defaultParallelism
+    )
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // max(cores, 1)))
+    chunks: list[int] = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            chunks.append(min(max_split, s - off))
+            off += max_split
+        if s == 0:
+            chunks.append(0)
+    chunks.sort(reverse=True)
+    nparts, cur, curfiles = 0, 0, 0
+    for c in chunks:
+        if curfiles and cur + c > max_split:
+            nparts += 1
+            cur, curfiles = 0, 0
+        cur += c + open_cost
+        curfiles += 1
+    return nparts + (1 if curfiles else 0)
 
 
 def tbl(
@@ -259,8 +340,9 @@ def tbl(
     do not (join_multiway 1.79 with vs 1.52 without → no repartition).
 
     The lazy scan handle and its split count are cached per (session,
-    path, parquet mtime+size) — see _TBL_META: plan metadata, never
-    data."""
+    path) with a parquet mtime+size fingerprint — see _TBL_META: plan
+    metadata, never data. The split count comes from the file listing
+    (_scan_split_estimate), not an RDD-conversion probe."""
     import os
 
     from ..catalog import load_table
@@ -272,13 +354,13 @@ def tbl(
         fp = (st.st_mtime_ns, st.st_size)
     except OSError:
         fp = None
-    key = (os.path.abspath(sf_dir), name, fp)
+    key = (os.path.abspath(sf_dir), name)
     ent = per.get(key)
-    if ent is None:
+    if ent is None or ent[0] != fp:
         df = load_table(spark, sf_dir, name)
-        ent = (df, df.rdd.getNumPartitions())
+        ent = (fp, df, _scan_split_estimate(spark, path))
         per[key] = ent
-    df, nparts = ent
+    _fp, df, nparts = ent
     if parallel:
         want = spark.sparkContext.defaultParallelism
         if nparts < want:

@@ -186,12 +186,12 @@ def _cosine_ranked_sql_ctes() -> str:
     )"""
 
 
-def cosine_ranked(em: DataFrame, k: int) -> DataFrame:
-    """Exact-cosine top-`k` per probe (query_id, neighbor_id, cosine,
-    rn) — the Spark twin of _cosine_ranked_sql_ctes, shared by
-    ns_similarity_topk (k=3) and ns_rank_fusion_rrf (k=10). Probes
-    are broadcast; each corpus partition scores locally; the rank
-    gate pushes into WindowGroupLimit."""
+def cosine_scored(em: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cosine) for every (probe, corpus)
+    pair — the UN-ranked `scored` CTE twin. Probes are broadcast;
+    each corpus partition scores locally. Shared by cosine_ranked and
+    ns_ann_recall_eval (which ranks it twice — exact and IVF-gated —
+    so the exact-decimal cosine pass runs ONCE, like its oracle)."""
     norms = em.select(
         "vec_id", _norm(F.col("embedding")).alias("nrm"), "embedding"
     )
@@ -201,7 +201,7 @@ def cosine_ranked(em: DataFrame, k: int) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
     )
     pairs = norms.join(F.broadcast(q), norms.vec_id != q.query_id)
-    scored = pairs.select(
+    return pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         (
@@ -209,9 +209,18 @@ def cosine_ranked(em: DataFrame, k: int) -> DataFrame:
             / (F.col("q_nrm") * F.col("nrm"))
         ).alias("cosine"),
     )
+
+
+def cosine_ranked(em: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine top-`k` per probe (query_id, neighbor_id, cosine,
+    rn) — the Spark twin of _cosine_ranked_sql_ctes, shared by
+    ns_similarity_topk (k=3) and ns_rank_fusion_rrf (k=10). The rank
+    gate pushes into WindowGroupLimit."""
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    return (
+        cosine_scored(em)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
     )
 
 
@@ -818,19 +827,48 @@ def ns_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assigned(em: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-cell assignment (vec_id, embedding, cell_id) via the
-    broadcast-join argmax dot with (cdot DESC, cent_id) ties — the
-    Spark twin of _ivf_assign_sql_ctes' `assigned`, shared by
-    ivf_topk and ns_ivf_cell_stats."""
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cdot"), "cent_id")
-    return (
-        em.join(F.broadcast(cent))
-        .withColumn(
-            "cdot", _dot_dbl(F.col("embedding"), F.col("cent_emb"))
+    """Nearest-cell assignment (vec_id, embedding, cell_id) — argmax
+    dot with (cdot DESC, cent_id) ties, the Spark twin of
+    _ivf_assign_sql_ctes' `assigned`; shared by ivf_topk,
+    ns_ivf_cell_stats, ivfpq_build_index, ivf_residuals and
+    ns_ann_recall_eval.
+
+    r15 shape (guide §2.4): ROW-LOCAL argmin over the collected
+    centroid literals — `array_min(array(struct(-cdot, cent_id)))`,
+    the clustering._assign form — replacing a broadcast nested-loop
+    n×C expansion + per-vec_id row_number window that carried both
+    64-dim arrays through a sort (measured 1.6-1.9 s of the
+    recall_eval invocation at sf0.1; one Exchange gone per consumer).
+    Each cdot is the zip_with/aggregate left fold (the
+    _sqdiff_chain_sql form — per-expression interpreted, which beats
+    the unrolled C·64-term chain here because that chain blows the
+    64 KB Janino method cap and de-codegens the WHOLE stage: measured
+    14.9 s vs 0.9 s on ann_ivf). Values: the fold's leading
+    `0.0 + p0` equals `p0` for every double except -0.0, and ±0.0
+    compare equal under Spark's SQLOrderingUtil, so the (−cdot,
+    cent_id) struct min picks exactly the (cdot DESC, cent_id)
+    row_number()=1 row — cdot itself is ranking-only, never output.
+    The centroid collect is bounded by construction (≤ _IVF_MAX_CELLS
+    rows — the Lloyd-literal pattern kmeans_assign/_pq_train use)."""
+    from .registry import dlit_sql
+
+    cents = cent.orderBy("cent_id").collect()
+
+    def dot_sql(cvals: list[float]) -> str:
+        lits = ", ".join(dlit_sql(float(v)) for v in cvals)
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            f"(a, b) -> cast(a as double) * b), "
+            f"cast('0.0' as double), (acc, p) -> acc + p)"
         )
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+
+    structs = ", ".join(
+        f"struct(-({dot_sql(c.cent_emb)}) as nd, {int(c.cent_id)} as j)"
+        for c in cents
+    )
+    m = F.expr(f"array_min(array({structs}))")
+    return em.select(
+        "vec_id", "embedding", m.getField("j").alias("cell_id")
     )
 
 
@@ -1129,29 +1167,65 @@ def ns_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = |IVF top-{k} ∩ exact top-{k}| / {k}. The exact side is
     the shared brute-force ranking (cosine_ranked — by design the
     recall DENOMINATOR, see ns_similarity_topk); the ANN side is the
-    same ivf_topk geometry ns_similarity_ann_ivf serves (nprobe=2),
+    same IVF geometry ns_similarity_ann_ivf serves (nprobe=2),
     so this row measures exactly what the registered ANN operators
     ship. Oracle composes the two proven CTE chains verbatim — the
     IVF candidate set expressed as a join against the exact `scored`
     frame (identical exact-decimal cosine ⇒ identical ranking), so
-    recall is pure integer counting + one int/int double division.
+    recall is pure integer counting + one int/int double division;
+    since r15 the Spark body mirrors that shape exactly (one scoring
+    pass, two rankings) instead of re-scoring candidates through
+    ivf_topk.
 
-    Scale: exact side is the one-broadcast probe scoring pass (k·|Q|
-    output rows); ANN side is probed-cells-bounded; the recall join
-    is k·|Q| rows. Evaluating on a sampled probe set (here the fixed
-    5) is the standard estimator — corpus size only enters through
-    the two ranking passes, both already scale-shaped."""
+    Scale: ONE one-broadcast probe scoring pass serves both rankings
+    (persisted within the invocation, n·|Q| skinny rows); the ANN
+    gate is the shared coarse assignment + a probed-cells join; the
+    recall join is k·|Q| rows. Evaluating on a sampled probe set
+    (here the fixed 5) is the standard estimator — corpus size only
+    enters through the scoring and assignment passes, both already
+    scale-shaped."""
     em = tbl(spark, sf_dir, "embeddings", parallel=True)
     probes = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
-    exact = cosine_ranked(em, _RECALL_K).select("query_id", "neighbor_id")
-    ann = ivf_topk(
-        em, probes, ivf_centroids(em), k=_RECALL_K, nprobe=2
-    ).select(
-        F.col("query_id").alias("a_query_id"),
-        F.col("neighbor_id").alias("a_neighbor_id"),
+    # ONE exact-decimal scoring pass serves BOTH rankings (r14
+    # verdict #8; the shape this operator's oracle always had): the
+    # ANN list is the exact `scored` frame gated to IVF candidates
+    # (probe cells × assignment) and re-ranked — identical cosines by
+    # construction, so the second |cand|-sized _dot_dec pass the old
+    # ivf_topk call paid is gone. `scored` is persisted within the
+    # invocation (n·|Q| skinny rows) for its two rank consumers.
+    scored = persist_evicting(
+        cosine_scored(em), "similarity.recall_eval.scored"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    cent = ivf_centroids(em)
+    assigned = _ivf_assigned(em, cent).select("vec_id", "cell_id")
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("cdot"), "cent_id")
+    probe_cells = (
+        probes.join(F.broadcast(cent))
+        .withColumn("cdot", _dot_dbl(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", F.col("cent_id").alias("cell_id"))
+    )
+    cand = probe_cells.join(assigned, "cell_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    ann = (
+        scored.join(cand, ["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
     )
     j = exact.join(
         ann,

@@ -1,5 +1,5 @@
 """Capture .explain('formatted') output for named queries into
-plans/r14/<query>_<tag>.txt — the before/after plan evidence the
+plans/r15/<query>_<tag>.txt — the before/after plan evidence the
 optimization round commits next to each change.
 
 Usage: python scripts/plan_capture.py <tag> query [query ...]
@@ -22,7 +22,7 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 out_dir = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r14",
+    "r15",
 )
 os.makedirs(out_dir, exist_ok=True)
 

@@ -4072,7 +4072,12 @@ def test_ivfpq_large_probe_batch_join_path(spark, monkeypatch):
     plan_case = case._jdf.queryExecution().executedPlan().toString()
     # the CASE plan text grows ~linearly with |probes| (100 arms of
     # M·K literals); the join plan stays a small constant multiple
-    assert len(plan_join) < len(plan_case) / 4, (
+    # the two plans share the (large, |probes|-independent) literal
+    # text of the row-local coarse assignment (r15 _ivf_assigned), so
+    # compare the probe-dependent DELTA, not a blanket ratio: the
+    # 100-arm CASE carries ~100·M·K double literals the join plan
+    # does not.
+    assert len(plan_case) - len(plan_join) > 50_000, (
         f"join plan {len(plan_join)} not ≪ case plan {len(plan_case)}"
     )
     rows_case = sorted(
@@ -5559,3 +5564,35 @@ def test_tbl_metadata_cache_identity_and_invalidation(spark):
         c = tbl(spark, tmp, "documents")
         assert c is not a  # mtime fingerprint invalidates
         assert c.count() == a.count()
+
+
+def test_scan_split_estimate_matches_rdd_probe(spark):
+    """r15 optimization guard (r14 verdict #5): tbl()'s parallel
+    guard now derives the base split count from the file listing
+    (_scan_split_estimate — Spark's FilePartition packing arithmetic
+    over os.stat sizes) instead of the ~290 ms
+    df.rdd.getNumPartitions() RDD-conversion probe. The estimate must
+    agree with the probe split-for-split: on every catalog table at
+    every SF, and on a multi-file directory written by Spark."""
+    import os
+    import tempfile
+
+    from flume_hive_batched_sink_spark.catalog import TABLES, load_table
+    from flume_hive_batched_sink_spark.operators.registry import (
+        _scan_split_estimate,
+    )
+
+    for sf_dir in (SF_SMALL, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            df = load_table(spark, sf_dir, t)
+            assert _scan_split_estimate(spark, p) == df.rdd.getNumPartitions(), (
+                sf_dir,
+                t,
+            )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "multi.parquet")
+        load_table(spark, SF_SMALL, "events").repartition(7).write.parquet(out)
+        df = spark.read.parquet(out)
+        assert _scan_split_estimate(spark, out) == df.rdd.getNumPartitions()
