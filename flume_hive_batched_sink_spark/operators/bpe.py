@@ -127,7 +127,19 @@ def bpe_train(
     uses it to prove flat per-round cost under the cadence)."""
     import time as _time
 
-    seqs = initial_seqs(_word_freq(spark, sf_dir))
+    from .registry import persist_evicting
+
+    # Persist the INITIAL vocabulary within the invocation (guide
+    # §5): every round issues 3 actions (top-pair collect, pair-type
+    # count, symbol metric) and each one re-ran the word-frequency
+    # scan+explode+aggregate from parquet — ~7 re-derivations for the
+    # registered 2-round operators. The per-round replace() chain
+    # stays lazy on top of the cached base (row-local, trivially
+    # recomputed); deep runs additionally re-materialize via the
+    # localCheckpoint cadence below.
+    seqs = persist_evicting(
+        initial_seqs(_word_freq(spark, sf_dir)), "bpe.initial_seqs"
+    )
     if checkpoint_every and rounds > checkpoint_every:
         # deep run: materialize the word table up front (round-0
         # checkpoint) — shallow-run plans (the registered operators)

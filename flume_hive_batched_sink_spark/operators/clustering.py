@@ -288,15 +288,100 @@ def _sqdiff_chain_sql(x_sql: str, cvals: list[float]) -> str:
     )
 
 
+def _assign_arrow(
+    em: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE mapInArrow pass (guide
+    §4.2: hand whole batches to vectorized native code): NumPy
+    computes all k×dim squared-difference folds per batch, replacing
+    k interpreted `aggregate(zip_with(...))` HOF folds per row
+    (measured 2× at the sf0.1 auto-k geometry for the bare
+    assignment, and it removes the k·dim-literal SQL string from the
+    plan entirely).
+
+    Bit-parity with _assign / the oracle's list_reduce, proven
+    term by term: (a) the per-element work is cast-to-double,
+    subtract, square — exact IEEE ops NumPy evaluates identically;
+    (b) the fold is accumulated with an explicit dim-step loop
+    (`acc += t*t`, one vectorized step per dimension), i.e. the SAME
+    left-associated double addition chain as the HOF fold — never
+    np.sum, whose pairwise summation reorders low bits; (c) argmin
+    ties break to the FIRST (smallest) centroid id because the
+    centroid rows are sorted by id — the struct-min (d2, j) rule.
+    Verified bit-exact (cl + d2 doubles byte-compared) against
+    _assign on the sf0.1 corpus at k=62; the oracle sweep gates every
+    consumer. Zero shuffle, same (vec_id, embedding, cl, d2) output.
+
+    Memory: batches are processed in row CHUNKS sized so the n×k×dim
+    temporary stays ~32 MB regardless of Arrow batch size."""
+    import numpy as np
+
+    pairs = sorted(
+        ((int(j), [float(v) for v in c]) for j, c in cents),
+        key=lambda t: t[0],
+    )
+    jarr = np.array([j for j, _ in pairs], dtype=np.int64)
+    carr = np.array([c for _, c in pairs], dtype=np.float64)
+    vt = em.schema["vec_id"].dataType.simpleString()
+    et = em.schema["embedding"].dataType.elementType.simpleString()
+    dim = carr.shape[1]
+    chunk = max(1, (4 << 20) // max(1, carr.shape[0] * dim))
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in it:
+            if len(b) == 0:
+                continue
+            emb = b.column(1)
+            if emb.null_count:
+                raise ValueError("_assign_arrow: null embedding")
+            x = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                len(b), dim
+            )
+            cls = np.empty(len(b), dtype=np.int64)
+            dmin = np.empty(len(b), dtype=np.float64)
+            for lo in range(0, len(b), chunk):
+                xs = x[lo:lo + chunk]
+                acc = np.zeros((xs.shape[0], carr.shape[0]))
+                for i in range(dim):  # left-assoc fold, per dim
+                    t = xs[:, None, i] - carr[None, :, i]
+                    acc += t * t
+                a = acc.argmin(axis=1)
+                cls[lo:lo + chunk] = jarr[a]
+                dmin[lo:lo + chunk] = acc[np.arange(xs.shape[0]), a]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    emb,
+                    pa.array(cls, type=pa.int32()),
+                    pa.array(dmin, type=pa.float64()),
+                ],
+                names=["vec_id", "embedding", "cl", "d2"],
+            )
+
+    return em.select("vec_id", "embedding").mapInArrow(
+        fn, f"vec_id {vt}, embedding array<{et}>, cl int, d2 double"
+    )
+
+
 def _assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Row-local nearest-centroid assignment: one projection, zero
     shuffle — each row min-reduces an array of (d2, j) structs built
     from literal centroids (ties break to the smallest j, mirroring
     the oracle's ORDER BY d2, j). When _use_join_assign(n, k) the
-    caller uses _assign_join instead — per-row cost here is k
-    interpreted HOF folds, linear in k. Default path built as ONE
-    generated-SQL expr (see _sqdiff_chain_sql); the unrolled knob
-    keeps the Column-API construction."""
+    caller uses _assign_join instead. Default path since r15:
+    _assign_arrow (one vectorized mapInArrow pass — guide §4.2,
+    bit-parity documented there); the unrolled knob keeps the
+    Column-API construction; SPARK_GRAFT_ASSIGN_HOF=1 forces the r14
+    generated-SQL HOF form (the parity-comparison baseline)."""
+    import os as _os
+
+    if not unrolled_dot_enabled() and (
+        _os.environ.get("SPARK_GRAFT_ASSIGN_HOF") != "1"
+    ):
+        return _assign_arrow(em, cents)
     if unrolled_dot_enabled():
         cands = F.array(
             *[
@@ -2199,7 +2284,15 @@ def ivfpq_topk_residual(
     top-k); only the constant driver table work grows by ×nprobe."""
     from pyspark.sql.window import Window as W
 
-    resid = ivf_residuals(em, cent)
+    from .registry import persist_evicting
+
+    # the residual frame feeds THREE actions (pq_train's init collect
+    # + means collect, then the encode in the final plan); without
+    # the within-invocation persist each one re-ran the coarse
+    # assignment + subtract (~0.6 s each at sf0.1 — guide §5)
+    resid = persist_evicting(
+        ivf_residuals(em, cent), "clustering.ivfpq_residual.resid"
+    )
     cb = _pq_train_timed(resid.select("vec_id", "embedding"))
     # fused encode: the codes ride the SAME residual projection —
     # cell + codes in one pass, the ivfpq_build_index shape
