@@ -53,22 +53,18 @@ ALLOWED = {
     "ns_similarity_ann_ivf": "keyless joins against the broadcast "
     "centroid frame, capped at _IVF_MAX_CELLS=64 rows — the linear "
     "N*C assignment the cap exists to bound",
-    "ns_similarity_ivfpq": "the same broadcast centroid assignment "
-    "as ns_similarity_ann_ivf (capped 64-row build side) fused with "
-    "the PQ encode; the ADC scan side is join-free (cell prefilter "
-    "+ literal table lookups)",
+    # ns_similarity_ivfpq / ns_similarity_ivfpq_residual need NO
+    # entry since r15: the coarse assignment is the row-local
+    # array_min over collected centroid literals (similarity.
+    # _ivf_assigned), so the broadcast-BNLJ centroid expansion those
+    # entries allowlisted no longer exists in either plan — the
+    # sweep verifies both clean.
     "ns_bm25_topk": "1-row broadcast corpus-stats scalar (N, total "
     "tokens) crossed onto the query-term tf aggregate for the "
     "idf/length normalizers — never the corpus",
     "ns_ivf_cell_stats": "the shared 64-row broadcast centroid "
     "assignment (the ns_similarity_ann_ivf pattern) plus a 1-row "
     "broadcast total scalar crossed onto the C-row counts frame",
-    "ns_similarity_ivfpq_residual": "two instances of the same "
-    "capped-64-row broadcast centroid assignment (one inside "
-    "ivf_residuals' fused resid projection, one in the _pq_train "
-    "first-assignment pass over it) — both the bounded N*C pattern; "
-    "the ADC scan side is join-free (cell prefilter + literal "
-    "table lookups) and the cell re-join is cell_id-KEYED",
     # ns_hybrid_prf needs NO entry since r13: the lexical BM25 pass
     # (whose 1-row stats broadcast was the allowlisted BNLJ) now
     # executes at plan-build time (bounded collect, r12 advice), so
